@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Geom
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's relational query surface, Spark-first.
+  *
+  * Each query is the declarative DataFrame shape of a reference code path (file:line
+  * cited per query); Catalyst gets to pick the physical plan. Sums over doubles are
+  * routed through DECIMAL(18,6) so the aggregate is associative (bit-stable under
+  * any partitioning — required both for the DuckDB oracle match and for
+  * deterministic results on a 1000-executor cluster), then surfaced as DOUBLE.
+  */
+object Relational {
+
+  /** Decimal-stable sum of a double column, surfaced as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Filter + projection + ORDER BY + LIMIT — app/app.py:66-78 (routes by
+    * local_authority, LIMIT 1000). Predicate + projection reach the parquet scan.
+    */
+  val filterLimit = Q(
+    "q_filter_limit",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(1000),
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 1000""".stripMargin
+  )
+
+  /** DISTINCT + IS NOT NULL + ORDER BY — app/app.py:50 (local authorities). */
+  val distinctSorted = Q(
+    "q_distinct_sorted",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull)
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type"),
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL ORDER BY event_type"
+  )
+
+  /** Column rename / schema mapping on load — db_helpers.py:166-171
+    * (`type`→`route_type` and friends).
+    */
+  val schemaMap = Q(
+    "q_schema_map",
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id").as("id"),
+        col("event_type").as("route_type"),
+        col("value").cast("double").as("route_length_m"),
+        col("user_id").cast("string").as("route_id")
+      ).orderBy("id"),
+    """SELECT event_id AS id, event_type AS route_type, CAST(value AS DOUBLE) AS route_length_m,
+      |CAST(user_id AS VARCHAR) AS route_id FROM events ORDER BY id""".stripMargin
+  )
+
+  /** Semi-structured JSON property flatten — process_cycle_networks.py:18-55
+    * (feature properties → columns). `events.props` is the JSON column.
+    */
+  val jsonFlatten = Q(
+    "q_json_flatten",
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        col("value")
+      ).orderBy("event_id"),
+    """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k, value
+      |FROM events ORDER BY event_id""".stripMargin
+  )
+
+  /** Bounds aggregate (map extent) — app/app.py:97-100. One 2-phase agg, no shuffle
+    * of raw rows beyond partial maxima.
+    */
+  val boundsAgg = Q(
+    "q_bounds_agg",
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        min(Geom.e1).as("min_x"),
+        min(Geom.n1).as("min_y"),
+        max(Geom.e2).as("max_x"),
+        max(Geom.n2).as("max_y")
+      ),
+    s"""SELECT min(${Geom.e1Sql}) AS min_x, min(${Geom.n1Sql}) AS min_y,
+       |max(${Geom.e2Sql}) AS max_x, max(${Geom.n2Sql}) AS max_y FROM lineitem""".stripMargin
+  )
+
+  /** Categorical mapping + group-by — app/app.py:112-119 (route_type → color
+    * classes). event_type plays route_type.
+    */
+  val groupByCategory = Q(
+    "q_groupby_category",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .withColumn(
+          "color",
+          when(col("event_type") === "click", "#00aa00")
+            .when(col("event_type") === "view", "#0066ff")
+            .when(col("event_type") === "purchase", "#aa00aa")
+            .when(col("event_type") === "signup", "#ff9900")
+            .otherwise("#3388ff"))
+        .orderBy("event_type"),
+    """SELECT event_type, count(*) AS n,
+      |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |CASE event_type WHEN 'click' THEN '#00aa00' WHEN 'view' THEN '#0066ff'
+      | WHEN 'purchase' THEN '#aa00aa' WHEN 'signup' THEN '#ff9900' ELSE '#3388ff' END AS color
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  /** Multi-key hash aggregate, TPC-H Q1 shape — the engine-credibility headline
+    * (partial map-side agg → 2-phase; decimal-stable sums).
+    */
+  val q1Agg = Q(
+    "q1_agg",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+      |CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg, groupByCategory, q1Agg)
+}
