@@ -46,7 +46,8 @@ object SparkEntry {
   }
 
   private def registry: Seq[Q] =
-    operators.Relational.all ++ operators.Routes.all
+    operators.Relational.all ++ operators.Routes.all ++
+      operators.TextAnalysis.all ++ operators.Dedup.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / text-analysis operators.
+  *
+  * All hashing is md5-hex-prefix → BIGINT so the DuckDB oracle can reproduce it
+  * exactly (`('0x'||substr(md5(x),1,N))::BIGINT`); widths are capped so every
+  * product in downstream arithmetic stays under 2^62 (overflow-free in both
+  * engines). Everything is built-in-function Catalyst — no UDFs — so the whole
+  * pipeline stays inside whole-stage codegen.
+  */
+object TextFns {
+  /** 32-bit hash of a string column, as BIGINT in [0, 2^32). */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 28-bit hash (used to derive permutation coefficients). */
+  def hash28(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  def hash32Sql(e: String): String = s"(('0x'||substr(md5($e),1,8))::BIGINT)"
+  def hash28Sql(e: String): String = s"(('0x'||substr(md5($e),1,7))::BIGINT)"
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles per doc: (doc_id, sh). Docs with fewer than
+    * n tokens are dropped (deterministic on both sides).
+    */
+  def shingles(documents: DataFrame, n: Int): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+    toks
+      .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - n)).as("i"), col("t"))
+      .select(col("doc_id"),
+        concat_ws(" ", (1 to n).map(k => element_at(col("t"), col("i") + k)): _*).as("sh"))
+      .distinct()
+  }
+
+  /** DuckDB rendering of [[shingles]] as a CTE body over `documents`. */
+  def shinglesSql(n: Int): String = {
+    val parts = (1 to n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""SELECT DISTINCT doc_id, $parts AS sh
+       |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |      WHERE len(string_split(text,' ')) >= $n),
+       |     unnest(range(len(t)-${n - 1})) AS u(i)""".stripMargin
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a training-data pipeline.
+  *
+  * The 100 TB invariant throughout: candidate generation is always an equi-join
+  * keyed on a digest / band / shared-shingle key — there is NO crossJoin
+  * anywhere in these plans. Signatures are embarrassingly parallel per-row
+  * work; only the (small) candidate sets are verified exactly.
+  */
+object Dedup {
+
+  private val P = 4294967311L // prime > 2^32, for minhash permutations
+
+  /** Exact dedup: md5 digest of normalized text, keep the minimum doc_id per
+    * group. One hash aggregate — the canonical exact-dedup shape.
+    */
+  val exact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(trim(lower(col("text")))).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .orderBy("keep_id"),
+    """SELECT md5(trim(lower(text))) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+  )
+
+  /** MinHash signatures for word-`n`-gram shingles: (doc_id, j, mh) with
+    * numPerms permutations (aj·h+bj mod P, coefficients derived from md5 so
+    * the oracle reproduces them bit-exactly).
+    */
+  def minhashSignatures(documents: DataFrame, n: Int, numPerms: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val perms = spark.range(numPerms).select(
+      col("id").as("j"),
+      (TextFns.hash28(concat(lit("a"), col("id").cast("string"))) * 2L + 1L).as("a"),
+      TextFns.hash28(concat(lit("b"), col("id").cast("string"))).as("b"))
+    TextFns.shingles(documents, n)
+      .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+      .crossJoin(broadcast(perms)) // tiny perms table fanned out map-side
+      .groupBy("doc_id", "j")
+      .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
+  }
+
+  /** LSH banding: (doc_id, band, bkey) where bkey is the md5 of the band's
+    * signature slice. Shuffle key for candidate generation.
+    */
+  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig
+      .groupBy(col("doc_id"), floor(col("j") / rowsPerBand.toDouble).cast("long").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+          x => x.getField("mh").cast("string")),
+        "_")).as("bkey"))
+
+  /** Near-dup pairs: LSH candidates (equi-join on band key) verified with
+    * exact shingle Jaccard ≥ threshold.
+    */
+  def minhashNearDups(documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val sh = TextFns.shingles(documents, n)
+    val bands = lshBands(minhashSignatures(documents, n, numPerms), rowsPerBand)
+    val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .filter(col("sh") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
+    shared
+      .join(shn.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(shn.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(jac >= threshold)
+      .select(col("d1"), col("d2"), col("shared").as("shared_shingles"), round(jac, 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Registered instance: bigram shingles, 16 perms, 8 bands × 2 rows, J ≥ 0.5. */
+  val minhash = Q(
+    "q_dedup_minhash",
+    (s, d) => minhashNearDups(Tables.documents(s, d), 2, 16, 2, 0.5),
+    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+       |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |hashed AS (SELECT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
+       |perms AS (
+       |  SELECT j, 2*${TextFns.hash28Sql("'a'||CAST(j AS VARCHAR)")}+1 AS a,
+       |         ${TextFns.hash28Sql("'b'||CAST(j AS VARCHAR)")} AS b
+       |  FROM unnest(range(16)) AS t(j)),
+       |sig AS (SELECT doc_id, j, min((a*h + b) % $P) AS mh FROM hashed, perms GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, CAST(floor(j/2.0) AS BIGINT) AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(floor(j/2.0) AS BIGINT)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id),
+       |shared AS (
+       |  SELECT c.d1, c.d2, count(*) AS shared
+       |  FROM cand c JOIN sh s1 ON s1.doc_id=c.d1 JOIN sh s2 ON s2.doc_id=c.d2 AND s1.sh=s2.sh
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, CAST(shared AS BIGINT) AS shared_shingles,
+       |       round(CAST(shared AS DOUBLE)/(n1.n+n2.n-shared), 6) AS jaccard
+       |FROM shared JOIN shn n1 ON n1.doc_id=d1 JOIN shn n2 ON n2.doc_id=d2
+       |WHERE CAST(shared AS DOUBLE)/(n1.n+n2.n-shared) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  )
+
+  /** 32-bit SimHash per doc over token-frequency weights: sign of the weighted
+    * bit sums. Explode over 32 bit positions + two hash aggregates.
+    */
+  val simhash = Q(
+    "q_simhash",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"), TextFns.hash32(col("tok")).as("h"))
+      val bit = (floor(col("h") / pow(lit(2.0), col("j"))).cast("long") % 2L)
+      tc.select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("c") * (bit * 2L - 1L)).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0L, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    },
+    s"""WITH tc AS (
+       |  SELECT doc_id, tok, count(*) AS c, ${TextFns.hash32Sql("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |bits AS (
+       |  SELECT doc_id, j, sum(c * ((CAST(floor(h/power(2,j)) AS BIGINT) % 2)*2 - 1)) AS s
+       |  FROM tc, unnest(range(32)) AS u(j) GROUP BY doc_id, j)
+       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
+  /** Exact n-gram Jaccard on blocked pairs: the block key is a shared shingle
+    * (equi-join), pairs kept once they share ≥ minShared shingles. At real
+    * scale hot shingles get a document-frequency cap (see SURVEY §5); the
+    * registered instance keeps all shingles (500-doc corpus).
+    */
+  val ngramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val sh = TextFns.shingles(Tables.documents(s, d), 2)
+      val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 10L)
+      val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
+      pairs
+        .join(shn.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(shn.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .select(col("d1"), col("d2"), col("shared").as("shared_shingles"), round(jac, 6).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+       |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS shared
+       |  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 10)
+       |SELECT d1, d2, CAST(shared AS BIGINT) AS shared_shingles,
+       |       round(CAST(shared AS DOUBLE)/(n1.n+n2.n-shared), 6) AS jaccard
+       |FROM pairs JOIN shn n1 ON n1.doc_id=d1 JOIN shn n2 ON n2.doc_id=d2
+       |ORDER BY d1, d2""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard)
+}

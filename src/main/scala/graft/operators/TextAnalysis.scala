@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline: stats, token counting,
+  * language-ID heuristic, quality scoring, fingerprinting. All pure built-in
+  * column functions (codegen'd, pushdown-safe) + single hash aggregates — the
+  * shapes that stay linear at 100 TB.
+  */
+object TextAnalysis {
+
+  private val wsTokens = size(split(col("text"), " ")).cast("long")
+
+  /** Corpus stats by (lang, source) — distribution monitoring. */
+  val textStats = Q(
+    "q_text_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(wsTokens).as("total_tokens"),
+          round(sum(wsTokens).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+        .orderBy("lang", "source"),
+    """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+      |round(CAST(sum(len(string_split(text,' '))) AS DOUBLE)/count(*), 6) AS avg_tokens
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
+
+  /** Token counting: whitespace tokens, word-run tokens, and a BPE-ish
+    * greedy-4-char-chunk count — all regexp-based, no UDF.
+    */
+  val tokenCount = Q(
+    "q_token_count",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).cast("long").as("text_len"),
+        wsTokens.as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("word_tokens"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("bpe_ish_tokens")
+      ).orderBy("doc_id"),
+    """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS text_len,
+      |CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+      |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+      |CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  private val markers = Seq(
+    "m_common"     -> "(the|a|fast|slow|small|big)",
+    "m_relational" -> "(table|row|column|key|join|filter)",
+    "m_engine"     -> "(spark|stream|batch|window|vector|hash)")
+
+  /** Language-ID heuristic: marker-word hit counts + argmax (the n-gram
+    * heuristic shape; marker sets are over the synthetic vocab).
+    */
+  val langId = Q(
+    "q_lang_id",
+    (s, d) => {
+      val withM = markers.foldLeft(Tables.documents(s, d)) { case (df, (name, re)) =>
+        df.withColumn(name, regexp_count(col("text"), lit("\\b" + re + "\\b")).cast("long"))
+      }
+      withM.select(
+        col("doc_id"), col("lang"),
+        col("m_common"), col("m_relational"), col("m_engine"),
+        when(col("m_common") >= col("m_relational") && col("m_common") >= col("m_engine"), "common")
+          .when(col("m_relational") >= col("m_engine"), "relational")
+          .otherwise("engine").as("pred_class")
+      ).orderBy("doc_id")
+    }, {
+      val ms = markers.map { case (name, re) =>
+        s"CAST(len(regexp_extract_all(text, '\\b$re\\b')) AS BIGINT) AS $name"
+      }.mkString(", ")
+      s"""SELECT doc_id, lang, m_common, m_relational, m_engine,
+         |CASE WHEN m_common >= m_relational AND m_common >= m_engine THEN 'common'
+         |     WHEN m_relational >= m_engine THEN 'relational' ELSE 'engine' END AS pred_class
+         |FROM (SELECT doc_id, lang, $ms FROM documents) ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  /** Quality scoring: uniqueness / stopword / alphabetic ratios + a blended
+    * score — the usual pre-training corpus filters.
+    */
+  val qualityScore = Q(
+    "q_quality_score",
+    (s, d) => {
+      val t = split(col("text"), " ")
+      val n = size(t).cast("double")
+      val uniq = size(array_distinct(t)).cast("double") / n
+      val stop = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("double") / n
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text")).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        round(uniq, 6).as("uniq_ratio"),
+        round(stop, 6).as("stop_ratio"),
+        round(alpha, 6).as("alpha_ratio"),
+        round(uniq * 0.4 + (lit(1.0) - stop) * 0.3 + alpha * 0.3, 6).as("quality")
+      ).orderBy("doc_id")
+    },
+    """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |round(uniq, 6) AS uniq_ratio, round(stop, 6) AS stop_ratio,
+      |round(alpha, 6) AS alpha_ratio,
+      |round(uniq*0.4 + (1.0-stop)*0.3 + alpha*0.3, 6) AS quality
+      |FROM (SELECT doc_id, text,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) AS uniq,
+      |  CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)/len(string_split(text,' ')) AS stop,
+      |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)/length(text) AS alpha
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+  )
+
+  /** Positional polynomial fingerprint (rolling-hash style), 31-bit-safe:
+    * fp = Σ_i (i · (h32(tok_i) mod 2^20)) mod (2^31-1), all arithmetic exactly
+    * reproducible in the oracle.
+    */
+  val fingerprint = Q(
+    "q_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"),
+          ((col("pos") + 1L) * (TextFns.hash32(col("tok")) % 1048576L) % 2147483647L).as("term"))
+        .groupBy("doc_id")
+        .agg((sum(col("term")) % 2147483647L).as("fingerprint"), count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id"),
+    s"""SELECT doc_id, CAST(sum((i * (h % 1048576)) % 2147483647) % 2147483647 AS BIGINT) AS fingerprint,
+       |count(*) AS n_tokens FROM (
+       |  SELECT doc_id, i, ${TextFns.hash32Sql("tok")} AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+       |           unnest(range(1, len(string_split(text,' '))+1)) AS i FROM documents))
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint)
+}
