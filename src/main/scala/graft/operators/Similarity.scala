@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{TextFns, VecFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float> column).
+  *
+  * Two plans for the same ask:
+  *  - brute-force cosine top-k with the (tiny) query set broadcast — the
+  *    baseline: corpus is scanned once, never shuffled, never self-joined;
+  *  - random-hyperplane LSH: corpus and queries are bucketed by sign bits and
+  *    candidates come from an equi-join on the bucket id — the 100 TB path.
+  *
+  * Scores are rounded to 6 decimals BEFORE ranking, and LSH sign tests use
+  * dots rounded to 9, so ordering and bucketing are reproducible bit-for-bit
+  * against the DuckDB oracle despite float-summation order differences.
+  */
+object Similarity {
+
+  private val K = 5           // neighbours returned per query (brute force)
+  private val NQ = 5          // query vectors: vec_id < NQ
+  private val Planes = 8      // LSH hyperplanes → 2^8 buckets
+  private val Dims = 64
+
+  /** Brute-force cosine top-k: one corpus scan × broadcast queries. */
+  def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = embeddings.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        round(VecFns.cosine(col("qe"), col("ce")), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  val annCosine = Q(
+    "q_ann_cosine",
+    (s, d) => cosineTopK(Tables.embeddings(s, d), K),
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= $NQ),
+       |sums AS (
+       |  SELECT q_id, c_id,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT q_id, c_id, unnest(qe) AS qx, unnest(ce) AS cx FROM q, c)
+       |  GROUP BY q_id, c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, c_id) AS rank
+       |  FROM sums)
+       |SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM ranked
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  )
+
+  /** (vec_id, bucket) from random-hyperplane sign bits; plane weights derive
+    * from md5 so the oracle regenerates them exactly.
+    */
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val planes = spark.range(Planes * Dims).select(
+      floor(col("id") / Dims.toDouble).cast("long").as("j"),
+      (col("id") % Dims).as("k"),
+      ((TextFns.hash32(concat(lit("p"), floor(col("id") / Dims.toDouble).cast("long").cast("string"),
+        lit("_"), (col("id") % Dims).cast("string"))) % 2001L - 1000L) / 1000.0).as("w"))
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .join(broadcast(planes), Seq("k"))
+      .groupBy("vec_id", "j")
+      .agg(round(sum(col("x").cast("double") * col("w")), 9).as("dj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dj") >= 0.0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH ANN: candidates share a bucket (equi-join), cosine only on those. */
+  def annLshTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val buckets = lshBuckets(embeddings)
+    val withVec = buckets.join(embeddings, Seq("vec_id"))
+    val q = withVec.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("bucket"), col("embedding").as("qe"))
+    val c = withVec.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("c_id"), col("bucket"), col("embedding").as("ce"))
+    q.join(c, Seq("bucket"))
+      .select(col("q_id"), col("c_id"), col("bucket"),
+        round(VecFns.cosine(col("qe"), col("ce")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  val annLsh = Q(
+    "q_ann_lsh",
+    (s, d) => annLshTopK(Tables.embeddings(s, d), 3),
+    s"""WITH planes AS (
+       |  SELECT CAST(floor(i/$Dims.0) AS BIGINT) AS j, i % $Dims AS k,
+       |    ((${TextFns.hash32Sql(s"'p'||CAST(CAST(floor(i/$Dims.0) AS BIGINT) AS VARCHAR)||'_'||CAST(i%$Dims AS VARCHAR)")} % 2001) - 1000)/1000.0 AS w
+       |  FROM unnest(range(${Planes * Dims})) AS t(i)),
+       |vx AS (SELECT vec_id, unnest(embedding) AS x, unnest(range($Dims)) AS k FROM embeddings),
+       |dotj AS (SELECT vec_id, j, round(sum(CAST(x AS DOUBLE)*w), 9) AS dj
+       |         FROM vx JOIN planes USING(k) GROUP BY vec_id, j),
+       |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dj >= 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM dotj GROUP BY vec_id),
+       |q AS (SELECT b.vec_id AS q_id, b.bucket, e.embedding AS qe
+       |      FROM buckets b JOIN embeddings e ON e.vec_id=b.vec_id WHERE b.vec_id < $NQ),
+       |c AS (SELECT b.vec_id AS c_id, b.bucket, e.embedding AS ce
+       |      FROM buckets b JOIN embeddings e ON e.vec_id=b.vec_id WHERE b.vec_id >= $NQ),
+       |sums AS (
+       |  SELECT q_id, c_id, bucket,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT q.q_id, c.c_id, q.bucket, unnest(q.qe) AS qx, unnest(c.ce) AS cx
+       |        FROM q JOIN c ON q.bucket = c.bucket)
+       |  GROUP BY q_id, c_id, bucket),
+       |ranked AS (
+       |  SELECT q_id, c_id, bucket, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, c_id) AS rank
+       |  FROM sums)
+       |SELECT q_id, c_id, bucket, score, CAST(rank AS BIGINT) AS rank FROM ranked
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  )
+
+  /** Embedding column stats per label: norms via ordered double folds. */
+  val embedStats = Q(
+    "q_embed_stats",
+    (s, d) => {
+      val nrm = VecFns.norm(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("label"), nrm.as("nrm"), size(col("embedding")).cast("long").as("dim"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("nrm")), 6).as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"),
+          min(col("dim")).as("min_dim"),
+          max(col("dim")).as("max_dim"))
+        .orderBy("label")
+    },
+    """SELECT label, count(*) AS n,
+      |round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm,
+      |CAST(min(dim) AS BIGINT) AS min_dim, CAST(max(dim) AS BIGINT) AS max_dim
+      |FROM (SELECT label, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm,
+      |      len(embedding) AS dim FROM embeddings)
+      |GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(annCosine, annLsh, embedStats)
+}
