@@ -48,7 +48,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++ operators.Routes.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
-      operators.Similarity.all ++ operators.Multimodal.all
+      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.Analytics.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Engine-credibility analytics: star join, window top-k, event-time windows,
+  * and a scalable as-of join. These are the bench headliners — each one's plan
+  * is the shape you'd want on a 1000-executor cluster (dims broadcast, single
+  * shuffle per window key, no inequality joins).
+  */
+object Analytics {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Star join: fact orders ⋈ broadcast dims, grouped rollup. The fact table
+    * is never shuffled for the join — only the final small agg shuffles.
+    */
+  val joinBroadcast = Q(
+    "q_join_broadcast",
+    (s, d) => {
+      val orders   = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val nation   = Tables.nation(s, d)
+      val region   = Tables.region(s, d)
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+  )
+
+  /** Window top-k per key: single shuffle on the partition key. */
+  val windowTopK = Q(
+    "q_window_topk",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank"),
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
+  )
+
+  /** Event-time tumbling window aggregate via Spark's `window()` — the batch
+    * twin of the streaming query (see streaming/EventsStream). `ts` arrives as
+    * epoch-nanos BIGINT (see SparkEntry.tune) and is truncated to micros.
+    */
+  val timeWindow = Q(
+    "q_time_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+        .orderBy("window_start", "event_type"),
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  /** As-of join: each event picks the user's most recent order at event time.
+    *
+    * Spark has no ASOF join operator; an inequality join would be a cartesian
+    * blow-up at scale. The scalable re-expression: tag both streams, union,
+    * window by user ordered by (time, order-first), and carry the last seen
+    * order forward — one shuffle on user_id, linear in rows. Duplicate
+    * (user, date) order rows are reduced to the max orderkey first so the
+    * match is deterministic on both engines.
+    */
+  val asofJoin = Q(
+    "q_asof_join",
+    (s, d) => {
+      val dedupOrders = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+      val oTagged = dedupOrders.select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"),
+        lit(1).as("is_order"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+      val eTagged = Tables.events(s, d).select(
+        col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("t"),
+        lit(0).as("is_order"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("is_order").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      oTagged.unionByName(eTagged)
+        .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("is_order") === 0)
+        .select(col("event_id"), col("user_id"),
+          col("m_orderkey").as("o_orderkey"), col("m_totalprice").as("o_totalprice"))
+        .orderBy("event_id")
+    },
+    """WITH dedup AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT ev.event_id, ev.user_id, od.o_orderkey, od.o_totalprice
+      |FROM events ev ASOF LEFT JOIN dedup od
+      |  ON ev.user_id = od.o_custkey AND ev.ts >= od.o_orderdate
+      |ORDER BY ev.event_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin)
+}
