@@ -22,6 +22,9 @@ object SparkEntry {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by default;
     // read it as epoch-nanos BIGINT and convert explicitly where needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the reprojection query is a ~50-layer nested projection chain (see
+    // functions/Osgb.scala); the default 100 analyzer iterations are too few
+    spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
     spark
   }
 

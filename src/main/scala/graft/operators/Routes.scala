@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{Geom, OsGrid, Wkt}
+import graft.functions.{Geom, Osgb, OsGrid, Wkt}
 import org.apache.spark.sql.functions._
 
 /** The reference's ETL transform surface: derived length, lineage, typed schema,
@@ -143,5 +143,26 @@ object Routes {
     }
   )
 
-  val all: Seq[Q] = Seq(derivedLen, lineage, typedSchema, wktRoundtrip, osGridRef)
+  /** CRS reprojection EPSG:27700→4326 — process_cycle_networks.py:70-83.
+    * Spark runs the SAME SQL text as the DuckDB oracle (see
+    * functions/Osgb.scala) over a temp view, so both engines evaluate the
+    * identical IEEE expression DAG; outputs rounded to 5 decimals (~1 m).
+    */
+  val reproject = Q(
+    "q_reproject",
+    (s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        Geom.pointE("p_partkey").cast("double").as("easting"),
+        Geom.pointN("p_partkey").cast("double").as("northing")
+      ).createOrReplaceTempView("osgb_base")
+      s.sql(Osgb.reprojectSql("osgb_base", Seq("p_partkey"), 5))
+    },
+    Osgb.reprojectSql(
+      s"(SELECT p_partkey, CAST(${Geom.pointESql("p_partkey")} AS DOUBLE) AS easting, " +
+        s"CAST(${Geom.pointNSql("p_partkey")} AS DOUBLE) AS northing FROM part)",
+      Seq("p_partkey"), 5)
+  )
+
+  val all: Seq[Q] = Seq(derivedLen, lineage, typedSchema, wktRoundtrip, osGridRef, reproject)
 }
