@@ -30,8 +30,13 @@ object OsGrid {
     val eRem = e.cast("long") - e100k * 100000L
     val nAdj = when(n >= 1000000L, n.cast("long") - 1000000L).otherwise(n.cast("long"))
     val nRem = nAdj - n100k * 100000L
-    def digits(v: Column, div: Long, w: Int): Column =
-      lpad(floor(v / lit(div.toDouble)).cast("long").cast("string"), w, "0")
+    // Python's rjust pads but never truncates (matters for the degenerate
+    // n>=1M inputs, where the reference emits negative digit groups); Spark's
+    // lpad truncates, so guard it.
+    def digits(v: Column, div: Long, w: Int): Column = {
+      val s = floor(v / lit(div.toDouble)).cast("long").cast("string")
+      when(length(s) >= w, s).otherwise(lpad(s, w, "0"))
+    }
     val body = precision match {
       case 6  => concat(letters, digits(eRem, 100L, 3), digits(nRem, 100L, 3))
       case 8  => concat_ws(" ", letters, digits(eRem, 10L, 4), digits(nRem, 10L, 4))

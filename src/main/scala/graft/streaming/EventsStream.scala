@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface over the events stream.
+  *
+  * The same tumbling-window aggregate as the batch query `q_time_window`
+  * (operators/Analytics.scala), with a watermark for state cleanup — the
+  * standard batch/streaming twin pair. Input must expose `t: timestamp`,
+  * `event_type`, `value`; conversion from raw epoch-nanos happens at the edge
+  * (see SparkEntry.tune notes).
+  */
+object EventsStream {
+
+  /** Hourly tumbling-window counts + decimal-stable sums per event_type.
+    * Works on both a batch DataFrame and a streaming one (watermark is a
+    * no-op in batch).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.model.CyclingRoute
+import org.apache.spark.sql.functions._
+
+/** Guards the driver contract and the scale-shape invariants. */
+class ContractSpec extends SparkSpec {
+
+  test("every query has an oracle and vice versa") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run at sf0.001 and return rows") {
+    val d = sf()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, d).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("no query plan contains a cartesian product") {
+    val d = sf()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val physical = fn(spark, d).queryExecution.executedPlan.toString
+      assert(!physical.contains("CartesianProduct"), s"$name has a CartesianProduct:\n$physical")
+    }
+  }
+
+  test("typed schema conforms to Dataset[CyclingRoute]") {
+    import spark.implicits._
+    val ds = SparkEntry.queries("q_typed_schema")(spark, sf()).as[CyclingRoute]
+    val r = ds.head()
+    assert(r.route_id == s"R-${r.id}")
+    assert(Set("Cycle Lane", "Cycle Path", "Mixed Use Path").contains(r.route_type))
+    assert(r.geometry_wkt.startsWith("POINT("))
+  }
+
+  test("dedup finds planted near-duplicates and exact duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "totally different words here nothing shared at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta")  // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup.minhashNearDups(docs, n = 2, numPerms = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+  }
+
+  test("broadcast star join broadcasts the dims") {
+    val plan = SparkEntry.queries("q_join_broadcast")(spark, sf()).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.sinks.Sinks
+import graft.sources.GeoJson
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+
+  private def routes = {
+    import spark.implicits._
+    Seq(
+      ("R1", "Edinburgh", "LineString", Seq(Seq(325000.0, 673000.0), Seq(325300.0, 673400.0))),
+      ("R2", "Glasgow", "LineString", Seq(Seq(258000.0, 665000.0), Seq(258600.0, 665800.0)))
+    ).toDF("route_id", "local_authority", "geometry_type", "coordinates")
+  }
+
+  test("GeoJSON sink round-trips through the GeoJSON source") {
+    val out = Files.createTempDirectory("gjsink").toString
+    val path = Sinks.writeGeoJson(routes, out, "routes", "20240601_000000",
+      propCols = Seq("route_id", "local_authority"))
+    assert(path.endsWith("routes_20240601_000000.geojson"))
+    val back = GeoJson.read(spark, path)
+    assert(back.count() == 2)
+    assert(back.select("route_id").collect().map(_.getString(0)).sorted.toSeq == Seq("R1", "R2"))
+    assert(back.columns.contains("coordinates"))
+  }
+
+  test("CSV sink writes WKT and re-reads with schema") {
+    val out = Files.createTempDirectory("csvsink").toString
+    val wkt = expr(
+      "concat('LINESTRING(', coordinates[0][0], ' ', coordinates[0][1], ', ', coordinates[1][0], ' ', coordinates[1][1], ')')")
+    val path = Sinks.writeCsvWkt(routes, out, "routes", "20240601_000000", wkt)
+    val back = spark.read.option("header", "true").csv(path)
+    assert(back.count() == 2)
+    val w = back.filter(col("route_id") === "R1").select("geometry_wkt").head().getString(0)
+    assert(w == "LINESTRING(325000.0 673000.0, 325300.0 673400.0)")
+  }
+
+  test("batched sink honors batch size and table modes") {
+    val out = Files.createTempDirectory("batched").toString + "/t"
+    val df = spark.range(1000).toDF("id")
+    Sinks.writeBatched(df, out, "drop", batchSize = 100)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 10, s"expected >=10 part files, got ${files.length}")
+    assert(spark.read.parquet(out).count() == 1000)
+    // create on existing path must fail (ErrorIfExists)
+    intercept[Exception] { Sinks.writeBatched(df, out, "create") }
+    // append doubles the rows
+    Sinks.writeBatched(df, out, "append")
+    assert(spark.read.parquet(out).count() == 2000)
+  }
+}
