@@ -26,24 +26,46 @@ object TextFns {
 
   /** Distinct word n-gram shingles per doc: (doc_id, sh). Docs with fewer than
     * n tokens are dropped (deterministic on both sides).
+    *
+    * `maxDf`: optional document-frequency cap — shingles appearing in more
+    * than maxDf documents are dropped (stop-shingle removal). This is the
+    * standard guard that keeps shingle-blocked self-joins linear: without it a
+    * hot shingle with df=d contributes d² join rows.
     */
-  def shingles(documents: DataFrame, n: Int): DataFrame = {
+  def shingles(documents: DataFrame, n: Int, maxDf: Option[Int] = None): DataFrame = {
     val toks = documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= n)
-    toks
+    val sh = toks
       .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - n)).as("i"), col("t"))
       .select(col("doc_id"),
         concat_ws(" ", (1 to n).map(k => element_at(col("t"), col("i") + k)): _*).as("sh"))
       .distinct()
+    maxDf match {
+      case None => sh
+      case Some(cap) =>
+        // count-over-window: one pass / one shuffle on sh, instead of a
+        // groupBy + join-back that recomputes the shingle relation twice
+        sh.withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+          .filter(col("df") <= cap)
+          .select("doc_id", "sh")
+    }
   }
 
   /** DuckDB rendering of [[shingles]] as a CTE body over `documents`. */
-  def shinglesSql(n: Int): String = {
+  def shinglesSql(n: Int, maxDf: Option[Int] = None): String = {
     val parts = (1 to n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
-    s"""SELECT DISTINCT doc_id, $parts AS sh
-       |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
-       |      WHERE len(string_split(text,' ')) >= $n),
-       |     unnest(range(len(t)-${n - 1})) AS u(i)""".stripMargin
+    val base =
+      s"""SELECT DISTINCT doc_id, $parts AS sh
+         |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+         |      WHERE len(string_split(text,' ')) >= $n),
+         |     unnest(range(len(t)-${n - 1})) AS u(i)""".stripMargin
+    maxDf match {
+      case None => base
+      case Some(cap) =>
+        s"""SELECT doc_id, sh FROM (
+           |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ($base))
+           |WHERE df <= $cap""".stripMargin
+    }
   }
 }

@@ -30,33 +30,52 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
   )
 
-  /** MinHash signatures for word-`n`-gram shingles: (doc_id, j, mh) with
-    * numPerms permutations (aj·h+bj mod P, coefficients derived from md5 so
-    * the oracle reproduces them bit-exactly).
+  /** Permutation coefficients aj (odd, 29-bit) / bj (28-bit), derived from md5
+    * exactly as the oracle derives them in SQL
+    * (`('0x'||substr(md5('a'||j),1,7))::BIGINT`).
+    */
+  private def permCoeffs(numPerms: Int): Seq[(Long, Long)] = {
+    def h28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    (0 until numPerms).map(j => (2L * h28(s"a$j") + 1L, h28(s"b$j")))
+  }
+
+  /** MinHash signatures for word-`n`-gram shingles: (doc_id, sig: array<long>).
+    *
+    * One shuffle (group shingle hashes per doc); each permutation's minimum is
+    * an `array_min(transform(...))` fold — NOT a numPerms-way row fanout, which
+    * would shuffle |shingles|·numPerms rows. Same values either way (min is
+    * order-invariant), so the oracle is unaffected.
     */
   def minhashSignatures(documents: DataFrame, n: Int, numPerms: Int): DataFrame = {
-    val spark = documents.sparkSession
-    val perms = spark.range(numPerms).select(
-      col("id").as("j"),
-      (TextFns.hash28(concat(lit("a"), col("id").cast("string"))) * 2L + 1L).as("a"),
-      TextFns.hash28(concat(lit("b"), col("id").cast("string"))).as("b"))
+    val coeffs = permCoeffs(numPerms)
     TextFns.shingles(documents, n)
       .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
-      .crossJoin(broadcast(perms)) // tiny perms table fanned out map-side
-      .groupBy("doc_id", "j")
-      .agg(min((col("a") * col("h") + col("b")) % P).as("mh"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"),
+        array(coeffs.map { case (a, b) =>
+          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
+        }: _*).as("sig"))
   }
 
   /** LSH banding: (doc_id, band, bkey) where bkey is the md5 of the band's
-    * signature slice. Shuffle key for candidate generation.
+    * '_'-joined signature slice. Shuffle key for candidate generation.
     */
-  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig
-      .groupBy(col("doc_id"), floor(col("j") / rowsPerBand.toDouble).cast("long").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          x => x.getField("mh").cast("string")),
-        "_")).as("bkey"))
+  def lshBands(sig: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numPerms / rowsPerBand
+    val bandCols = (0 until nBands).map { k =>
+      struct(
+        lit(k.toLong).as("band"),
+        md5(concat_ws("_", (0 until rowsPerBand).map(i =>
+          element_at(col("sig"), k * rowsPerBand + i + 1).cast("string")): _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
 
   /** Near-dup pairs: LSH candidates (equi-join on band key) verified with
     * exact shingle Jaccard ≥ threshold.
@@ -64,7 +83,7 @@ object Dedup {
   def minhashNearDups(documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val sh = TextFns.shingles(documents, n)
-    val bands = lshBands(minhashSignatures(documents, n, numPerms), rowsPerBand)
+    val bands = lshBands(minhashSignatures(documents, n, numPerms), numPerms, rowsPerBand)
     val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
@@ -84,22 +103,26 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Registered instance: bigram shingles, 16 perms, 8 bands × 2 rows, J ≥ 0.5. */
+  /** Registered instance: bigram shingles, 32 perms, 8 bands × 4 rows, J ≥ 0.5.
+    * 4-row bands keep the candidate count linear when ambient Jaccard between
+    * unrelated docs is non-trivial (tiny vocab ⇒ J≈0.15): P(false candidate)
+    * ≈ 8·J⁴ ≈ 4e-3, while J ≥ 0.9 near-dups are caught with P > 0.9999.
+    */
   val minhash = Q(
     "q_dedup_minhash",
-    (s, d) => minhashNearDups(Tables.documents(s, d), 2, 16, 2, 0.5),
+    (s, d) => minhashNearDups(Tables.documents(s, d), 2, 32, 4, 0.5),
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
        |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |hashed AS (SELECT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
        |perms AS (
        |  SELECT j, 2*${TextFns.hash28Sql("'a'||CAST(j AS VARCHAR)")}+1 AS a,
        |         ${TextFns.hash28Sql("'b'||CAST(j AS VARCHAR)")} AS b
-       |  FROM unnest(range(16)) AS t(j)),
+       |  FROM unnest(range(32)) AS t(j)),
        |sig AS (SELECT doc_id, j, min((a*h + b) % $P) AS mh FROM hashed, perms GROUP BY doc_id, j),
        |bands AS (
-       |  SELECT doc_id, CAST(floor(j/2.0) AS BIGINT) AS band,
+       |  SELECT doc_id, CAST(floor(j/4.0) AS BIGINT) AS band,
        |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS bkey
-       |  FROM sig GROUP BY doc_id, CAST(floor(j/2.0) AS BIGINT)),
+       |  FROM sig GROUP BY doc_id, CAST(floor(j/4.0) AS BIGINT)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id),
@@ -145,14 +168,14 @@ object Dedup {
   )
 
   /** Exact n-gram Jaccard on blocked pairs: the block key is a shared shingle
-    * (equi-join), pairs kept once they share ≥ minShared shingles. At real
-    * scale hot shingles get a document-frequency cap (see SURVEY §5); the
-    * registered instance keeps all shingles (500-doc corpus).
+    * (equi-join) over the df-capped shingle universe (stop-shingles removed,
+    * df ≤ 100), pairs kept once they share ≥ 10 shingles. The cap is what
+    * keeps the self-join linear: a hot shingle with df=d costs d² join rows.
     */
   val ngramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val sh = TextFns.shingles(Tables.documents(s, d), 2)
+      val sh = TextFns.shingles(Tables.documents(s, d), 2, maxDf = Some(100))
       val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
         .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
@@ -166,7 +189,7 @@ object Dedup {
         .select(col("d1"), col("d2"), col("shared").as("shared_shingles"), round(jac, 6).as("jaccard"))
         .orderBy("d1", "d2")
     },
-    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+    s"""WITH sh AS (${TextFns.shinglesSql(2, maxDf = Some(100))}),
        |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS shared

@@ -25,15 +25,20 @@ object Similarity {
   private val Planes = 8      // LSH hyperplanes → 2^8 buckets
   private val Dims = 64
 
-  /** Brute-force cosine top-k: one corpus scan × broadcast queries. */
+  /** Brute-force cosine top-k: one corpus scan × broadcast queries. Norms are
+    * precomputed per side (once per vector, not once per pair) so the per-pair
+    * work is a single dot fold.
+    */
   def cosineTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        sqrt(VecFns.sqNorm(col("embedding"))).as("qnorm"))
     val c = embeddings.filter(col("vec_id") >= NQ)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        sqrt(VecFns.sqNorm(col("embedding"))).as("cnorm"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"),
-        round(VecFns.cosine(col("qe"), col("ce")), 6).as("score"))
+        round(VecFns.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 6).as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
