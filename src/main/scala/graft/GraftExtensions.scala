@@ -1,0 +1,22 @@
+package graft
+
+import graft.plans.VectorCosine
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSessionExtensionsProvider
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions: registers the engine's native expressions so SQL and
+  * `expr(...)` can reach them. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by
+  * Verify/Bench/test session builders; any consumer session can do the same).
+  */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorCosine(children.head, children(1))))
+  }
+}

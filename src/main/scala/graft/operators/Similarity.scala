@@ -36,9 +36,14 @@ object Similarity {
     val c = embeddings.filter(col("vec_id") >= NQ)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
         sqrt(VecFns.sqNorm(col("embedding"))).as("cnorm"))
+    // native codegen'd expression when the GraftExtensions session extension
+    // is installed; HOF fallback otherwise — bit-identical either way
+    val cos =
+      if (embeddings.sparkSession.catalog.functionExists("graft_cosine"))
+        expr("graft_cosine(qe, ce)")
+      else VecFns.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))
     val scored = c.crossJoin(broadcast(q))
-      .select(col("q_id"), col("c_id"),
-        round(VecFns.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 6).as("score"))
+      .select(col("q_id"), col("c_id"), round(cos, 6).as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
@@ -93,9 +98,12 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("bucket"), col("embedding").as("qe"))
     val c = withVec.filter(col("vec_id") >= NQ)
       .select(col("vec_id").as("c_id"), col("bucket"), col("embedding").as("ce"))
+    val cos =
+      if (embeddings.sparkSession.catalog.functionExists("graft_cosine"))
+        expr("graft_cosine(qe, ce)")
+      else VecFns.cosine(col("qe"), col("ce"))
     q.join(c, Seq("bucket"))
-      .select(col("q_id"), col("c_id"), col("bucket"),
-        round(VecFns.cosine(col("qe"), col("ce")), 6).as("score"))
+      .select(col("q_id"), col("c_id"), col("bucket"), round(cos, 6).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
       .filter(col("rank") <= k)

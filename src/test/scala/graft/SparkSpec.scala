@@ -15,6 +15,7 @@ object SparkSpec {
     SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate())
