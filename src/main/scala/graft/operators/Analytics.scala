@@ -128,5 +128,46 @@ object Analytics {
       |ORDER BY ev.event_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin)
+  /** Batch sessionization: 30-minute-gap sessions per user via the classic
+    * lag-flag-cumsum window pattern — one shuffle on user_id, linear in rows.
+    * The streaming twin with explicit state lives in streaming/Sessionize.
+    * `ts` is epoch nanos (see SparkEntry.tune); output bounds are epoch micros.
+    */
+  val sessionize = Q(
+    "q_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapNs = 1800000000000L // 30 min
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(col("ts") - lag("ts", 1).over(w) > gapNs, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+          expr("min(ts) DIV 1000").as("session_start_us"),
+          expr("max(ts) DIV 1000").as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("value_sum"))
+        .orderBy("user_id", "session_id")
+    },
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+      |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, value, tns,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  tns_min // 1000 AS session_start_us, tns_max // 1000 AS session_end_us,
+      |  n_events, value_sum
+      |FROM (
+      |  SELECT user_id, session_id, min(tns) AS tns_min, max(tns) AS tns_max,
+      |    count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM sess GROUP BY user_id, session_id)
+      |ORDER BY user_id, session_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, sessionize)
 }

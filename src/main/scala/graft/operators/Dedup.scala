@@ -137,34 +137,81 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   )
 
-  /** 32-bit SimHash per doc over token-frequency weights: sign of the weighted
-    * bit sums. Explode over 32 bit positions + two hash aggregates.
+  /** SimHash DataFrame (doc_id, simhash): 32-bit, sign of token-frequency
+    * weighted bit sums. Explode over 32 bit positions + two hash aggregates.
     */
-  val simhash = Q(
-    "q_simhash",
-    (s, d) => {
-      val tc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("c"))
-        .select(col("doc_id"), col("c"), TextFns.hash32(col("tok")).as("h"))
-      val bit = (floor(col("h") / pow(lit(2.0), col("j"))).cast("long") % 2L)
-      tc.select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(col("c") * (bit * 2L - 1L)).as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0L, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
-        .orderBy("doc_id")
-    },
-    s"""WITH tc AS (
+  def simhashDf(documents: DataFrame): DataFrame = {
+    val tc = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), TextFns.hash32(col("tok")).as("h"))
+    val bit = (floor(col("h") / pow(lit(2.0), col("j"))).cast("long") % 2L)
+    tc.select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("c") * (bit * 2L - 1L)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0L, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  /** DuckDB CTE body producing `sh(doc_id, simhash)` — shared by the two
+    * simhash oracles.
+    */
+  private val simhashCte: String =
+    s"""tc AS (
        |  SELECT doc_id, tok, count(*) AS c, ${TextFns.hash32Sql("tok")} AS h
        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
        |  GROUP BY doc_id, tok),
        |bits AS (
        |  SELECT doc_id, j, sum(c * ((CAST(floor(h/power(2,j)) AS BIGINT) % 2)*2 - 1)) AS s
-       |  FROM tc, unnest(range(32)) AS u(j) GROUP BY doc_id, j)
-       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM tc, unnest(range(32)) AS u(j) GROUP BY doc_id, j),
+       |sh AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val simhash = Q(
+    "q_simhash",
+    (s, d) => simhashDf(Tables.documents(s, d)).orderBy("doc_id"),
+    s"WITH $simhashCte SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+  )
+
+  /** SimHash near-dup pairs (Manku-style): split the 32-bit hash into 4
+    * 8-bit blocks; by pigeonhole, any pair within hamming distance 3 shares at
+    * least one intact block, so candidates come from an equi-join on
+    * (block index, block value) — never all-pairs. Exact hamming (bit_count of
+    * xor) verifies candidates.
+    */
+  val simhashPairs = Q(
+    "q_simhash_pairs",
+    (s, d) => {
+      val sh = simhashDf(Tables.documents(s, d))
+      val blocks = sh
+        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("doc_id"), col("k"),
+          (floor(col("simhash") / pow(lit(2.0), col("k") * 8)).cast("long") % 256L).as("bb"))
+      val cand = blocks.select(col("doc_id").as("d1"), col("k"), col("bb"))
+        .join(blocks.select(col("doc_id").as("d2"), col("k"), col("bb")), Seq("k", "bb"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val hamming = bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long")
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("simhash").as("s1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("simhash").as("s2")), Seq("d2"))
+        .filter(hamming <= 3L)
+        .select(col("d1"), col("d2"), hamming.as("hamming"))
+        .orderBy("d1", "d2")
+    },
+    s"""WITH $simhashCte,
+       |blocks AS (
+       |  SELECT doc_id, k, CAST(floor(simhash/power(2, k*8)) AS BIGINT) % 256 AS bb
+       |  FROM sh, unnest(range(4)) AS u(k)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM blocks a JOIN blocks b ON a.k=b.k AND a.bb=b.bb AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+       |FROM cand JOIN sh s1 ON s1.doc_id=d1 JOIN sh s2 ON s2.doc_id=d2
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
   )
 
   /** Exact n-gram Jaccard on blocked pairs: the block key is a shared shingle
@@ -201,5 +248,5 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard)
+  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard)
 }

@@ -142,6 +142,49 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   )
 
+  /** Embedding-cosine near-dup: pairs of corpus vectors sharing an LSH bucket
+    * with cosine ≥ threshold. The all-pairs comparison never happens — the
+    * bucket equi-join is the only pair generator, exactly the dedup shape the
+    * ANN path uses for queries.
+    */
+  val dedupEmbed = Q(
+    "q_dedup_embed",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val withVec = lshBuckets(emb).join(emb, Seq("vec_id"))
+      val a = withVec.select(col("vec_id").as("v1"), col("bucket"), col("embedding").as("qe"))
+      val b = withVec.select(col("vec_id").as("v2"), col("bucket"), col("embedding").as("ce"))
+      val cos =
+        if (emb.sparkSession.catalog.functionExists("graft_cosine")) expr("graft_cosine(qe, ce)")
+        else VecFns.cosine(col("qe"), col("ce"))
+      a.join(b, Seq("bucket"))
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), col("bucket"), round(cos, 6).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("v1", "v2")
+    },
+    s"""WITH planes AS (
+       |  SELECT CAST(floor(i/$Dims.0) AS BIGINT) AS j, i % $Dims AS k,
+       |    ((${TextFns.hash32Sql(s"'p'||CAST(CAST(floor(i/$Dims.0) AS BIGINT) AS VARCHAR)||'_'||CAST(i%$Dims AS VARCHAR)")} % 2001) - 1000)/1000.0 AS w
+       |  FROM unnest(range(${Planes * Dims})) AS t(i)),
+       |vx AS (SELECT vec_id, unnest(embedding) AS x, unnest(range($Dims)) AS k FROM embeddings),
+       |dotj AS (SELECT vec_id, j, round(sum(CAST(x AS DOUBLE)*w), 9) AS dj
+       |         FROM vx JOIN planes USING(k) GROUP BY vec_id, j),
+       |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dj >= 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM dotj GROUP BY vec_id),
+       |withvec AS (SELECT b.vec_id, b.bucket, e.embedding FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id),
+       |sums AS (
+       |  SELECT v1, v2, bucket,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, a.bucket, unnest(a.embedding) AS qx, unnest(b.embedding) AS cx
+       |        FROM withvec a JOIN withvec b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  GROUP BY v1, v2, bucket)
+       |SELECT v1, v2, bucket, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS cosine FROM sums
+       |WHERE round(dot/(sqrt(qn)*sqrt(cn)), 6) >= 0.4 ORDER BY v1, v2""".stripMargin
+  )
+
   /** Embedding column stats per label: norms via ordered double folds. */
   val embedStats = Q(
     "q_embed_stats",
@@ -167,5 +210,5 @@ object Similarity {
       |GROUP BY label ORDER BY label""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(annCosine, annLsh, embedStats)
+  val all: Seq[Q] = Seq(annCosine, annLsh, dedupEmbed, embedStats)
 }
