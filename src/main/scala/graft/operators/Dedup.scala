@@ -184,21 +184,19 @@ object Dedup {
   val simhashPairs = Q(
     "q_simhash_pairs",
     (s, d) => {
-      val sh = simhashDf(Tables.documents(s, d))
-      val blocks = sh
+      // simhash is carried through the block join (not re-joined afterwards)
+      // so the signature relation is computed twice, not three times
+      val blocks = simhashDf(Tables.documents(s, d))
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
-        .select(col("doc_id"), col("k"),
+        .select(col("doc_id"), col("simhash"), col("k"),
           (floor(col("simhash") / pow(lit(2.0), col("k") * 8)).cast("long") % 256L).as("bb"))
-      val cand = blocks.select(col("doc_id").as("d1"), col("k"), col("bb"))
-        .join(blocks.select(col("doc_id").as("d2"), col("k"), col("bb")), Seq("k", "bb"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
       val hamming = bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long")
-      cand
-        .join(sh.select(col("doc_id").as("d1"), col("simhash").as("s1")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("simhash").as("s2")), Seq("d2"))
-        .filter(hamming <= 3L)
+      blocks.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("k"), col("bb"))
+        .join(blocks.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("k"), col("bb")),
+          Seq("k", "bb"))
+        .filter(col("d1") < col("d2") && hamming <= 3L)
         .select(col("d1"), col("d2"), hamming.as("hamming"))
+        .distinct()
         .orderBy("d1", "d2")
     },
     s"""WITH $simhashCte,
