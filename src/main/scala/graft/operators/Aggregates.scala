@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Percentiles, rollup and pivot — the reporting-aggregate surface.
+  * All exact (no sketches) so the DuckDB oracle matches bit-for-bit after
+  * rounding; approximate variants (approx_percentile & friends) are the
+  * drop-in swap at 100 TB when exactness isn't required.
+  */
+object Aggregates {
+
+  /** Exact interpolated percentiles per group — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition.
+    */
+  val percentiles = Q(
+    "q_percentiles",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("o_orderpriority"),
+    """SELECT o_orderpriority, count(*) AS n,
+      |round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+
+  /** ROLLUP over the region/nation hierarchy; grouping nulls are coalesced to
+    * 'ALL' on both sides so sort order is engine-independent.
+    *
+    * Spark executes the SAME SQL text as the oracle (dialect-shared subset,
+    * like q_reproject): the DataFrame `.rollup` + `col()` route trips Spark's
+    * ambiguous-self-join detection on the grouping attributes, and SQL-first
+    * sidesteps it while keeping the two engines literally identical.
+    */
+  private val rollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+      |count(*) AS n_orders,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY coalesce(r_name, 'ALL'), coalesce(n_name, 'ALL')""".stripMargin
+
+  val rollup_ = Q(
+    "q_rollup",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql(rollupSql)
+    },
+    rollupSql
+  )
+
+  /** Pivot event counts per user bucket — Spark's `.pivot()` with explicit
+    * values; the oracle is the portable conditional-aggregation form (which is
+    * also exactly what Catalyst rewrites pivot into).
+    */
+  val pivot_ = Q(
+    "q_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("user_bucket", col("user_id") % 10L)
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_bucket"),
+    """SELECT user_id % 10 AS user_bucket,
+      |count(*) FILTER (event_type = 'click') AS click,
+      |count(*) FILTER (event_type = 'view') AS view,
+      |count(*) FILTER (event_type = 'purchase') AS purchase,
+      |count(*) FILTER (event_type = 'signup') AS signup,
+      |count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_)
+}

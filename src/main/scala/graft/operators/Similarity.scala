@@ -185,6 +185,76 @@ object Similarity {
        |WHERE round(dot/(sqrt(qn)*sqrt(cn)), 6) >= 0.4 ORDER BY v1, v2""".stripMargin
   )
 
+  /** IVF-style ANN: corpus is partitioned into cells around sampled centroid
+    * vectors (vec_id 100..115 — IVF with sampled centroids, no iterative
+    * k-means needed for determinism); queries probe only their own cell. Both
+    * assignment and in-cell ranking order by pre-rounded cosine + id, so cell
+    * membership and results reproduce exactly in the oracle. At 100 TB this is
+    * the standard inverted-file layout: assignment is a broadcast of 16
+    * centroids over one corpus scan, search touches ~1/16 of the corpus.
+    */
+  val annIvf = Q(
+    "q_ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") >= 100L && col("vec_id") < 116L)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      def cos =
+        if (s.catalog.functionExists("graft_cosine")) expr("graft_cosine(qe, ce)")
+        else VecFns.cosine(col("qe"), col("ce"))
+      def assign(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+        .select(col("vec_id").as(idCol), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .select(col(idCol), col("cent_id"), round(cos, 6).as("cscore"), col("qe"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col("cent_id").as("cell"), col("qe"))
+      val qCells = assign(emb.filter(col("vec_id") < NQ), "q_id")
+      val cCells = assign(emb.filter(col("vec_id") >= NQ), "c_id")
+        .withColumnRenamed("qe", "ce")
+      qCells.join(cCells, Seq("cell"))
+        .select(col("q_id"), col("c_id"), col("cell"), round(cos, 6).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+        .filter(col("rank") <= 3)
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |               WHERE vec_id >= 100 AND vec_id < 116),
+       |asums AS (
+       |  SELECT vid, cent_id,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT e.vec_id AS vid, c.cent_id, unnest(e.embedding) AS qx, unnest(c.ce) AS cx
+       |        FROM embeddings e, cents c)
+       |  GROUP BY vid, cent_id),
+       |cells AS (
+       |  SELECT vid, cent_id AS cell FROM (
+       |    SELECT vid, cent_id,
+       |      row_number() OVER (PARTITION BY vid ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, cent_id) AS rn
+       |    FROM asums) WHERE rn = 1),
+       |q AS (SELECT c.vid AS q_id, c.cell, e.embedding AS qe FROM cells c
+       |      JOIN embeddings e ON e.vec_id = c.vid WHERE c.vid < $NQ),
+       |co AS (SELECT c.vid AS c_id, c.cell, e.embedding AS ce FROM cells c
+       |       JOIN embeddings e ON e.vec_id = c.vid WHERE c.vid >= $NQ),
+       |sums AS (
+       |  SELECT q_id, c_id, cell,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT q.q_id, co.c_id, q.cell, unnest(q.qe) AS qx, unnest(co.ce) AS cx
+       |        FROM q JOIN co ON q.cell = co.cell)
+       |  GROUP BY q_id, c_id, cell),
+       |ranked AS (
+       |  SELECT q_id, c_id, cell, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS score,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, c_id) AS rank
+       |  FROM sums)
+       |SELECT q_id, c_id, cell, score, CAST(rank AS BIGINT) AS rank FROM ranked
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  )
+
   /** Embedding column stats per label: norms via ordered double folds. */
   val embedStats = Q(
     "q_embed_stats",
@@ -210,5 +280,5 @@ object Similarity {
       |GROUP BY label ORDER BY label""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(annCosine, annLsh, dedupEmbed, embedStats)
+  val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats)
 }
