@@ -43,20 +43,22 @@ object Dedup {
     (0 until numPerms).map(j => (2L * h28(s"a$j") + 1L, h28(s"b$j")))
   }
 
-  /** MinHash signatures for word-`n`-gram shingles: (doc_id, sig: array<long>).
+  /** MinHash signatures for word-`n`-gram shingles:
+    * (doc_id, hs: array<long> distinct shingle hashes, sig: array<long>).
     *
     * One shuffle (group shingle hashes per doc); each permutation's minimum is
     * an `array_min(transform(...))` fold — NOT a numPerms-way row fanout, which
     * would shuffle |shingles|·numPerms rows. Same values either way (min is
-    * order-invariant), so the oracle is unaffected.
+    * order-invariant), so the oracle is unaffected. The hash set rides along
+    * so the verify stage never has to recompute shingles.
     */
   def minhashSignatures(documents: DataFrame, n: Int, numPerms: Int): DataFrame = {
     val coeffs = permCoeffs(numPerms)
     TextFns.shingles(documents, n)
       .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
       .groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"),
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), col("hs"),
         array(coeffs.map { case (a, b) =>
           array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
         }: _*).as("sig"))
@@ -78,28 +80,28 @@ object Dedup {
   }
 
   /** Near-dup pairs: LSH candidates (equi-join on band key) verified with
-    * exact shingle Jaccard ≥ threshold.
+    * exact Jaccard over the distinct shingle-hash sets, ≥ threshold.
+    *
+    * Verification intersects the per-doc hash arrays carried through the
+    * signature grouping — no second shingle computation, no row-explosion
+    * verify join; per candidate pair the work is one array_intersect.
     */
   def minhashNearDups(documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sh = TextFns.shingles(documents, n)
-    val bands = lshBands(minhashSignatures(documents, n, numPerms), numPerms, rowsPerBand)
+    val sig = minhashSignatures(documents, n, numPerms)
+    val bands = lshBands(sig, numPerms, rowsPerBand)
     val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = cand
-      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-      .filter(col("sh") === col("sh2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
-    val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
-    shared
-      .join(shn.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(shn.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    val shared = size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+    val jac = shared.cast("double") /
+      (size(col("hs1")).cast("long") + size(col("hs2")).cast("long") - shared)
+    cand
+      .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
       .filter(jac >= threshold)
-      .select(col("d1"), col("d2"), col("shared").as("shared_shingles"), round(jac, 6).as("jaccard"))
+      .select(col("d1"), col("d2"), shared.as("shared_shingles"), round(jac, 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -112,8 +114,8 @@ object Dedup {
     "q_dedup_minhash",
     (s, d) => minhashNearDups(Tables.documents(s, d), 2, 32, 4, 0.5),
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
-       |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |hashed AS (SELECT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
+       |hashed AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
+       |shn AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
        |perms AS (
        |  SELECT j, 2*${TextFns.hash28Sql("'a'||CAST(j AS VARCHAR)")}+1 AS a,
        |         ${TextFns.hash28Sql("'b'||CAST(j AS VARCHAR)")} AS b
@@ -128,7 +130,7 @@ object Dedup {
        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id),
        |shared AS (
        |  SELECT c.d1, c.d2, count(*) AS shared
-       |  FROM cand c JOIN sh s1 ON s1.doc_id=c.d1 JOIN sh s2 ON s2.doc_id=c.d2 AND s1.sh=s2.sh
+       |  FROM cand c JOIN hashed h1 ON h1.doc_id=c.d1 JOIN hashed h2 ON h2.doc_id=c.d2 AND h1.h=h2.h
        |  GROUP BY c.d1, c.d2)
        |SELECT d1, d2, CAST(shared AS BIGINT) AS shared_shingles,
        |       round(CAST(shared AS DOUBLE)/(n1.n+n2.n-shared), 6) AS jaccard
