@@ -142,5 +142,48 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg, groupByCategory, q1Agg)
+  /** Semi/anti joins — the EXISTS / NOT EXISTS shapes (viewer-style "routes
+    * with/without matching detail rows"). Both plan as broadcast semi joins
+    * here; at scale they stay shuffle-keyed equi-joins that never materialize
+    * the probe side.
+    */
+  val semiAnti = Q(
+    "q_semi_anti",
+    (s, d) => {
+      val orders = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0d)
+      val withBig = Tables.customer(s, d)
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big_order").as("segment"))
+      val withoutBig = Tables.customer(s, d)
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big_order").as("segment"))
+      withBig.unionByName(withoutBig).orderBy("c_custkey")
+    },
+    """SELECT c_custkey, 'has_big_order' AS segment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |UNION ALL
+      |SELECT c_custkey, 'no_big_order' AS segment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+  )
+
+  /** Exact distinct-count per group (expand + 2-phase agg in Spark). The
+    * approximate swap at 100 TB is approx_count_distinct — not oracle-
+    * comparable across engines, so the registered query is the exact form.
+    */
+  val countDistinct_ = Q(
+    "q_count_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
+    groupByCategory, q1Agg, semiAnti, countDistinct_)
 }
