@@ -84,5 +84,26 @@ object Aggregates {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_)
+  /** GROUPING SETS — the general form of rollup/cube; shared SQL text like
+    * q_rollup (same dialect subset, same ambiguity-free route).
+    */
+  private val groupingSetsSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |coalesce(CAST(user_id % 10 AS VARCHAR(16)), 'ALL') AS user_bucket,
+      |count(*) AS n,
+      |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10), ())
+      |ORDER BY 1, 2""".stripMargin
+
+  val groupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(groupingSetsSql)
+    },
+    groupingSetsSql
+  )
+
+  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets)
 }

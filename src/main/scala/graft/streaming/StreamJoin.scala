@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join: purchase attribution to a preceding view.
+  *
+  * Both sides carry watermarks so the join state is bounded: a view can only
+  * match purchases within the attribution window, after which its state is
+  * dropped. This is the third streaming shape (after windowed agg and custom
+  * state) — the one that needs state on BOTH inputs.
+  */
+object StreamJoin {
+
+  /** Join purchases to views of the same user where the purchase happens
+    * within `windowSpec` (SQL interval, e.g. "INTERVAL 1 HOUR") after the
+    * view. Inputs: views(user_id, vt), purchases(user_id, pt, value).
+    */
+  def attributePurchases(views: DataFrame, purchases: DataFrame,
+                         windowSpec: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val v = views
+      .withColumnRenamed("user_id", "v_user")
+      .withWatermark("vt", "2 hours")
+    val p = purchases
+      .withColumnRenamed("user_id", "p_user")
+      .withWatermark("pt", "2 hours")
+    v.join(p, expr(s"v_user = p_user AND pt >= vt AND pt <= vt + $windowSpec"))
+      .select(col("v_user").as("user_id"), col("vt"), col("pt"), col("value"))
+  }
+}
