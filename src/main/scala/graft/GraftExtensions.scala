@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.VectorCosine
+import graft.plans.{TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -18,5 +18,11 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorCosine(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKAgg(children.head, children(1), children(2))
+          .toAggregateExpression()))
   }
 }
