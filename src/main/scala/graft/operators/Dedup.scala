@@ -88,7 +88,10 @@ object Dedup {
     */
   def minhashNearDups(documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sig = minhashSignatures(documents, n, numPerms)
+    // the signature relation feeds the band generator AND both verify joins —
+    // persist so its scan→shingle→agg pipeline runs once, not three times
+    // (harnesses clearCache() between queries; at scale this is a checkpoint)
+    val sig = minhashSignatures(documents, n, numPerms).persist()
     val bands = lshBands(sig, numPerms, rowsPerBand)
     val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
@@ -187,8 +190,8 @@ object Dedup {
     "q_simhash_pairs",
     (s, d) => {
       // simhash is carried through the block join (not re-joined afterwards)
-      // so the signature relation is computed twice, not three times
-      val blocks = simhashDf(Tables.documents(s, d))
+      // and persisted so both sides of the self-join read one materialization
+      val blocks = simhashDf(Tables.documents(s, d)).persist()
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
         .select(col("doc_id"), col("simhash"), col("k"),
           (floor(col("simhash") / pow(lit(2.0), col("k") * 8)).cast("long") % 256L).as("bb"))
@@ -222,7 +225,9 @@ object Dedup {
   val ngramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val sh = TextFns.shingles(Tables.documents(s, d), 2, maxDf = Some(100))
+      // the df-capped shingle relation feeds both self-join sides AND the
+      // per-doc counts — persist so the scan→explode→window-cap runs once
+      val sh = TextFns.shingles(Tables.documents(s, d), 2, maxDf = Some(100)).persist()
       val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
         .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))

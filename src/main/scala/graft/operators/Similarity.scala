@@ -71,29 +71,43 @@ object Similarity {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   )
 
-  /** (vec_id, bucket) from random-hyperplane sign bits; plane weights derive
-    * from md5 so the oracle regenerates them exactly.
+  /** md5-hex-prefix hash, bit-identical to TextFns.hash32, evaluated at plan
+    * build time so plane weights become literals.
     */
-  def lshBuckets(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    val planes = spark.range(Planes * Dims).select(
-      floor(col("id") / Dims.toDouble).cast("long").as("j"),
-      (col("id") % Dims).as("k"),
-      ((TextFns.hash32(concat(lit("p"), floor(col("id") / Dims.toDouble).cast("long").cast("string"),
-        lit("_"), (col("id") % Dims).cast("string"))) % 2001L - 1000L) / 1000.0).as("w"))
-    embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
-      .join(broadcast(planes), Seq("k"))
-      .groupBy("vec_id", "j")
-      .agg(round(sum(col("x").cast("double") * col("w")), 9).as("dj"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dj") >= 0.0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("bucket"))
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
   }
+
+  /** Random-hyperplane sign-bit bucket as ONE projection: for each plane j the
+    * dot product is a left fold of the embedding against a literal weight
+    * array — no posexplode, no broadcast join, no aggregation, zero shuffles.
+    * Weights derive from md5 exactly as the oracle regenerates them
+    * (w = (hash32("p<j>_<k>") % 2001 - 1000)/1000); the fold accumulates in k
+    * order, the same order the previous grouped-sum and the oracle's unnest
+    * sum use, and dots are rounded to 9 before the sign test, so bucket ids
+    * are bit-identical to the oracle's.
+    */
+  def lshBucketExpr(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until Planes).map { j =>
+      val w = array((0 until Dims).map(k => lit((h32(s"p${j}_$k") % 2001L - 1000L) / 1000.0)): _*)
+      val dj = round(
+        aggregate(zip_with(embedding, w, (x, wk) => x.cast("double") * wk),
+          lit(0.0), (acc, v) => acc + v), 9)
+      when(dj >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embeddings with their LSH bucket attached — a single narrow projection
+    * over the scan (the 100 TB shape: bucketing costs one pass, the only
+    * shuffle in an LSH query is the candidate equi-join itself).
+    */
+  def withLshBucket(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("bucket", lshBucketExpr(col("embedding")))
 
   /** LSH ANN: candidates share a bucket (equi-join), cosine only on those. */
   def annLshTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val buckets = lshBuckets(embeddings)
-    val withVec = buckets.join(embeddings, Seq("vec_id"))
+    val withVec = withLshBucket(embeddings)
     val q = withVec.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("bucket"), col("embedding").as("qe"))
     val c = withVec.filter(col("vec_id") >= NQ)
@@ -151,7 +165,7 @@ object Similarity {
     "q_dedup_embed",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val withVec = lshBuckets(emb).join(emb, Seq("vec_id"))
+      val withVec = withLshBucket(emb)
       val a = withVec.select(col("vec_id").as("v1"), col("bucket"), col("embedding").as("qe"))
       val b = withVec.select(col("vec_id").as("v2"), col("bucket"), col("embedding").as("ce"))
       val cos =
