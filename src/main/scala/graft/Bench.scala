@@ -23,7 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.tune(spark)
 
+    // Every measurement starts from an empty cache: queries that persist() a
+    // shared subplan internally keep their within-query reuse, but a later
+    // run must not silently read blocks a previous run materialized (Spark's
+    // CacheManager dedupes by logical plan across invocations).
     def time(fn: => Unit): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9

@@ -21,6 +21,17 @@ object TextFns {
   def hash32Sql(e: String): String = s"(('0x'||substr(md5($e),1,8))::BIGINT)"
   def hash28Sql(e: String): String = s"(('0x'||substr(md5($e),1,7))::BIGINT)"
 
+  /** JVM-side twin of [[hash32]]/[[hash28]] for plan-build-time constants
+    * (permutation coefficients, literal plane weights). The single source of
+    * the md5-hex-prefix contract — keep every caller on this, never a local
+    * copy, so the Column, SQL, and literal renderings can't drift.
+    */
+  def hashN(s: String, hexChars: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(hexChars), 16)
+  }
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -34,14 +34,9 @@ object Dedup {
     * exactly as the oracle derives them in SQL
     * (`('0x'||substr(md5('a'||j),1,7))::BIGINT`).
     */
-  private def permCoeffs(numPerms: Int): Seq[(Long, Long)] = {
-    def h28(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(7), 16)
-    }
-    (0 until numPerms).map(j => (2L * h28(s"a$j") + 1L, h28(s"b$j")))
-  }
+  private def permCoeffs(numPerms: Int): Seq[(Long, Long)] =
+    (0 until numPerms).map(j =>
+      (2L * TextFns.hashN(s"a$j", 7) + 1L, TextFns.hashN(s"b$j", 7)))
 
   /** MinHash signatures for word-`n`-gram shingles:
     * (doc_id, hs: array<long> distinct shingle hashes, sig: array<long>).
@@ -90,7 +85,7 @@ object Dedup {
                       threshold: Double): DataFrame = {
     // the signature relation feeds the band generator AND both verify joins —
     // persist so its scan→shingle→agg pipeline runs once, not three times
-    // (harnesses clearCache() between queries; at scale this is a checkpoint)
+    // (Bench/Verify clearCache() between queries; at scale this is a checkpoint)
     val sig = minhashSignatures(documents, n, numPerms).persist()
     val bands = lshBands(sig, numPerms, rowsPerBand)
     val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))

@@ -1,17 +1,19 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.TextFns
+import graft.functions.{MediaHeader, TextFns}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: media as opaque `binary` with typed metadata.
   *
-  * The Spark-side plumbing (schema, batch shape, partition-parallel decode) is
-  * real; the actual byte decode is a clearly-marked deterministic stub because
-  * no image/audio codec libraries exist in this environment. At production
-  * scale the stub body is the ONLY thing that changes — the schema, the
-  * `mapPartitions` batch shape and the metadata derivation stay as-is.
+  * The decode is REAL for the container layer: PNG / GIF / BMP width, height
+  * and format are parsed from the file's leading bytes (fixed header offsets —
+  * see [[graft.functions.MediaHeader]]), both as pure column expressions and
+  * as a typed `mapPartitions` path. Only pixel decode (which needs a codec
+  * library this environment doesn't have) is out of scope; at production
+  * scale that slots into [[decodeMedia]]'s iterator body without touching the
+  * schema, the partitioning, or the header parse.
   */
 object Multimodal {
 
@@ -19,37 +21,28 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, byte_len: Long, img_format: String,
                              width: Long, height: Long, digest: String)
 
-  /** Partition-parallel decode over binary payloads.
-    *
-    * STUB: a real implementation hands `bytes` to a codec; here dimensions are
-    * derived deterministically from the payload hash so tests are stable. The
-    * batch shape (iterator-to-iterator, no per-row session state) is the real
-    * production pattern for codec-heavy decode on executors.
+  /** Partition-parallel header decode over binary payloads: real PNG IHDR /
+    * GIF logical-screen / BMP BITMAPINFOHEADER parsing, iterator-to-iterator
+    * (no per-row session state) — the production batch shape for codec-heavy
+    * decode on executors.
     */
-  def decodeStub(blobs: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+  def decodeMedia(blobs: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
         md.reset()
         val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        val h = java.lang.Long.parseLong(hex.take(8), 16)
-        MediaMeta(
-          doc_id = id,
-          byte_len = bytes.length.toLong,
-          img_format = (bytes.length % 3) match {
-            case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-          },
-          width = 64L + h % 1024L,
-          height = 64L + (h / 1024L) % 1024L,
-          digest = hex)
+        val (fmt, w, h) = MediaHeader.parseBytes(bytes)
+        MediaMeta(id, bytes.length.toLong, fmt, w, h, hex)
       }
     }
   }
 
-  /** Declarative twin of the decode stub — identical metadata as pure column
-    * expressions, used for the oracle-checked query (and as the scan-speed
-    * path when no real codec is needed).
+  /** Typed-metadata projection over an opaque payload: schema plumbing for a
+    * media column (byte length, format tag, per-payload digest + derived
+    * dims). Retained as the declarative scan-speed twin; the header-accurate
+    * path is [[mediaDecode]].
     */
   val meta = Q(
     "q_multimodal_meta",
@@ -75,5 +68,54 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(meta)
+  /** Real header decode, oracle-checked end to end: synthesize a valid
+    * PNG/GIF/BMP header per document (dims derived deterministically from the
+    * text hash, container by doc_id % 3), then parse format/width/height back
+    * out of the BYTES with [[MediaHeader]]'s column parsers. The parse sees
+    * only the binary column — synthesis and parse share no expressions — so a
+    * wrong offset or endianness breaks the hash match against the oracle,
+    * which performs the same round-trip in DuckDB blob functions.
+    */
+  val mediaDecode = Q(
+    "q_media_decode",
+    (s, d) => {
+      val h = TextFns.hash32(col("text"))
+      val w = lit(64L) + h % 1024L
+      val ht = lit(64L) + floor(h / 1024.0d).cast("long") % 1024L
+      val blobHex = when(col("doc_id") % 3 === 0, MediaHeader.pngHex(w, ht))
+        .when(col("doc_id") % 3 === 1, MediaHeader.gifHex(w, ht))
+        .otherwise(MediaHeader.bmpHex(w, ht))
+      Tables.documents(s, d)
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+        .select(col("doc_id"), hex(col("blob")).as("hb"),
+          length(col("blob")).cast("long").as("byte_len"))
+        .select(
+          col("doc_id"), col("byte_len"),
+          MediaHeader.format(col("hb")).as("img_format"),
+          MediaHeader.width(col("hb")).as("width"),
+          MediaHeader.height(col("hb")).as("height"),
+          md5(col("hb")).as("digest"))
+        .orderBy("doc_id")
+    },
+    s"""WITH dims AS (
+       |  SELECT doc_id, 64 + ${TextFns.hash32Sql("text")} % 1024 AS w,
+       |         64 + CAST(floor(${TextFns.hash32Sql("text")}/1024.0) AS BIGINT) % 1024 AS h
+       |  FROM documents),
+       |synth AS (
+       |  SELECT doc_id, unhex(CASE doc_id % 3
+       |    WHEN 0 THEN ${MediaHeader.pngHexSql("w", "h")}
+       |    WHEN 1 THEN ${MediaHeader.gifHexSql("w", "h")}
+       |    ELSE ${MediaHeader.bmpHexSql("w", "h")}
+       |  END) AS blob
+       |  FROM dims),
+       |hx AS (SELECT doc_id, hex(blob) AS hb, CAST(octet_length(blob) AS BIGINT) AS byte_len FROM synth)
+       |SELECT doc_id, byte_len,
+       |  ${MediaHeader.formatSql("hb")} AS img_format,
+       |  ${MediaHeader.widthSql("hb")} AS width,
+       |  ${MediaHeader.heightSql("hb")} AS height,
+       |  md5(hb) AS digest
+       |FROM hx ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(meta, mediaDecode)
 }

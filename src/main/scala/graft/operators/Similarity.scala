@@ -71,14 +71,10 @@ object Similarity {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   )
 
-  /** md5-hex-prefix hash, bit-identical to TextFns.hash32, evaluated at plan
-    * build time so plane weights become literals.
+  /** Plan-build-time twin of TextFns.hash32 (see TextFns.hashN — the single
+    * home of the md5-hex-prefix contract).
     */
-  private def h32(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(8), 16)
-  }
+  private def h32(s: String): Long = TextFns.hashN(s, 8)
 
   /** Random-hyperplane sign-bit bucket as ONE projection: for each plane j the
     * dot product is a left fold of the embedding against a literal weight
@@ -101,9 +97,17 @@ object Similarity {
   /** Embeddings with their LSH bucket attached — a single narrow projection
     * over the scan (the 100 TB shape: bucketing costs one pass, the only
     * shuffle in an LSH query is the candidate equi-join itself).
+    *
+    * zip_with pads a short array with nulls, which would silently force a
+    * plane bit to 0 for a wrong-length embedding — so a dim != Dims vector
+    * fails the job loudly here instead of corrupting its bucket.
     */
-  def withLshBucket(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("bucket", lshBucketExpr(col("embedding")))
+  def withLshBucket(embeddings: DataFrame): DataFrame = {
+    val checked = when(size(col("embedding")) === Dims, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"graft: embedding dim != $Dims: "), size(col("embedding")).cast("string"))))
+    embeddings.withColumn("bucket", lshBucketExpr(checked))
+  }
 
   /** LSH ANN: candidates share a bucket (equi-join), cosine only on those. */
   def annLshTopK(embeddings: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.MediaHeader
+import graft.operators.Multimodal
+
+/** Header decode over real container bytes: the JVM parser and the typed
+  * Dataset path agree with hand-built PNG/GIF/BMP headers.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def hexBytes(hx: String): Array[Byte] =
+    hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 800x600 PNG: sig + IHDR len/tag + BE dims + depth/color/etc
+  private val png800x600 = hexBytes(
+    "89504E470D0A1A0A0000000D49484452" + "00000320" + "00000258" + "0806000000")
+  // 320x200 GIF89a: LE16 dims
+  private val gif320x200 = hexBytes("474946383961" + "4001" + "C800" + "F70000")
+  // 1024x768 BMP: BITMAPINFOHEADER LE32 dims at offsets 18/22
+  private val bmp1024x768 = hexBytes(
+    "424D00000000000000003600000028000000" + "00040000" + "00030000")
+
+  test("parseBytes reads PNG/GIF/BMP header dims at the right offsets") {
+    assert(MediaHeader.parseBytes(png800x600) === (("png", 800L, 600L)))
+    assert(MediaHeader.parseBytes(gif320x200) === (("gif", 320L, 200L)))
+    assert(MediaHeader.parseBytes(bmp1024x768) === (("bmp", 1024L, 768L)))
+    assert(MediaHeader.parseBytes("not an image".getBytes("UTF-8"))._1 === "unknown")
+  }
+
+  test("decodeMedia Dataset path parses headers partition-parallel") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, png800x600), (2L, gif320x200), (3L, bmp1024x768),
+      (4L, "plain text payload".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decodeMedia(blobs).collect().sortBy(_.doc_id)
+    assert(out.map(m => (m.doc_id, m.img_format, m.width, m.height)).toSeq === Seq(
+      (1L, "png", 800L, 600L), (2L, "gif", 320L, 200L),
+      (3L, "bmp", 1024L, 768L), (4L, "unknown", -1L, -1L)))
+    assert(out.forall(m => m.byte_len > 0 && m.digest.length == 32))
+  }
+}
