@@ -43,4 +43,47 @@ object Wkt {
 
   def parseLastYSql(wkt: String): String =
     s"CAST(regexp_extract($wkt, ' ([0-9-]+)\\)$$', 1) AS BIGINT)"
+
+  /** 'MULTILINESTRING((x1 y1, x2 y2), (x3 y3, x4 y4))' — two 2-point parts
+    * (the multi-part geometry the reference handles via shapely,
+    * app/app.py:11, process_cycle_networks.py:91).
+    */
+  def multiLineString2(x1: Column, y1: Column, x2: Column, y2: Column,
+                       x3: Column, y3: Column, x4: Column, y4: Column): Column =
+    concat(
+      lit("MULTILINESTRING(("),
+      x1.cast("string"), lit(" "), y1.cast("string"), lit(", "),
+      x2.cast("string"), lit(" "), y2.cast("string"), lit("), ("),
+      x3.cast("string"), lit(" "), y3.cast("string"), lit(", "),
+      x4.cast("string"), lit(" "), y4.cast("string"), lit("))"))
+
+  /** Number of parts in a MULTILINESTRING WKT (split on the '), (' part
+    * separator — a literal in DuckDB's string_split, regex-escaped here).
+    */
+  def numParts(wkt: Column): Column =
+    size(split(wkt, "\\), \\(")).cast("long")
+
+  /** First X of the first part of a MULTILINESTRING WKT. */
+  def parseMultiFirstX(wkt: Column): Column =
+    regexp_extract(wkt, "MULTILINESTRING\\(\\(([0-9-]+) ", 1).cast("long")
+
+  /** Last Y of the last part of a MULTILINESTRING WKT. */
+  def parseMultiLastY(wkt: Column): Column =
+    regexp_extract(wkt, " ([0-9-]+)\\)\\)$", 1).cast("long")
+
+  def multiLineString2Sql(x1: String, y1: String, x2: String, y2: String,
+                          x3: String, y3: String, x4: String, y4: String): String =
+    s"('MULTILINESTRING((' || CAST($x1 AS VARCHAR) || ' ' || CAST($y1 AS VARCHAR) || ', ' || " +
+      s"CAST($x2 AS VARCHAR) || ' ' || CAST($y2 AS VARCHAR) || '), (' || " +
+      s"CAST($x3 AS VARCHAR) || ' ' || CAST($y3 AS VARCHAR) || ', ' || " +
+      s"CAST($x4 AS VARCHAR) || ' ' || CAST($y4 AS VARCHAR) || '))')"
+
+  def numPartsSql(wkt: String): String =
+    s"CAST(len(string_split($wkt, '), (')) AS BIGINT)"
+
+  def parseMultiFirstXSql(wkt: String): String =
+    s"CAST(regexp_extract($wkt, 'MULTILINESTRING\\(\\(([0-9-]+) ', 1) AS BIGINT)"
+
+  def parseMultiLastYSql(wkt: String): String =
+    s"CAST(regexp_extract($wkt, ' ([0-9-]+)\\)\\)$$', 1) AS BIGINT)"
 }

@@ -118,6 +118,52 @@ object Routes {
     }
   )
 
+  /** Multi-part geometry round-trip: MULTILINESTRING serialize → parse (part
+    * count, first/last coordinates) plus total multi-part length via the same
+    * nested fold the GeoJSON connector's `parts` column uses
+    * ([[graft.sources.GeoJson.multiPartLength]]). The reference handles
+    * multi-part geometries through shapely (app/app.py:11,
+    * process_cycle_networks.py:91 — `row.geometry.length` sums parts).
+    */
+  val wktMulti = Q(
+    "q_wkt_multi",
+    (s, d) => {
+      // part 2 starts 1000 m offset from part 1's end, heading (2dy, dx)
+      val (x3, y3) = (Geom.e2 + 1000L, Geom.n2 + 1000L)
+      val (x4, y4) = (x3 + Geom.dy * 2L, y3 + Geom.dx)
+      val wkt = Wkt.multiLineString2(Geom.e1, Geom.n1, Geom.e2, Geom.n2, x3, y3, x4, y4)
+      val parts = array(
+        array(array(Geom.e1.cast("double"), Geom.n1.cast("double")),
+              array(Geom.e2.cast("double"), Geom.n2.cast("double"))),
+        array(array(x3.cast("double"), y3.cast("double")),
+              array(x4.cast("double"), y4.cast("double"))))
+      graft.sources.GeoJson.multiPartLength(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), wkt.as("geometry_wkt"),
+          Wkt.numParts(wkt).as("n_parts"),
+          Wkt.parseMultiFirstX(wkt).as("parsed_x1"),
+          Wkt.parseMultiLastY(wkt).as("parsed_y4"),
+          parts.as("parts")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("geometry_wkt"),
+          col("n_parts"), col("parsed_x1"), col("parsed_y4"),
+          round(col("route_length_m"), 6).as("route_length_m"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, {
+      val (x3, y3) = (s"(${Geom.e2Sql} + 1000)", s"(${Geom.n2Sql} + 1000)")
+      val (x4, y4) = (s"($x3 + ${Geom.dySql}*2)", s"($y3 + ${Geom.dxSql})")
+      val wktSql = Wkt.multiLineString2Sql(
+        Geom.e1Sql, Geom.n1Sql, Geom.e2Sql, Geom.n2Sql, x3, y3, x4, y4)
+      s"""SELECT l_orderkey, l_linenumber, $wktSql AS geometry_wkt,
+         |${Wkt.numPartsSql(wktSql)} AS n_parts,
+         |${Wkt.parseMultiFirstXSql(wktSql)} AS parsed_x1,
+         |${Wkt.parseMultiLastYSql(wktSql)} AS parsed_y4,
+         |round(sqrt(power(${Geom.e2Sql} - ${Geom.e1Sql}, 2) + power(${Geom.n2Sql} - ${Geom.n1Sql}, 2))
+         |    + sqrt(power($x4 - $x3, 2) + power($y4 - $y3, 2)), 6) AS route_length_m
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }
+  )
+
   /** OS grid reference at precision 6/8/10 — geotiles.py:12-59. */
   val osGridRef = Q(
     "q_os_gridref",
@@ -164,5 +210,5 @@ object Routes {
       Seq("p_partkey"), 5)
   )
 
-  val all: Seq[Q] = Seq(derivedLen, lineage, typedSchema, wktRoundtrip, osGridRef, reproject)
+  val all: Seq[Q] = Seq(derivedLen, lineage, typedSchema, wktRoundtrip, wktMulti, osGridRef, reproject)
 }

@@ -51,4 +51,22 @@ object GeoJson {
   def ingest(spark: SparkSession, path: String): DataFrame =
     routeLength(read(spark, path))
       .withColumn("source_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+  /** Planar length over the connector's normalized multi-part `parts` column
+    * (array<array<array<double>>>): sum of per-part polyline lengths — the
+    * multi-geometry analog of [[routeLength]], matching how the reference's
+    * `row.geometry.length` works on any shapely geometry including
+    * MultiLineString (process_cycle_networks.py:91, app/app.py:11).
+    */
+  def multiPartLength(df: DataFrame): DataFrame =
+    df.withColumn("route_length_m", expr(
+      """aggregate(
+        |  parts,
+        |  0D,
+        |  (total, part) -> total + aggregate(
+        |    sequence(0, size(part) - 2),
+        |    0D,
+        |    (acc, i) -> acc + sqrt(
+        |      pow(part[i+1][0] - part[i][0], 2) +
+        |      pow(part[i+1][1] - part[i][1], 2))))""".stripMargin))
 }

@@ -1,0 +1,188 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("geojson")` — a DataSource V2 connector for the three
+  * GeoJSON shapes the reference ingests (FeatureCollection / single Feature /
+  * bare feature array; reference src/process_cycle_networks.py:18-55), the
+  * "external source connector" entry point of a scrape-style ETL.
+  *
+  * Fixed normalized schema (no inference pass over the data):
+  *   - `feature_idx`   position of the feature within its source document
+  *   - `geometry_type` GeoJSON geometry type string
+  *   - `parts`         coordinates normalized to multi-part form
+  *                     array<array<array<double>>> — one entry per part
+  *                     (LineString/Point wrap to a single part;
+  *                     MultiLineString parts and Polygon rings map 1:1;
+  *                     MultiPolygon flattens its polygons' rings)
+  *   - `properties`    map<string,string> — scalar values verbatim, nested
+  *                     values as compact JSON
+  *   - `source_file`   document name for lineage
+  *
+  * Scale shape: one InputPartition per source document, fetch + parse runs on
+  * executors (a 100 TB crawl is many documents, not one big one), and column
+  * pruning is pushed into the reader (SupportsPushDownRequiredColumns) so a
+  * properties-only query never materializes coordinate arrays.
+  *
+  * Inputs are `load(paths*)` file paths or a `url` option. URL fetch goes
+  * through [[GeoJsonFetch]]: `file:` URLs (and bare paths) resolve locally;
+  * `http(s):` is the production fetch seam and fails fast in this offline
+  * environment with a clear message rather than a stub result.
+  */
+class GeoJsonDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geojson"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GeoJsonDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GeoJsonTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GeoJsonDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("feature_idx", LongType, nullable = false),
+    StructField("geometry_type", StringType),
+    StructField("parts", ArrayType(ArrayType(ArrayType(DoubleType)))),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("source_file", StringType)))
+
+  /** Input documents: explicit load() paths plus the optional fetch url. */
+  def inputs(options: CaseInsensitiveStringMap): Seq[String] = {
+    val fromPaths = Option(options.get("paths")).toSeq.flatMap { js =>
+      new ObjectMapper().readTree(js).elements().asScala.map(_.asText()).toSeq
+    }
+    val fromPath = Option(options.get("path")).toSeq
+    val fromUrl = Option(options.get("url")).toSeq
+    val all = fromPaths ++ fromPath ++ fromUrl
+    require(all.nonEmpty, "geojson: specify load(path) or option(\"url\", ...)")
+    all
+  }
+}
+
+/** Resolves a source url/path to document text. The `http(s)` branch is where
+  * a production deployment plugs its HTTP client (the reference fetches a WFS
+  * GetFeature url); this environment has no egress, so it fails fast.
+  */
+object GeoJsonFetch {
+  def fetch(url: String): String = {
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      throw new UnsupportedOperationException(
+        s"geojson: no network egress in this environment, cannot fetch $url " +
+          "(use a file: url or a local path)")
+    val path = if (url.startsWith("file:")) new java.net.URI(url).getPath else url
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+  }
+}
+
+class GeoJsonTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "geojson"
+  override def schema(): StructType = GeoJsonDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new GeoJsonScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GeoJsonDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GeoJsonScan(GeoJsonDataSource.inputs(options), required)
+}
+
+class GeoJsonScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(GeoJsonInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonReaderFactory(required)
+}
+
+case class GeoJsonInputPartition(path: String) extends InputPartition
+
+class GeoJsonReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required)
+}
+
+/** Parses one document and streams its features as InternalRows, building
+  * only the pruned columns.
+  */
+class GeoJsonPartitionReader(path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val fileName = path.split('/').last
+  private val features: Iterator[(JsonNode, Long)] = {
+    val root = new ObjectMapper().readTree(GeoJsonFetch.fetch(path))
+    val it =
+      if (root.isArray) root.elements().asScala
+      else if (root.has("features")) root.get("features").elements().asScala
+      else Iterator(root)
+    it.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+  }
+  private var current: InternalRow = _
+
+  /** Coordinates of any geometry type, normalized to parts→points→xy. */
+  private def partsOf(geom: JsonNode): Array[Array[Array[Double]]] = {
+    def pt(n: JsonNode): Array[Double] = Array(n.get(0).asDouble(), n.get(1).asDouble())
+    def line(n: JsonNode): Array[Array[Double]] = n.elements().asScala.map(pt).toArray
+    val c = geom.get("coordinates")
+    geom.get("type").asText() match {
+      case "Point"                         => Array(Array(pt(c)))
+      case "LineString"                    => Array(line(c))
+      case "MultiPoint"                    => Array(line(c))
+      case "MultiLineString" | "Polygon"   => c.elements().asScala.map(line).toArray
+      case "MultiPolygon" =>
+        c.elements().asScala.flatMap(p => p.elements().asScala.map(line)).toArray
+      case _                               => Array.empty
+    }
+  }
+
+  private def toRow(f: JsonNode, idx: Long): InternalRow = {
+    val geom = Option(f.get("geometry")).filterNot(_.isNull)
+    val values: Array[Any] = required.fields.map(_.name).map {
+      case "feature_idx" => idx
+      case "geometry_type" =>
+        geom.map(g => UTF8String.fromString(g.get("type").asText())).orNull
+      case "parts" =>
+        geom.map { g =>
+          new GenericArrayData(partsOf(g).map(part =>
+            new GenericArrayData(part.map(p =>
+              new GenericArrayData(p.map(d => d: Any)): Any)): Any))
+        }.orNull
+      case "properties" =>
+        Option(f.get("properties")).filterNot(_.isNull).map { props =>
+          val kv = props.fields().asScala.toArray.map { e =>
+            val v = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
+            (UTF8String.fromString(e.getKey): Any, UTF8String.fromString(v): Any)
+          }
+          new ArrayBasedMapData(new GenericArrayData(kv.map(_._1)), new GenericArrayData(kv.map(_._2)))
+        }.orNull
+      case "source_file" => UTF8String.fromString(fileName)
+      case other => throw new IllegalArgumentException(s"geojson: unknown column $other")
+    }
+    new GenericInternalRow(values)
+  }
+
+  override def next(): Boolean =
+    if (features.hasNext) { val (f, i) = features.next(); current = toRow(f, i); true }
+    else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
