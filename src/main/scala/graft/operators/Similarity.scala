@@ -203,67 +203,149 @@ object Similarity {
        |WHERE round(dot/(sqrt(qn)*sqrt(cn)), 6) >= 0.4 ORDER BY v1, v2""".stripMargin
   )
 
-  /** IVF-style ANN: corpus is partitioned into cells around sampled centroid
-    * vectors (vec_id 100..115 — IVF with sampled centroids, no iterative
-    * k-means needed for determinism); queries probe only their own cell. Both
-    * assignment and in-cell ranking order by pre-rounded cosine + id, so cell
-    * membership and results reproduce exactly in the oracle. At 100 TB this is
-    * the standard inverted-file layout: assignment is a broadcast of 16
-    * centroids over one corpus scan, search touches ~1/16 of the corpus.
+  /** Nearest cells per vector under the given centroids: broadcast the (tiny)
+    * centroid relation over one scan of `vecs`, rank by pre-rounded cosine +
+    * cent_id so assignment is reproducible bit-for-bit in the oracle.
     */
+  private def nearestCells(vecs: DataFrame, cents: DataFrame, idAlias: String,
+                           nprobe: Int): DataFrame =
+    vecs.select(col("vec_id").as(idAlias), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col(idAlias), col("cent_id"),
+        round(VecFns.cosine(col("qe"), col("ce")), 6).as("cscore"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(idAlias).orderBy(col("cscore").desc, col("cent_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col(idAlias), col("cent_id").as("cell"))
+
+  /** One k-means averaging step, partitioning-invariant: embedding values are
+    * quantized to integer micro-units and summed as BIGINT (exact, order-free)
+    * before the single rounded double division — so Spark at any parallelism
+    * and the DuckDB oracle produce identical centroids. Output rows:
+    * (cent_id, ce: array<double>).
+    */
+  private def recomputeCentroids(assigned: DataFrame, corpus: DataFrame): DataFrame =
+    assigned.join(corpus.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(round(sum(round(col("x").cast("double") * 1000000d).cast("long")) /
+        (count(lit(1)) * 1000000.0d), 9).as("cd"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+        s => s.getField("cd")).as("ce"))
+      .select(col("cell").as("cent_id"), col("ce"))
+
+  /** IVF ANN with a real k-means index build: seeds are sampled corpus
+    * vectors (vec_id 100..115), refined by 2 Lloyd iterations, then queries
+    * probe their `nprobe = 2` nearest cells and rank candidates by exact
+    * cosine. The refined centroids (16 × 64 doubles) are collected to the
+    * driver between iterations and re-broadcast as a literal relation — the
+    * standard Spark k-means loop (centroids are index metadata, not data;
+    * the corpus itself is only ever scanned, never collected). At 100 TB:
+    * 3 corpus scans to build the index, then search touches ~2/16 of the
+    * corpus per query batch.
+    */
+  /** Full IVF search: k-means index build (2 Lloyd iterations from the
+    * sampled seeds) + `nprobe`-cell probe + exact cosine ranking of the
+    * candidates. Exposed with tunable nprobe/k so the recall/nprobe tradeoff
+    * is measurable (IvfRecallSpec); the registered query uses nprobe=2, k=3.
+    */
+  def ivfTopK(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    val corpus = emb.filter(col("vec_id") >= NQ)
+    val seeds = emb.filter(col("vec_id") >= 100L && col("vec_id") < 116L)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    // 2 Lloyd iterations; each collects 16 tiny centroid rows, never data
+    val centroids = (1 to 2).foldLeft(seeds) { (cents, _) =>
+      val next = recomputeCentroids(nearestCells(corpus, cents, "vid", 1), corpus)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      import s.implicits._
+      next.toSeq.toDF("cent_id", "ce")
+    }
+    val probes = nearestCells(emb.filter(col("vec_id") < NQ), centroids, "q_id", nprobe)
+    val cCells = nearestCells(corpus, centroids, "c_id", 1)
+    val cos =
+      if (s.catalog.functionExists("graft_cosine")) expr("graft_cosine(qe, ce)")
+      else VecFns.cosine(col("qe"), col("ce"))
+    probes
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+      .join(cCells, Seq("cell"))
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("ce")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("cell"), round(cos, 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
   val annIvf = Q(
     "q_ann_ivf",
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") >= 100L && col("vec_id") < 116L)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      def cos =
-        if (s.catalog.functionExists("graft_cosine")) expr("graft_cosine(qe, ce)")
-        else VecFns.cosine(col("qe"), col("ce"))
-      def assign(df: org.apache.spark.sql.DataFrame, idCol: String) = df
-        .select(col("vec_id").as(idCol), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
-        .select(col(idCol), col("cent_id"), round(cos, 6).as("cscore"), col("qe"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("cscore").desc, col("cent_id"))))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col("cent_id").as("cell"), col("qe"))
-      val qCells = assign(emb.filter(col("vec_id") < NQ), "q_id")
-      val cCells = assign(emb.filter(col("vec_id") >= NQ), "c_id")
-        .withColumnRenamed("qe", "ce")
-      qCells.join(cCells, Seq("cell"))
-        .select(col("q_id"), col("c_id"), col("cell"), round(cos, 6).as("score"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
-        .filter(col("rank") <= 3)
-        .orderBy("q_id", "rank")
-    },
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-       |               WHERE vec_id >= 100 AND vec_id < 116),
-       |asums AS (
+    (s, d) => ivfTopK(Tables.embeddings(s, d), 2, 3),
+    annIvfSql
+  )
+
+  /** DuckDB twin of the k-means IVF build + nprobe=2 search. The assignment
+    * and recompute CTEs are generated by the same private renderers for all
+    * three iterations, exactly mirroring [[nearestCells]]/
+    * [[recomputeCentroids]].
+    */
+  private def assignSql(corpus: String, cents: String, out: String): String =
+    s"""${out}_s AS (
        |  SELECT vid, cent_id,
-       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
-       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(x AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS qn,
        |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
-       |  FROM (SELECT e.vec_id AS vid, c.cent_id, unnest(e.embedding) AS qx, unnest(c.ce) AS cx
-       |        FROM embeddings e, cents c)
+       |  FROM (SELECT c.vec_id AS vid, t.cent_id, unnest(c.embedding) AS x, unnest(t.ce) AS cx
+       |        FROM $corpus c, $cents t)
        |  GROUP BY vid, cent_id),
-       |cells AS (
+       |$out AS (
        |  SELECT vid, cent_id AS cell FROM (
        |    SELECT vid, cent_id,
        |      row_number() OVER (PARTITION BY vid ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, cent_id) AS rn
-       |    FROM asums) WHERE rn = 1),
-       |q AS (SELECT c.vid AS q_id, c.cell, e.embedding AS qe FROM cells c
-       |      JOIN embeddings e ON e.vec_id = c.vid WHERE c.vid < $NQ),
-       |co AS (SELECT c.vid AS c_id, c.cell, e.embedding AS ce FROM cells c
-       |       JOIN embeddings e ON e.vec_id = c.vid WHERE c.vid >= $NQ),
+       |    FROM ${out}_s) WHERE rn = 1)""".stripMargin
+
+  private def recomputeSql(assigned: String, corpus: String, out: String): String =
+    s"""$out AS (
+       |  SELECT cell AS cent_id, list(cd ORDER BY pos) AS ce FROM (
+       |    SELECT cell, k AS pos,
+       |      round(sum(CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) / (count(*)*1000000.0), 9) AS cd
+       |    FROM (SELECT a.cell, unnest(c.embedding) AS x, unnest(range($Dims)) AS k
+       |          FROM $assigned a JOIN $corpus c ON c.vec_id = a.vid)
+       |    GROUP BY cell, k)
+       |  GROUP BY cell)""".stripMargin
+
+  private lazy val annIvfSql: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NQ),
+       |qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQ),
+       |cent0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |          WHERE vec_id >= 100 AND vec_id < 116),
+       |${assignSql("corpus", "cent0", "a0")},
+       |${recomputeSql("a0", "corpus", "cent1")},
+       |${assignSql("corpus", "cent1", "a1")},
+       |${recomputeSql("a1", "corpus", "cent2")},
+       |${assignSql("corpus", "cent2", "a2")},
+       |probe_s AS (
+       |  SELECT vid, cent_id,
+       |    sum(CAST(x AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT q.vec_id AS vid, t.cent_id, unnest(q.embedding) AS x, unnest(t.ce) AS cx
+       |        FROM qv q, cent2 t)
+       |  GROUP BY vid, cent_id),
+       |probe AS (
+       |  SELECT vid AS q_id, cent_id AS cell FROM (
+       |    SELECT vid, cent_id,
+       |      row_number() OVER (PARTITION BY vid ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, cent_id) AS rn
+       |    FROM probe_s) WHERE rn <= 2),
        |sums AS (
        |  SELECT q_id, c_id, cell,
        |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
        |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
        |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
-       |  FROM (SELECT q.q_id, co.c_id, q.cell, unnest(q.qe) AS qx, unnest(co.ce) AS cx
-       |        FROM q JOIN co ON q.cell = co.cell)
+       |  FROM (SELECT p.q_id, a2.vid AS c_id, p.cell, unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+       |        FROM probe p JOIN qv q ON q.vec_id = p.q_id
+       |        JOIN a2 ON a2.cell = p.cell JOIN corpus c ON c.vec_id = a2.vid)
        |  GROUP BY q_id, c_id, cell),
        |ranked AS (
        |  SELECT q_id, c_id, cell, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS score,
@@ -271,7 +353,6 @@ object Similarity {
        |  FROM sums)
        |SELECT q_id, c_id, cell, score, CAST(rank AS BIGINT) AS rank FROM ranked
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-  )
 
   /** Embedding column stats per label: norms via ordered double folds. */
   val embedStats = Q(
