@@ -50,4 +50,29 @@ class SinksSpec extends SparkSpec {
     Sinks.writeBatched(df, out, "append")
     assert(spark.read.parquet(out).count() == 2000)
   }
+
+  test("JDBC sink writes real tables with batchsize and table modes (embedded Derby)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = s"jdbc:derby:${Files.createTempDirectory("derby")}/db;create=true"
+    val df = spark.range(500).toDF("id")
+
+    Sinks.writeJdbc(df, url, "routes_out", "drop", batchSize = 64)
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "routes_out").load()
+    assert(readBack().count() == 500)
+
+    // append doubles the rows through the same batched path
+    Sinks.writeJdbc(df, url, "routes_out", "append", batchSize = 64)
+    assert(readBack().count() == 1000)
+
+    // drop recreates from scratch
+    Sinks.writeJdbc(df, url, "routes_out", "drop", batchSize = 64)
+    assert(readBack().count() == 500)
+
+    // create on an existing table must fail (ErrorIfExists)
+    intercept[Exception] { Sinks.writeJdbc(df, url, "routes_out", "create") }
+
+    // unknown mode is rejected before any connection is opened
+    intercept[IllegalArgumentException] { Sinks.writeJdbc(df, url, "routes_out", "merge") }
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Streaming oracle parity: the windowed streaming aggregate, run over the
+  * REAL sf0.01 events file through Spark's file streaming source to
+  * completion, must produce exactly the rows of the oracle-checked batch
+  * query `q_time_window`. This closes the loop the in-memory EventsStreamSpec
+  * can't: same parquet bytes, same nanos-ts edge conversion, file-source
+  * listing/scheduling in the path — and the comparison target is a query the
+  * DuckDB oracle hash-verifies every round.
+  */
+class StreamBatchParitySpec extends SparkSpec {
+
+  test("file-source streaming hourly agg equals the oracle-checked batch result") {
+    val dir = sf("sf0.01")
+    // file streaming sources list directories; stage the single parquet file
+    val staged = Files.createTempDirectory("events-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventsStream.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("hourly_file").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_file").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+
+      val want = SparkEntry.queries("q_time_window")(spark, dir).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+
+      assert(got.size == want.size, s"row counts differ: stream ${got.size} vs batch ${want.size}")
+      assert(got == want, "streaming result diverges from the oracle-checked batch rows")
+    } finally q.stop()
+  }
+}
