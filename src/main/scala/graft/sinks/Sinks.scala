@@ -41,6 +41,37 @@ object Sinks {
     path
   }
 
+  /** Single-document FeatureCollection sink — byte-compatible with the
+    * reference's output (process_cycle_networks.py:150-153 emits ONE
+    * `{"type": "FeatureCollection", "features": [...]}` document), unlike
+    * [[writeGeoJson]]'s distributed newline-delimited form. A single valid
+    * JSON document is inherently a single-writer artifact, so the serialized
+    * feature strings (not the source data) are coalesced to one task which
+    * interleaves the commas and brackets streamingly — no collect, constant
+    * memory. Returns the part-file path holding the complete document.
+    */
+  def writeGeoJsonFeatureCollection(df: DataFrame, outDir: String, baseName: String,
+                                    timestamp: String, propCols: Seq[String]): String = {
+    val path = s"$outDir/${baseName}_$timestamp.geojson"
+    val feature = to_json(struct(
+      lit("Feature").as("type"),
+      struct(col("geometry_type").as("type"), col("coordinates")).as("geometry"),
+      struct(propCols.map(col): _*).as("properties")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(feature.as("value")).as[String].coalesce(1)
+      .mapPartitions { it =>
+        val body = new Iterator[String] {
+          def hasNext: Boolean = it.hasNext
+          def next(): String = { val f = it.next(); if (it.hasNext) f + "," else f }
+        }
+        Iterator("{\"type\": \"FeatureCollection\", \"features\": [") ++ body ++ Iterator("]}")
+      }
+      .write.mode(SaveMode.Overwrite).text(path)
+    new java.io.File(path).listFiles().filter(_.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).head
+  }
+
   /** Batched relational-style sink — db_helpers.py:140-210's
     * batch_size=64000 + drop/create/append table modes, re-expressed as
     * writer options: `maxRecordsPerFile` is the batch, SaveMode is the table

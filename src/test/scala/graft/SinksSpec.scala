@@ -37,6 +37,20 @@ class SinksSpec extends SparkSpec {
     assert(w == "LINESTRING(325000.0 673000.0, 325300.0 673400.0)")
   }
 
+  test("FeatureCollection sink emits one valid single-document collection") {
+    val out = Files.createTempDirectory("fcsink").toString
+    val part = Sinks.writeGeoJsonFeatureCollection(routes, out, "routes", "20240601_000000",
+      propCols = Seq("route_id", "local_authority"))
+    // the part file is ONE parseable FeatureCollection document
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(part))
+    assert(doc.get("type").asText() == "FeatureCollection")
+    assert(doc.get("features").size() == 2)
+    assert(doc.get("features").get(0).get("geometry").get("type").asText() == "LineString")
+    // and the GeoJSON source reads it back as a FeatureCollection
+    assert(GeoJson.read(spark, part).count() == 2)
+  }
+
   test("batched sink honors batch size and table modes") {
     val out = Files.createTempDirectory("batched").toString + "/t"
     val df = spark.range(1000).toDF("id")
