@@ -208,15 +208,25 @@ object Similarity {
     * cent_id so assignment is reproducible bit-for-bit in the oracle.
     */
   private def nearestCells(vecs: DataFrame, cents: DataFrame, idAlias: String,
-                           nprobe: Int): DataFrame =
-    vecs.select(col("vec_id").as(idAlias), col("embedding").as("qe"))
+                           nprobe: Int): DataFrame = {
+    val scored = vecs.select(col("vec_id").as(idAlias), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
       .select(col(idAlias), col("cent_id"),
         round(VecFns.cosine(col("qe"), col("ce")), 6).as("cscore"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(idAlias).orderBy(col("cscore").desc, col("cent_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col(idAlias), col("cent_id").as("cell"))
+    if (nprobe == 1)
+      // argmax as a hash aggregate (max_by over (score, -cent_id) breaks ties
+      // identically to the window's ORDER BY cscore DESC, cent_id ASC) —
+      // partial-aggregable map-side, no sort, the shape that matters for the
+      // corpus-wide assignment passes
+      scored.groupBy(col(idAlias))
+        .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id"))).as("cell"))
+    else
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(idAlias).orderBy(col("cscore").desc, col("cent_id"))))
+        .filter(col("rn") <= nprobe)
+        .select(col(idAlias), col("cent_id").as("cell"))
+  }
 
   /** One k-means averaging step, partitioning-invariant: embedding values are
     * quantized to integer micro-units and summed as BIGINT (exact, order-free)
@@ -252,7 +262,11 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val s = emb.sparkSession
+    // the build makes several passes over the corpus (assignment + averaging
+    // per iteration) — cache the narrow projection once, as any k-means does
+    // (Bench/Verify clearCache() between queries reclaims it)
     val corpus = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id"), col("embedding")).persist()
     val seeds = emb.filter(col("vec_id") >= 100L && col("vec_id") < 116L)
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
