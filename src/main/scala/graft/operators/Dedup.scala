@@ -138,7 +138,13 @@ object Dedup {
   )
 
   /** SimHash DataFrame (doc_id, simhash): 32-bit, sign of token-frequency
-    * weighted bit sums. Explode over 32 bit positions + two hash aggregates.
+    * weighted bit sums.
+    *
+    * ONE hash aggregate with 32 sum columns — not a 32-way bit-position
+    * explode (which multiplies the shuffle by 32 and adds a second aggregate
+    * stage). The per-bit sums are exact integers (count × ±1), identical to
+    * the exploded form at any parallelism, so the oracle (which still uses
+    * the unnest(range(32)) formulation) is unaffected.
     */
   def simhashDf(documents: DataFrame): DataFrame = {
     val tc = documents
@@ -146,12 +152,14 @@ object Dedup {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), col("c"), TextFns.hash32(col("tok")).as("h"))
-    val bit = (floor(col("h") / pow(lit(2.0), col("j"))).cast("long") % 2L)
-    tc.select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("c") * (bit * 2L - 1L)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0L, pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+    val sums = (0 until 32).map { j =>
+      val bit = floor(col("h") / lit(math.pow(2.0, j))).cast("long") % 2L
+      sum(col("c") * (bit * 2L - 1L)).as(s"s$j")
+    }
+    tc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"s$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** DuckDB CTE body producing `sh(doc_id, simhash)` — shared by the two

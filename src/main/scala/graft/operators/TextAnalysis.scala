@@ -137,5 +137,44 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint)
+  /** PII scrubbing: email + phone-shaped spans replaced with typed tags, with
+    * per-doc redaction counts — the standard pre-training cleanup pass. Pure
+    * regexp column functions (codegen'd, one scan, no shuffle until the
+    * ORDER BY). The synthetic corpus has no PII, so deterministic contact
+    * strings are seeded per doc first, making every row exercise both
+    * patterns; the regexes live in the dialect-shared subset (character
+    * classes + bounded repetition) so Java and RE2 agree.
+    */
+  val redact = Q(
+    "q_redact",
+    (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}"
+      val seeded = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000L).cast("string"), 4, "0"), lit("-123 now"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(seeded, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+          .as("redacted"),
+        regexp_count(seeded, lit(emailRe)).as("n_emails"),
+        regexp_count(seeded, lit(phoneRe)).as("n_phones")
+      ).orderBy("doc_id")
+    },
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-123 now' AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}', '[PHONE]', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{3,4}')) AS BIGINT) AS n_phones
+      |FROM seeded ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact)
 }
