@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,5 +24,9 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg(children.head, children(1), children(2))
           .toAggregateExpression()))
+    // whole-operator tier: native as-of join (logical node + pushdown rule +
+    // strategy + sort-merge physical operator)
+    ext.injectPlannerStrategy(_ => AsOfJoin.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoin.PushFilterThroughAsOfJoin)
   }
 }

@@ -200,5 +200,41 @@ object Analytics {
       |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, sessionize, topKAgg)
+  /** The SAME as-of semantics through the native whole-operator path
+    * (graft.plans.AsOfJoin: custom logical node → pushdown rule → strategy →
+    * sort-merge physical merge), oracle-checked against DuckDB's built-in
+    * ASOF JOIN. One hash exchange + sort per side, then a per-partition
+    * linear two-pointer merge holding one buffered right row — compared to
+    * the union composition it skips the union and whole-row running-`last`
+    * window state.
+    */
+  val asofNative = Q(
+    "q_asof_native",
+    (s, d) => {
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("t"))
+      val orders = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.plans.AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    },
+    """WITH dedup AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT ev.event_id, ev.user_id, od.o_orderkey, od.o_totalprice
+      |FROM events ev ASOF LEFT JOIN dedup od
+      |  ON ev.user_id = od.o_custkey AND ev.ts >= od.o_orderdate
+      |ORDER BY ev.event_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
+    sessionize, topKAgg)
 }

@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftglue.Bridge
+
+/** Native as-of join — the whole-operator extension tier: a custom
+  * [[LogicalPlan]] node, an optimizer [[Rule]], a planner [[Strategy]] and a
+  * sort-merge [[SparkPlan]], registered through `SparkSessionExtensions`
+  * (GraftExtensions).
+  *
+  * Semantics: for every left row, attach the right row with the same key and
+  * the greatest time ≤ the left row's time (LEFT OUTER — unmatched left rows
+  * get nulls); identical to DuckDB's `ASOF LEFT JOIN ... ON l.k = r.k AND
+  * l.t >= r.t` and to the union+running-last composition in
+  * `Analytics.asofJoin`. Against an inequality theta-join this is the
+  * difference between a per-partition linear merge and a cartesian blow-up;
+  * against the union composition it saves the union and the whole-row
+  * `last(ignoreNulls)` window state, and keeps each side's columns typed
+  * instead of null-padded.
+  *
+  * Scale shape: both sides hash-cluster on the key and sort by (key, time) —
+  * exactly a sort-merge join's distribution — then each co-partition merges
+  * with two forward-only pointers, O(|L| + |R|) per partition, holding ONE
+  * buffered right row. Ties on right (key, time) must be pre-deduplicated for
+  * deterministic results (same requirement the composition documents).
+  */
+object AsOfJoin {
+
+  /** Logical node. Children must expose disjoint column names (the public
+    * builder enforces this; keeps self-join attribute rewriting out of scope).
+    */
+  case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                          leftKey: Expression, rightKey: Expression,
+                          leftTime: Expression, rightTime: Expression)
+      extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Optimizer rule: a Filter over the as-of join that only references
+    * left-side columns is pushed below the join (the right side can't be
+    * filtered — a pre-time row may still be some later row's match). Without
+    * this, Catalyst can't see through the custom node and a selective
+    * predicate would run after the merge instead of before the shuffle.
+    */
+  object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, j: AsOfJoinPlan) =>
+        val (pushable, keep) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+        if (pushable.isEmpty) f
+        else {
+          val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+  }
+
+  /** Planner strategy mapping the logical node to the physical merge. */
+  object AsOfJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case j: AsOfJoinPlan =>
+        AsOfJoinExec(planLater(j.left), planLater(j.right),
+          j.leftKey, j.rightKey, j.leftTime, j.rightTime) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical sort-merge as-of join. EnsureRequirements inserts the hash
+    * exchanges and (key, time) sorts from the declared requirements; the
+    * merge itself is a per-partition two-pointer pass.
+    */
+  case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                          leftKey: Expression, rightKey: Expression,
+                          leftTime: Expression, rightTime: Expression)
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+    override def outputOrdering: Seq[SortOrder] =
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+    override def outputPartitioning = left.outputPartitioning
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lk = BindReferences.bindReference(leftKey, left.output)
+      val lt = BindReferences.bindReference(leftTime, left.output)
+      val rk = BindReferences.bindReference(rightKey, right.output)
+      val rt = BindReferences.bindReference(rightTime, right.output)
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      val rightWidth = right.output.size
+      val outAttrs = output
+      left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rightWidth)
+        val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+        val rBuf = rIt.buffered
+        // the single buffered candidate: latest right row whose (key, time)
+        // does not exceed the current left row's
+        var held: InternalRow = null
+        var heldKey: Any = null
+        lIt.map { l =>
+          val lKeyV = lk.eval(l)
+          val lTimeV = lt.eval(l)
+          if (lKeyV != null && lTimeV != null) {
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val r = rBuf.head
+              val rKeyV = rk.eval(r)
+              if (rKeyV == null) rBuf.next() // null keys never match; skip
+              else {
+                val c = keyOrd.compare(rKeyV, lKeyV)
+                if (c < 0) rBuf.next() // right still on an earlier key group
+                else if (c == 0) {
+                  val rTimeV = rt.eval(r)
+                  if (rTimeV != null && timeOrd.compare(rTimeV, lTimeV) <= 0) {
+                    held = r.copy() // held beyond this call — must copy
+                    heldKey = rk.eval(held)
+                    rBuf.next()
+                  } else advancing = false // future-time row; stop before it
+                } else advancing = false // right ahead of left's key group
+              }
+            }
+          }
+          val matched = held != null && lKeyV != null &&
+            keyOrd.compare(heldKey, lKeyV) == 0
+          toUnsafe(joined(l, if (matched) held else nullRight))
+        }
+      }
+    }
+  }
+
+  /** Public builder: `AsOfJoin(events, orders, "user_id", "o_custkey",
+    * "t", "ot")`. Column names must be disjoint between the two sides.
+    */
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, rightKey: String,
+            leftTime: String, rightTime: String): DataFrame = {
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(right)
+    val overlap = lPlan.output.map(_.name).toSet.intersect(rPlan.output.map(_.name).toSet)
+    require(overlap.isEmpty, s"asof join sides must have disjoint column names, both have: $overlap")
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    Bridge.ofRows(left.sparkSession, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+/** Minimal access layer to `private[sql]` constructors, for turning a custom
+  * [[LogicalPlan]] node into a user-facing DataFrame. This is the standard
+  * packaging technique for third-party Spark plan extensions (the DSv2 /
+  * SparkSessionExtensions APIs cover sources, rules, strategies and functions,
+  * but not "hand me a DataFrame over my own logical node").
+  */
+object Bridge {
+  /** Wrap a (resolved) logical plan as a DataFrame on the given session. */
+  def ofRows(session: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(session.asInstanceOf[CSparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
+
+  /** The optimized logical plan (for plan-shape assertions in specs). */
+  def optimized(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[CDataset[Row]].queryExecution.optimizedPlan
+}

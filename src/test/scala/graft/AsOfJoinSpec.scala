@@ -1,0 +1,74 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Bridge
+
+/** The native as-of join operator (logical node + rule + strategy + physical
+  * merge) must agree row-for-row with the oracle-checked union+running-last
+  * composition, and its custom pushdown rule must move left-only filters
+  * below the join.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def sides(dir: String): (DataFrame, DataFrame) = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("t"))
+    val orders = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"),
+        col("o_orderkey"), col("o_totalprice"))
+    (events, orders)
+  }
+
+  test("native as-of join matches the union+window composition row for row") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    val native = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+    val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("physical plan is the custom sort-merge operator, no cartesian") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    val df = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+    // physical nodes render without the Exec suffix (and AQE hides the tree
+    // from `exists`, so assert on the rendered plan)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin "), s"expected AsOfJoin operator in:\n$physical")
+    assert(!physical.contains("CartesianProduct"))
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("left-only filters push below the as-of join and reach the scan") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    val df = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .filter(col("user_id") < 100L)
+    val optimized = Bridge.optimized(df)
+    // no Filter remains above the join node...
+    val filterAboveJoin = optimized.collect {
+      case f @ Filter(_, _: AsOfJoin.AsOfJoinPlan) => f
+    }
+    assert(filterAboveJoin.isEmpty, s"filter not pushed:\n$optimized")
+    // ...and the standard rules carried it all the way into the parquet scan
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,100)]")
+      || physical.contains("LessThan(user_id,100)"), s"scan pushdown missing:\n$physical")
+    // results still correct under the pushed plan
+    assert(df.count() ==
+      SparkEntry.queries("q_asof_join")(spark, dir).filter(col("user_id") < 100L).count())
+  }
+}
