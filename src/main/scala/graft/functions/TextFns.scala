@@ -55,10 +55,17 @@ object TextFns {
     maxDf match {
       case None => sh
       case Some(cap) =>
-        // count-over-window: one pass / one shuffle on sh, instead of a
-        // groupBy + join-back that recomputes the shingle relation twice
-        sh.withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-          .filter(col("df") <= cap)
+        // The stop-shingles are FEW by definition (df > cap bounds them to
+        // |corpus|/cap distinct values), so compute that tiny list with a
+        // map-side-combinable aggregate and drop them via a broadcast
+        // left-anti join — the big relation is never shuffled again, unlike
+        // the count-over-window form which re-shuffles and sorts every
+        // shingle row. The base relation feeds both the hot-list aggregate
+        // and the anti join, so it is persisted for the duration of the plan.
+        val based = sh.persist()
+        val hot = based.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        based.join(broadcast(hot), Seq("sh"), "left_anti")
           .select("doc_id", "sh")
     }
   }
