@@ -11,6 +11,7 @@ object PlanDump {
     val out = if (args.nonEmpty) args(0) else "/tmp/plans"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(out).mkdirs()
