@@ -4,9 +4,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,16 +86,23 @@ object GeoJsonFetch {
   }
 }
 
-class GeoJsonTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class GeoJsonTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "geojson"
   override def schema(): StructType = GeoJsonDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
     new GeoJsonScanBuilder(new CaseInsensitiveStringMap(merged))
   }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GeoJsonWriteBuilder(
+      Option(info.options.get("path")).getOrElse(
+        throw new IllegalArgumentException("geojson write: missing path")),
+      info.schema())
 }
 
 class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
@@ -115,6 +123,103 @@ class GeoJsonScan(paths: Seq[String], required: StructType) extends Scan with Ba
 
 case class GeoJsonInputPartition(path: String) extends InputPartition
 
+/** DSv2 write path: each task writes its partition as newline-delimited
+  * Feature documents to a temp file; commit atomically moves the temp files
+  * into place, abort deletes them — the standard two-phase file commit.
+  * Input rows must carry the connector's normalized schema (geometry_type,
+  * parts, properties; other columns are ignored), so `read → transform →
+  * write` round-trips through `format("geojson")` symmetrically.
+  */
+class GeoJsonWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // overwrite == rewrite the dir
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GeoJsonBatchWrite(path, schema)
+  }
+}
+
+case class GeoJsonCommitMessage(tmpFile: String) extends WriterCommitMessage
+
+class GeoJsonBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path, "_tmp").mkdirs()
+    new GeoJsonWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case GeoJsonCommitMessage(tmp) =>
+      val f = new java.io.File(tmp)
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(path, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(path, "_tmp").delete()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case GeoJsonCommitMessage(tmp) => new java.io.File(tmp).delete() }
+    new java.io.File(path, "_tmp").delete()
+  }
+}
+
+class GeoJsonWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GeoJsonDataWriter(path, schema, partitionId, taskId)
+}
+
+class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = new java.io.File(s"$path/_tmp/part-$partitionId-$taskId.geojson")
+  private val out = new java.io.BufferedWriter(new java.io.FileWriter(tmp))
+  private val mapper = new ObjectMapper()
+  private val idx = schema.fieldNames.zipWithIndex.toMap
+
+  override def write(row: InternalRow): Unit = {
+    val doc = mapper.createObjectNode()
+    doc.put("type", "Feature")
+    val geom = doc.putObject("geometry")
+    val gType = idx.get("geometry_type")
+      .filterNot(row.isNullAt).map(i => row.getUTF8String(i).toString).getOrElse("LineString")
+    geom.put("type", gType)
+    val coords = geom.putArray("coordinates")
+    idx.get("parts").filterNot(row.isNullAt).foreach { i =>
+      val parts = row.getArray(i)
+      def lineInto(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+                   part: org.apache.spark.sql.catalyst.util.ArrayData): Unit =
+        (0 until part.numElements()).foreach { p =>
+          val pt = part.getArray(p)
+          val ptNode = arr.addArray()
+          (0 until pt.numElements()).foreach(k => ptNode.add(pt.getDouble(k)))
+        }
+      gType match {
+        case "Point" =>
+          val pt = parts.getArray(0).getArray(0)
+          (0 until pt.numElements()).foreach(k => coords.add(pt.getDouble(k)))
+        case "LineString" | "MultiPoint" =>
+          lineInto(coords, parts.getArray(0))
+        case _ => // MultiLineString / Polygon / MultiPolygon-as-rings
+          (0 until parts.numElements()).foreach { j =>
+            lineInto(coords.addArray(), parts.getArray(j))
+          }
+      }
+    }
+    val props = doc.putObject("properties")
+    idx.get("properties").filterNot(row.isNullAt).foreach { i =>
+      val m = row.getMap(i)
+      (0 until m.numElements()).foreach { k =>
+        props.put(m.keyArray().getUTF8String(k).toString,
+          m.valueArray().getUTF8String(k).toString)
+      }
+    }
+    out.write(doc.toString)
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close(); GeoJsonCommitMessage(tmp.getAbsolutePath)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = ()
+}
+
 class GeoJsonReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required)
@@ -128,12 +233,17 @@ class GeoJsonPartitionReader(path: String, required: StructType)
 
   private val fileName = path.split('/').last
   private val features: Iterator[(JsonNode, Long)] = {
-    val root = new ObjectMapper().readTree(GeoJsonFetch.fetch(path))
-    val it =
+    val mapper = new ObjectMapper()
+    // a source document may be ONE value (FeatureCollection / Feature /
+    // array) or a newline-delimited stream of Features (the distributed
+    // write form) — readValues iterates every top-level value either way
+    val docs = mapper.readValues(
+      mapper.createParser(GeoJsonFetch.fetch(path)), classOf[JsonNode]).asScala
+    docs.flatMap { root =>
       if (root.isArray) root.elements().asScala
       else if (root.has("features")) root.get("features").elements().asScala
       else Iterator(root)
-    it.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+    }.zipWithIndex.map { case (n, i) => (n, i.toLong) }
   }
   private var current: InternalRow = _
 

@@ -74,6 +74,27 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(math.abs(byType("MultiLineString") - 1100.0) < 1e-9)
   }
 
+  test("connector write path round-trips through the connector read path") {
+    val fc = tmpFile("fc6.json", s"""{"type": "FeatureCollection", "features": [$feature, $multiFeature]}""")
+    val outDir = java.nio.file.Files.createTempDirectory("gjw").toString + "/out"
+    val df = spark.read.format("geojson").load(fc)
+    df.write.format("geojson").mode("overwrite").save(outDir)
+    // newline-delimited Feature files, no temp dir left behind
+    assert(!new java.io.File(outDir, "_tmp").exists())
+    val back = spark.read.format("geojson")
+      .load(new java.io.File(outDir).listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getAbsolutePath): _*)
+    assert(back.count() == 2)
+    val byType = back.collect().map(r =>
+      r.getAs[String]("geometry_type") -> r.getAs[Map[String, String]]("properties")("route_id")).toMap
+    assert(byType == Map("LineString" -> "R1", "MultiLineString" -> "R2"))
+    // geometry survives structurally: multi-part lengths unchanged
+    val len = graft.sources.GeoJson.multiPartLength(back)
+      .select("geometry_type", "route_length_m").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(len("MultiLineString") - 1100.0) < 1e-9)
+  }
+
   test("connector prunes columns and reads via a url option; http fails fast") {
     val fc = tmpFile("fc5.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
     val pruned = spark.read.format("geojson").load(fc).select("geometry_type")
