@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, OsgbToWgs84, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,11 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg(children.head, children(1), children(2))
           .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_osgb"),
+      new ExpressionInfo(classOf[OsgbToWgs84].getName, "graft_osgb"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        OsgbToWgs84(children.head, children(1))))
     // whole-operator tier: native as-of join (logical node + pushdown rule +
     // strategy + sort-merge physical operator)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfJoinStrategy)

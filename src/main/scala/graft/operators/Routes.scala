@@ -197,12 +197,22 @@ object Routes {
   val reproject = Q(
     "q_reproject",
     (s, d) => {
-      Tables.part(s, d).select(
+      val base = Tables.part(s, d).select(
         col("p_partkey"),
         Geom.pointE("p_partkey").cast("double").as("easting"),
-        Geom.pointN("p_partkey").cast("double").as("northing")
-      ).createOrReplaceTempView("osgb_base")
-      s.sql(Osgb.reprojectSql("osgb_base", Seq("p_partkey"), 5))
+        Geom.pointN("p_partkey").cast("double").as("northing"))
+      if (s.catalog.functionExists("graft_osgb")) {
+        // native fused expression (plans/OsgbToWgs84): same double-op
+        // sequence as the shared-SQL chain, one codegen'd call per row
+        base.select(
+          col("p_partkey"), col("easting"), col("northing"),
+          round(element_at(expr("graft_osgb(easting, northing)"), 1), 5).as("lat"),
+          round(element_at(expr("graft_osgb(easting, northing)"), 2), 5).as("lon"))
+          .orderBy("p_partkey")
+      } else {
+        base.createOrReplaceTempView("osgb_base")
+        s.sql(Osgb.reprojectSql("osgb_base", Seq("p_partkey"), 5))
+      }
     },
     Osgb.reprojectSql(
       s"(SELECT p_partkey, CAST(${Geom.pointESql("p_partkey")} AS DOUBLE) AS easting, " +
