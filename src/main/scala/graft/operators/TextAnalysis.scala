@@ -95,19 +95,31 @@ object TextAnalysis {
       val uniq = size(array_distinct(t)).cast("double") / n
       val stop = regexp_count(col("text"), lit("\\b(the|a)\\b")).cast("double") / n
       val alpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") / length(col("text")).cast("double")
+      // the weighted sum runs in exact DECIMAL over the pre-rounded
+      // components: 6-decimal values × 0.4/0.3 weights produce exact
+      // 7th-decimal halves, which double rounding resolves differently
+      // across engines (observed: 1 row in 50k at sf0.1) — decimal HALF_UP
+      // agrees everywhere
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val quality = round(
+        round(uniq, 6).cast(dec) * lit(BigDecimal("0.4")) +
+          (lit(BigDecimal("1.0")) - round(stop, 6).cast(dec)) * lit(BigDecimal("0.3")) +
+          round(alpha, 6).cast(dec) * lit(BigDecimal("0.3")), 6).cast("double")
       Tables.documents(s, d).select(
         col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         round(uniq, 6).as("uniq_ratio"),
         round(stop, 6).as("stop_ratio"),
         round(alpha, 6).as("alpha_ratio"),
-        round(uniq * 0.4 + (lit(1.0) - stop) * 0.3 + alpha * 0.3, 6).as("quality")
+        quality.as("quality")
       ).orderBy("doc_id")
     },
     """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
       |round(uniq, 6) AS uniq_ratio, round(stop, 6) AS stop_ratio,
       |round(alpha, 6) AS alpha_ratio,
-      |round(uniq*0.4 + (1.0-stop)*0.3 + alpha*0.3, 6) AS quality
+      |CAST(round(CAST(round(uniq,6) AS DECIMAL(18,6))*0.4
+      |         + (1.0 - CAST(round(stop,6) AS DECIMAL(18,6)))*0.3
+      |         + CAST(round(alpha,6) AS DECIMAL(18,6))*0.3, 6) AS DOUBLE) AS quality
       |FROM (SELECT doc_id, text,
       |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')) AS uniq,
       |  CAST(len(regexp_extract_all(text, '\b(the|a)\b')) AS DOUBLE)/len(string_split(text,' ')) AS stop,
