@@ -184,6 +184,48 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
+  /** FULL OUTER join with orphans on BOTH sides: every third customer (left)
+    * against per-customer order rollups (right) — TPC-H's ~1/3 orderless
+    * customers orphan the left, the customer filter orphans the right.
+    * Shuffled hash/merge join on the key; null-safe coalesce surfaces which
+    * side each row came from.
+    */
+  val fullOuter = Q(
+    "q_full_outer",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3L === 0L)
+        .select(col("c_custkey"), col("c_name"))
+      val ords = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_spend"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("total_spend"), lit(0.0d)), 2).as("total_spend"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("both").as("side"))
+        .orderBy("k")
+    },
+    """SELECT coalesce(c_custkey, o_custkey) AS k, c_name,
+      |coalesce(n_orders, 0) AS n_orders,
+      |round(coalesce(total_spend, 0.0), 2) AS total_spend,
+      |CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |     WHEN o_custkey IS NULL THEN 'customer_only'
+      |     ELSE 'both' END AS side
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY o_custkey) o
+      |ON c_custkey = o_custkey
+      |ORDER BY k""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
-    groupByCategory, q1Agg, semiAnti, countDistinct_)
+    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter)
 }
