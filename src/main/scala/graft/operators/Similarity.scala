@@ -207,11 +207,14 @@ object Similarity {
     * centroid relation over one scan of `vecs`, rank by pre-rounded cosine +
     * cent_id so assignment is reproducible bit-for-bit in the oracle.
     */
+  /** Nearest cells with the vector carried through (output: id, cell, qe) —
+    * downstream candidate scoring then needs no join back to the embeddings.
+    */
   private def nearestCells(vecs: DataFrame, cents: DataFrame, idAlias: String,
                            nprobe: Int): DataFrame = {
     val scored = vecs.select(col("vec_id").as(idAlias), col("embedding").as("qe"))
       .crossJoin(broadcast(cents))
-      .select(col(idAlias), col("cent_id"),
+      .select(col(idAlias), col("qe"), col("cent_id"),
         round(VecFns.cosine(col("qe"), col("ce")), 6).as("cscore"))
     if (nprobe == 1)
       // argmax as a hash aggregate (max_by over (score, -cent_id) breaks ties
@@ -219,13 +222,14 @@ object Similarity {
       // partial-aggregable map-side, no sort, the shape that matters for the
       // corpus-wide assignment passes
       scored.groupBy(col(idAlias))
-        .agg(max_by(col("cent_id"), struct(col("cscore"), -col("cent_id"))).as("cell"))
+        .agg(max_by(struct(col("cent_id"), col("qe")), struct(col("cscore"), -col("cent_id"))).as("m"))
+        .select(col(idAlias), col("m.cent_id").as("cell"), col("m.qe").as("qe"))
     else
       scored
         .withColumn("rn", row_number().over(
           Window.partitionBy(idAlias).orderBy(col("cscore").desc, col("cent_id"))))
         .filter(col("rn") <= nprobe)
-        .select(col(idAlias), col("cent_id").as("cell"))
+        .select(col(idAlias), col("cent_id").as("cell"), col("qe"))
   }
 
   /** One k-means averaging step, partitioning-invariant: embedding values are
@@ -272,20 +276,23 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("ce"))
     // 2 Lloyd iterations; each collects 16 tiny centroid rows, never data
     val centroids = (1 to 2).foldLeft(seeds) { (cents, _) =>
-      val next = recomputeCentroids(nearestCells(corpus, cents, "vid", 1), corpus)
+      val assigned = nearestCells(corpus, cents, "vid", 1).select("vid", "cell")
+      val next = recomputeCentroids(assigned, corpus)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       import s.implicits._
       next.toSeq.toDF("cent_id", "ce")
     }
+    // vectors ride through the assignments, so the search is a broadcast of
+    // the (tiny) probe set against corpus cells — no join back to the
+    // embeddings table, no extra shuffles
     val probes = nearestCells(emb.filter(col("vec_id") < NQ), centroids, "q_id", nprobe)
     val cCells = nearestCells(corpus, centroids, "c_id", 1)
+      .select(col("c_id"), col("cell"), col("qe").as("ce"))
     val cos =
       if (s.catalog.functionExists("graft_cosine")) expr("graft_cosine(qe, ce)")
       else VecFns.cosine(col("qe"), col("ce"))
-    probes
-      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), Seq("q_id"))
+    broadcast(probes)
       .join(cCells, Seq("cell"))
-      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("ce")), Seq("c_id"))
       .select(col("q_id"), col("c_id"), col("cell"), round(cos, 6).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
