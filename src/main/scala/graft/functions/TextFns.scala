@@ -61,7 +61,9 @@ object TextFns {
         // left-anti join — the big relation is never shuffled again, unlike
         // the count-over-window form which re-shuffles and sorts every
         // shingle row. The base relation feeds both the hot-list aggregate
-        // and the anti join, so it is persisted for the duration of the plan.
+        // and the anti join, so it is persisted for the duration of the plan;
+        // cache lifetime is owned by the CALLER (Bench/Verify clearCache()
+        // between queries — long-lived sessions should do the same).
         val based = sh.persist()
         val hot = based.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")

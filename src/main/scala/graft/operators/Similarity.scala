@@ -106,7 +106,11 @@ object Similarity {
     val checked = when(size(col("embedding")) === Dims, col("embedding"))
       .otherwise(raise_error(concat(
         lit(s"graft: embedding dim != $Dims: "), size(col("embedding")).cast("string"))))
-    embeddings.withColumn("bucket", lshBucketExpr(checked))
+    // null embeddings get a null bucket (they drop out of the candidate
+    // equi-join) rather than tripping the guard with a null error message
+    embeddings.withColumn("bucket",
+      when(col("embedding").isNull, lit(null).cast("long"))
+        .otherwise(lshBucketExpr(checked)))
   }
 
   /** LSH ANN: candidates share a bucket (equi-join), cosine only on those. */

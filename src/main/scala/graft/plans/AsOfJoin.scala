@@ -138,7 +138,10 @@ object AsOfJoin {
                 if (c < 0) rBuf.next() // right still on an earlier key group
                 else if (c == 0) {
                   val rTimeV = rt.eval(r)
-                  if (rTimeV != null && timeOrd.compare(rTimeV, lTimeV) <= 0) {
+                  if (rTimeV == null) rBuf.next() // null time never matches; must
+                  // consume it or it stalls the merge (NULLS FIRST puts it at
+                  // the head of the key group)
+                  else if (timeOrd.compare(rTimeV, lTimeV) <= 0) {
                     held = r.copy() // held beyond this call — must copy
                     heldKey = rk.eval(held)
                     rBuf.next()
@@ -168,8 +171,14 @@ object AsOfJoin {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
-    Bridge.ofRows(left.sparkSession, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // the merge compares right values with orderings built from the LEFT
+    // types — mixed types would misbehave at runtime, so fail at plan time
+    require(lk.dataType == rk.dataType,
+      s"asof join key types differ: ${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
+    require(lt.dataType == rt.dataType,
+      s"asof join time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
+    Bridge.ofRows(left.sparkSession, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

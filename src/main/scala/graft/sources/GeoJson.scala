@@ -38,12 +38,15 @@ object GeoJson {
     */
   def routeLength(df: DataFrame): DataFrame =
     df.withColumn("route_length_m", expr(
-      """aggregate(
+      // the size guard matters: sequence(0, -1) is the DESCENDING [0, -1],
+      // not empty, and the out-of-range indexing would null the length for
+      // degenerate single-point geometries instead of yielding 0
+      """CASE WHEN size(coordinates) < 2 THEN 0D ELSE aggregate(
         |  sequence(0, size(coordinates) - 2),
         |  0D,
         |  (acc, i) -> acc + sqrt(
         |    pow(coordinates[i+1][0] - coordinates[i][0], 2) +
-        |    pow(coordinates[i+1][1] - coordinates[i][1], 2)))""".stripMargin))
+        |    pow(coordinates[i+1][1] - coordinates[i][1], 2))) END""".stripMargin))
 
   /** Full ingest: read + derived length + lineage column
     * (process_cycle_networks.py:85-99).
@@ -60,13 +63,16 @@ object GeoJson {
     */
   def multiPartLength(df: DataFrame): DataFrame =
     df.withColumn("route_length_m", expr(
+      // single-point parts (Point geometries normalize to one) contribute 0;
+      // without the guard sequence(0, -1) = [0, -1] and the out-of-range
+      // lookups null the whole length
       """aggregate(
         |  parts,
         |  0D,
-        |  (total, part) -> total + aggregate(
+        |  (total, part) -> total + (CASE WHEN size(part) < 2 THEN 0D ELSE aggregate(
         |    sequence(0, size(part) - 2),
         |    0D,
         |    (acc, i) -> acc + sqrt(
         |      pow(part[i+1][0] - part[i][0], 2) +
-        |      pow(part[i+1][1] - part[i][1], 2))))""".stripMargin))
+        |      pow(part[i+1][1] - part[i][1], 2))) END))""".stripMargin))
 }

@@ -132,20 +132,27 @@ case class GeoJsonInputPartition(path: String) extends InputPartition
   */
 class GeoJsonWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this // overwrite == rewrite the dir
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GeoJsonBatchWrite(path, schema)
+    override def toBatch: BatchWrite = new GeoJsonBatchWrite(path, schema, truncateFirst)
   }
 }
 
 case class GeoJsonCommitMessage(tmpFile: String) extends WriterCommitMessage
 
-class GeoJsonBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class GeoJsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path, "_tmp").mkdirs()
     new GeoJsonWriterFactory(path, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // task ids differ between jobs, so overwrite must REMOVE the previous
+    // job's part files — REPLACE_EXISTING alone would union the two writes
+    if (truncateFirst)
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-")).foreach(_.delete())
     messages.foreach { case GeoJsonCommitMessage(tmp) =>
       val f = new java.io.File(tmp)
       java.nio.file.Files.move(f.toPath,
@@ -195,7 +202,14 @@ class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, task
           (0 until pt.numElements()).foreach(k => coords.add(pt.getDouble(k)))
         case "LineString" | "MultiPoint" =>
           lineInto(coords, parts.getArray(0))
-        case _ => // MultiLineString / Polygon / MultiPolygon-as-rings
+        case "MultiPolygon" =>
+          // the reader flattened polygons to rings; emit each ring as a
+          // one-ring polygon (4-deep coordinates) so the output re-reads
+          // through the same MultiPolygon branch symmetrically
+          (0 until parts.numElements()).foreach { j =>
+            lineInto(coords.addArray().addArray(), parts.getArray(j))
+          }
+        case _ => // MultiLineString / Polygon rings
           (0 until parts.numElements()).foreach { j =>
             lineInto(coords.addArray(), parts.getArray(j))
           }
@@ -205,8 +219,9 @@ class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, task
     idx.get("properties").filterNot(row.isNullAt).foreach { i =>
       val m = row.getMap(i)
       (0 until m.numElements()).foreach { k =>
-        props.put(m.keyArray().getUTF8String(k).toString,
-          m.valueArray().getUTF8String(k).toString)
+        val key = m.keyArray().getUTF8String(k).toString
+        if (m.valueArray().isNullAt(k)) props.putNull(key)
+        else props.put(key, m.valueArray().getUTF8String(k).toString)
       }
     }
     out.write(doc.toString)

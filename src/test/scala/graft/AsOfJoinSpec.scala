@@ -52,6 +52,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!physical.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("null right-side times are skipped, not allowed to stall the merge") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, "e1"), (1L, 30L, "e2"), (2L, 5L, "e3"))
+      .toDF("user_id", "t", "tag")
+    val right = Seq(
+      (1L, Option.empty[Long], "null-time"), (1L, Some(10L), "match"),
+      (2L, Some(50L), "future"))
+      .toDF("o_custkey", "ot", "name")
+    val out = AsOfJoin(left, right, "user_id", "o_custkey", "t", "ot")
+      .select("tag", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the null-time row sorts NULLS FIRST at the key-group head; both left
+    // rows of key 1 must still reach the t=10 match behind it
+    assert(out("e1") == "match" && out("e2") == "match")
+    assert(out("e3") == null, "future-time right row must not match")
+  }
+
+  test("mismatched key or time types fail at build time, not in executors") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("user_id", "t")
+    val rightIntKey = Seq((1, 5L)).toDF("o_custkey", "ot")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin(left, rightIntKey, "user_id", "o_custkey", "t", "ot")
+    }
+    assert(e1.getMessage.contains("key types differ"))
+    val rightStrTime = Seq((1L, "2024")).toDF("o_custkey", "ot")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin(left, rightStrTime, "user_id", "o_custkey", "t", "ot")
+    }
+    assert(e2.getMessage.contains("time types differ"))
+  }
+
   test("left-only filters push below the as-of join and reach the scan") {
     val dir = sf("sf0.001")
     val (events, orders) = sides(dir)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.GeoJson
+import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 
 class GeoJsonSourceSpec extends SparkSpec {
@@ -93,6 +94,44 @@ class GeoJsonSourceSpec extends SparkSpec {
       .select("geometry_type", "route_length_m").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(len("MultiLineString") - 1100.0) < 1e-9)
+  }
+
+  private val pointFeature =
+    """{"type": "Feature", "properties": {"route_id": "P1"},
+      | "geometry": {"type": "Point", "coordinates": [100.0, 200.0]}}""".stripMargin
+
+  test("overwrite replaces previous part files instead of unioning them") {
+    val fc = tmpFile("fc7.json", s"""{"type": "FeatureCollection", "features": [$feature, $multiFeature]}""")
+    val outDir = java.nio.file.Files.createTempDirectory("gjw2").toString + "/out"
+    val df = spark.read.format("geojson").load(fc)
+    df.write.format("geojson").mode("overwrite").save(outDir)
+    df.write.format("geojson").mode("overwrite").save(outDir) // task ids differ
+    val parts = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("part-"))
+    val back = spark.read.format("geojson").load(parts.map(_.getAbsolutePath): _*)
+    assert(back.count() == 2, s"expected 2 rows after double overwrite, files: ${parts.map(_.getName).toSeq}")
+  }
+
+  test("Point features get length 0, not null; MultiPolygon re-reads symmetrically") {
+    val mp =
+      """{"type": "Feature", "properties": {"route_id": "MP1"},
+        | "geometry": {"type": "MultiPolygon", "coordinates":
+        |   [[[[0.0,0.0],[3.0,0.0],[3.0,4.0],[0.0,0.0]]], [[[10.0,10.0],[11.0,10.0],[10.0,10.0]]]]}}""".stripMargin
+    val fc = tmpFile("fc8.json", s"""{"type": "FeatureCollection", "features": [$pointFeature, $mp]}""")
+    val df = GeoJson.multiPartLength(spark.read.format("geojson").load(fc))
+    val byType = df.select("geometry_type", "route_length_m").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byType("Point") == 0.0, "single-point part must contribute 0, not null")
+    // ring 1: 3 + 4 + 5 = 12; ring 2: 1 + 1 = 2
+    assert(math.abs(byType("MultiPolygon") - 14.0) < 1e-9)
+    // write + re-read keeps the same rings and lengths (4-deep round trip)
+    val outDir = java.nio.file.Files.createTempDirectory("gjmp").toString + "/out"
+    df.drop("route_length_m").write.format("geojson").mode("overwrite").save(outDir)
+    val back = GeoJson.multiPartLength(spark.read.format("geojson")
+      .load(new java.io.File(outDir).listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getAbsolutePath): _*))
+    val backLen = back.filter(col("geometry_type") === "MultiPolygon")
+      .select("route_length_m").head().getDouble(0)
+    assert(math.abs(backLen - 14.0) < 1e-9)
   }
 
   test("connector prunes columns and reads via a url option; http fails fast") {

@@ -23,6 +23,7 @@ class IvfRecallSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
     def meanRecall(nprobe: Int): Double = {
+      spark.catalog.clearCache() // each build persists the corpus projection
       val ivf = Similarity.ivfTopK(emb, nprobe, 3).collect()
         .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
