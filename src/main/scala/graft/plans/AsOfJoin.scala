@@ -150,7 +150,9 @@ object AsOfJoin {
               }
             }
           }
-          val matched = held != null && lKeyV != null &&
+          // a null left key OR time can never satisfy l.t >= r.t — emit
+          // null-padded, matching ASOF LEFT JOIN null-comparison semantics
+          val matched = held != null && lKeyV != null && lTimeV != null &&
             keyOrd.compare(heldKey, lKeyV) == 0
           toUnsafe(joined(l, if (matched) held else nullRight))
         }

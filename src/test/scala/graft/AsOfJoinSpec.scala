@@ -54,7 +54,8 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("null right-side times are skipped, not allowed to stall the merge") {
     import spark.implicits._
-    val left = Seq((1L, 20L, "e1"), (1L, 30L, "e2"), (2L, 5L, "e3"))
+    val left = Seq((1L, Some(20L), "e1"), (1L, Some(30L), "e2"), (2L, Some(5L), "e3"),
+      (1L, Option.empty[Long], "e4"))
       .toDF("user_id", "t", "tag")
     val right = Seq(
       (1L, Option.empty[Long], "null-time"), (1L, Some(10L), "match"),
@@ -66,6 +67,7 @@ class AsOfJoinSpec extends SparkSpec {
     // rows of key 1 must still reach the t=10 match behind it
     assert(out("e1") == "match" && out("e2") == "match")
     assert(out("e3") == null, "future-time right row must not match")
+    assert(out("e4") == null, "null LEFT time can never satisfy t >= ot")
   }
 
   test("mismatched key or time types fail at build time, not in executors") {
