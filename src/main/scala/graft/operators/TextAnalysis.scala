@@ -188,5 +188,57 @@ object TextAnalysis {
       |FROM seeded ORDER BY doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact)
+  /** Collocation / phrase detection: top-50 adjacent-word pairs by PMI
+    * (pointwise mutual information) — the phrase-merging signal a tokenizer
+    * pipeline computes before vocabulary construction. Bigrams come from a
+    * per-row `transform` over the token array (no positional self-join on
+    * the Spark side — the array is already adjacent in memory), then two
+    * hash aggregates + broadcast-joined unigram counts. Scale shape: one
+    * shuffle keyed on the pair, one on the word; the top-k is a global sort
+    * of the (small) filtered pair set.
+    */
+  val collocations = Q(
+    "q_collocations",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      val pairs = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      val uni = toks.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val total = pairs.agg(sum(col("n_pair")).as("total"))
+      val pmi = round(log(
+        col("n_pair").cast("double") * col("total").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6)
+      pairs.filter(col("n_pair") >= 5L)
+        .crossJoin(broadcast(total))
+        .join(uni.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+        .select(col("w1"), col("w2"), col("n_pair"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, t, i
+      |  FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |       unnest(range(len(ts))) AS u(i), LATERAL (SELECT ts[i+1] AS t) x),
+      |uni AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      |big AS (
+      |  SELECT a.t AS w1, b.t AS w2, count(*) AS c_xy
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  GROUP BY 1, 2),
+      |n AS (SELECT sum(c_xy) AS total FROM big)
+      |SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pair,
+      |  round(ln(CAST(c_xy AS DOUBLE) * CAST((SELECT total FROM n) AS DOUBLE) /
+      |        (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      |FROM big JOIN uni u1 ON u1.t = w1 JOIN uni u2 ON u2.t = w2
+      |WHERE c_xy >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
+    collocations)
 }
