@@ -256,5 +256,69 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard)
+  /** Connected components over a near-dup pair graph by iterative min-label
+    * propagation (the Pregel/GraphX shape as plain DataFrame ops): every node
+    * starts labelled with itself; each round takes the min of its own and its
+    * neighbours' labels; fixpoint reached in O(component diameter) rounds —
+    * near-dup clusters are small and dense, so convergence is fast at any
+    * scale. The driver's per-round work is ONE scalar convergence probe; the
+    * label state lives distributed. min() is associative/commutative, so the
+    * result is partitioning-invariant. Returns (doc_id, cluster_rep).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("d1").as("v"), col("d2").as("w"))
+      .unionByName(pairs.select(col("d2").as("v"), col("d1").as("w")))
+      .persist()
+    var labels = edges.select(col("v")).distinct().withColumn("l", col("v")).persist()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neigh = edges.join(labels.select(col("v").as("w"), col("l")), Seq("w"))
+        .groupBy("v").agg(min(col("l")).as("nl"))
+      val next = labels.join(neigh, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .persist()
+      val changed = next.join(labels.select(col("v"), col("l").as("old")), Seq("v"))
+        .filter(col("l") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iters += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
+  }
+
+  /** The dedup DELIVERABLE: duplicate clusters (not just pairs) — MinHash
+    * candidate pairs grouped into connected components, each doc tagged with
+    * its cluster representative (the min doc_id — the copy a pipeline keeps)
+    * and the cluster size.
+    */
+  val clusters = Q(
+    "q_dedup_clusters",
+    (s, d) => {
+      val comp = connectedComponents(
+        minhashNearDups(Tables.documents(s, d), 2, 32, 4, 0.5).select("d1", "d2"))
+      val sizes = comp.groupBy(col("cluster_rep").as("r")).agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, col("cluster_rep") === col("r"))
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT d1, d2 FROM (${minhash.oracle.replace("ORDER BY d1, d2", "")})),
+       |edges AS (SELECT d1 AS v, d2 AS w FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT v FROM edges),
+       |reach AS (
+       |  SELECT v, v AS l FROM nodes
+       |  UNION
+       |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.w
+       |),
+       |comp AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT c.doc_id, c.cluster_rep, CAST(n.sz AS BIGINT) AS cluster_size
+       |FROM comp c JOIN (SELECT cluster_rep AS r, count(*) AS sz FROM comp GROUP BY 1) n
+       |ON n.r = c.cluster_rep
+       |ORDER BY c.doc_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters)
 }
