@@ -266,10 +266,16 @@ object Dedup {
     * result is partitioning-invariant. Returns (doc_id, cluster_rep).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // localCheckpoint (not just persist) truncates lineage each round: every
+    // iteration's plan is then structurally IDENTICAL, so codegen compiles
+    // once and analysis stays O(1) per round instead of growing with the
+    // iteration count — the difference between seconds and tens of seconds
+    // once components need 10+ rounds
     val edges = pairs.select(col("d1").as("v"), col("d2").as("w"))
       .unionByName(pairs.select(col("d2").as("v"), col("d1").as("w")))
-      .persist()
-    var labels = edges.select(col("v")).distinct().withColumn("l", col("v")).persist()
+      .localCheckpoint()
+    var labels = edges.select(col("v")).distinct().withColumn("l", col("v"))
+      .localCheckpoint()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -277,10 +283,9 @@ object Dedup {
         .groupBy("v").agg(min(col("l")).as("nl"))
       val next = labels.join(neigh, Seq("v"), "left")
         .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.select(col("v"), col("l").as("old")), Seq("v"))
         .filter(col("l") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       iters += 1
