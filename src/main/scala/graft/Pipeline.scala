@@ -48,4 +48,23 @@ object Pipeline {
       Wkt.point(col("easting"), col("northing")))
     (gj, csv)
   }
+
+  /** The same enrichment through the native surface: DSv2 connector read
+    * (multi-part aware, pruned at the reader), nested-fold multi-part length,
+    * fused `graft_osgb` reprojection expression, grid reference. Requires the
+    * GraftExtensions session config; produces the same lat/lon/gridref values
+    * as [[processRoutes]] (PipelineSpec asserts the equivalence).
+    */
+  def processRoutesNative(spark: SparkSession, geojsonPath: String): DataFrame = {
+    require(spark.catalog.functionExists("graft_osgb"),
+      "processRoutesNative needs spark.sql.extensions=graft.GraftExtensions")
+    val feats = spark.read.format("geojson").load(geojsonPath)
+    val ll = expr("graft_osgb(easting, northing)")
+    sources.GeoJson.multiPartLength(feats)
+      .withColumn("easting", element_at(element_at(element_at(col("parts"), 1), 1), 1).cast("double"))
+      .withColumn("northing", element_at(element_at(element_at(col("parts"), 1), 1), 2).cast("double"))
+      .withColumn("lat", round(element_at(ll, 1), 6))
+      .withColumn("lon", round(element_at(ll, 2), 6))
+      .withColumn("os_gridref", OsGrid.gridRef(col("easting"), col("northing"), 10))
+  }
 }

@@ -31,5 +31,13 @@ class PipelineSpec extends SparkSpec {
     val csvBack = spark.read.option("header", "true").csv(csv)
     assert(csvBack.count() == 1)
     assert(csvBack.columns.contains("geometry_wkt"))
+
+    // the native-surface pipeline (DSv2 connector + graft_osgb expression +
+    // multi-part length) must agree with the shared-SQL path exactly
+    val native = Pipeline.processRoutesNative(spark, in).collect().head
+    assert(math.abs(native.getAs[Double]("route_length_m") - 500.0) < 1e-9)
+    assert(native.getAs[String]("os_gridref") == row.getAs[String]("os_gridref"))
+    assert(native.getAs[Double]("lat") == row.getAs[Double]("lat"))
+    assert(native.getAs[Double]("lon") == row.getAs[Double]("lon"))
   }
 }
