@@ -404,5 +404,59 @@ object Similarity {
       |GROUP BY label ORDER BY label""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats)
+  /** Int8 scalar quantization of the embedding column with reconstruction
+    * stats — the storage op a 100 TB embedding store runs (4× smaller than
+    * float32 before compression). Per-vector symmetric scale (max|x|/127,
+    * pre-rounded so both engines derive identical codes), codes via
+    * element-wise round, and RMSE of the dequantized reconstruction.
+    * Everything is per-row HOF math (one scan, no shuffle before the final
+    * tiny group-by); the per-group mean goes through a DECIMAL sum of
+    * pre-rounded values so it is partitioning-invariant.
+    */
+  val embedQuant = Q(
+    "q_embed_quant",
+    (s, d) => {
+      val scale = round(
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0d, 9)
+      val perVec = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"), scale.as("scale"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("scale"),
+          transform(col("embedding"), x => round(x.cast("double") / col("scale"))).as("q"))
+        .select(col("label"),
+          sqrt(aggregate(
+            zip_with(col("embedding"), col("q"),
+              (x, qq) => pow(x.cast("double") - qq * col("scale"), 2)),
+            lit(0.0d), (acc, v) => acc + v) / size(col("embedding"))).as("rmse"),
+          array_max(transform(col("q"), v => abs(v))).cast("long").as("max_q"))
+      perVec.groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("rmse"), 9).cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / count(lit(1)), 9).as("avg_rmse"),
+          round(max(col("rmse")), 9).as("max_rmse"),
+          max(col("max_q")).as("max_code"))
+        .orderBy("label")
+    },
+    """WITH scaled AS (
+      |  SELECT vec_id, label, embedding,
+      |    round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0, 9) AS scale
+      |  FROM embeddings),
+      |quant AS (
+      |  SELECT vec_id, label, scale, embedding,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale)) AS q
+      |  FROM scaled),
+      |err AS (
+      |  SELECT label,
+      |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |      i -> power(CAST(embedding[i] AS DOUBLE) - q[i]*scale, 2))) / len(embedding)) AS rmse,
+      |    list_max(list_transform(q, v -> abs(v))) AS max_q
+      |  FROM quant)
+      |SELECT label, count(*) AS n,
+      |  round(CAST(sum(CAST(round(rmse, 9) AS DECIMAL(28,9))) AS DOUBLE)/count(*), 9) AS avg_rmse,
+      |  round(max(rmse), 9) AS max_rmse,
+      |  CAST(max(max_q) AS BIGINT) AS max_code
+      |FROM err GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats, embedQuant)
 }
