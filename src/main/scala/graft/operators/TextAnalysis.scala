@@ -239,6 +239,44 @@ object TextAnalysis {
       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
   )
 
+  /** Vocabulary coverage: top-100 tokens by frequency with the cumulative
+    * fraction of the corpus they cover — the curve that sizes a tokenizer
+    * vocabulary. One hash aggregate over tokens; the running sum is a window
+    * over the (tiny, post-aggregation) ranked vocab, and all fractions are
+    * exact-integer ratios rounded once.
+    */
+  val vocabCoverage = Q(
+    "q_vocab_coverage",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val total = counts.agg(sum(col("n_tok")).as("total"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("n_tok").desc, col("tok"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("coverage",
+          round(sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("total").cast("double"), 6))
+        .filter(col("rank") <= 100)
+        .select(col("rank").cast("long").as("rank"), col("tok"), col("n_tok"), col("coverage"))
+        .orderBy("rank")
+    },
+    """WITH counts AS (
+      |  SELECT tok, count(*) AS n_tok
+      |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |ranked AS (
+      |  SELECT tok, n_tok,
+      |    row_number() OVER (ORDER BY n_tok DESC, tok) AS rank,
+      |    sum(n_tok) OVER (ORDER BY n_tok DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts)
+      |SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(n_tok AS BIGINT) AS n_tok,
+      |  round(CAST(cum AS DOUBLE) / CAST((SELECT sum(n_tok) FROM counts) AS DOUBLE), 6) AS coverage
+      |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
-    collocations)
+    collocations, vocabCoverage)
 }
