@@ -277,6 +277,46 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin
   )
 
+  /** Unigram language-model scoring: mean token log-probability and the
+    * perplexity proxy per document — the classic LM-based quality filter
+    * (low-probability token soup scores poorly). The corpus LM is the
+    * token-frequency table (broadcastable after aggregation); per-doc math is
+    * one join + one aggregate, and the log-prob sums go through pre-rounded
+    * DECIMALs so group sums are exact at any parallelism.
+    */
+  val lmScore = Q(
+    "q_lm_score",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val lp = round(log(col("c").cast("double") / col("total").cast("double")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+      val meanLp = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+      toks
+        .join(broadcast(vocab), Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), lp.as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), meanLp.as("mean_logprob"),
+          round(exp(-meanLp), 6).as("ppl"))
+        .orderBy("doc_id")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS total FROM toks),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(CAST(v.c AS DOUBLE) / CAST((SELECT total FROM n) AS DOUBLE)), 9) AS DECIMAL(28,9)) AS lp
+      |  FROM toks t JOIN vocab v ON v.tok = t.tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+      |  round(exp(-(round(CAST(sum(lp) AS DOUBLE) / count(*), 6))), 6) AS ppl
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
-    collocations, vocabCoverage)
+    collocations, vocabCoverage, lmScore)
 }
