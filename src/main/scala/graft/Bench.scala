@@ -20,7 +20,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLVL", "WARN"))
     SparkEntry.tune(spark)
 
     // Every measurement starts from an empty cache: queries that persist() a
@@ -34,7 +34,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run while tuning a
+    // single query (the driver never sets it, so its runs stay complete)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     val warm = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
 

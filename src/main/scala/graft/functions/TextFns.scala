@@ -38,6 +38,13 @@ object TextFns {
   /** Distinct word n-gram shingles per doc: (doc_id, sh). Docs with fewer than
     * n tokens are dropped (deterministic on both sides).
     *
+    * Shape note: explode + DISTINCT keeps the md5-heavy shingle hashing
+    * inside whole-stage codegen. The tempting row-local alternative
+    * (`array_distinct(transform(...))` per doc, no dedup shuffle) measures
+    * SLOWER end-to-end because higher-order-function lambdas evaluate
+    * interpreted, outside codegen — a measured 1.5-2× regression on the
+    * downstream join queries at sf0.1.
+    *
     * `maxDf`: optional document-frequency cap — shingles appearing in more
     * than maxDf documents are dropped (stop-shingle removal). This is the
     * standard guard that keeps shingle-blocked self-joins linear: without it a
@@ -55,15 +62,18 @@ object TextFns {
     maxDf match {
       case None => sh
       case Some(cap) =>
-        // The stop-shingles are FEW by definition (df > cap bounds them to
-        // |corpus|/cap distinct values), so compute that tiny list with a
-        // map-side-combinable aggregate and drop them via a broadcast
-        // left-anti join — the big relation is never shuffled again, unlike
-        // the count-over-window form which re-shuffles and sorts every
-        // shingle row. The base relation feeds both the hot-list aggregate
-        // and the anti join, so it is persisted for the duration of the plan;
-        // cache lifetime is owned by the CALLER (Bench/Verify clearCache()
-        // between queries — long-lived sessions should do the same).
+        // The stop-shingle list is computed with a map-side-combinable
+        // aggregate and removed via a broadcast left-anti join — the big
+        // relation is never shuffled for the cap, unlike the
+        // count-over-window form which re-shuffles and sorts every shingle
+        // row. The hint is needed because this subplan is usually persisted
+        // (below), and AQE does not re-plan inside a cached plan — without
+        // the hint the anti join degrades to sort-merge. GUARD: the hot
+        // list's size is bounded by |shingle rows|/(cap+1), so the broadcast
+        // is only driver-safe when cap is large relative to the corpus
+        // (cap=100 at 100 TB ⇒ an unbounded list); caps below
+        // |corpus|/~100k should use the un-hinted form instead.
+        require(cap >= 1, s"maxDf cap must be positive: $cap")
         val based = sh.persist()
         val hot = based.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")

@@ -206,7 +206,10 @@ object Analytics {
     * ASOF JOIN. One hash exchange + sort per side, then a per-partition
     * linear two-pointer merge holding one buffered right row — compared to
     * the union composition it skips the union and whole-row running-`last`
-    * window state.
+    * window state, AND the duplicate-(key,time) resolution rides the merge's
+    * own sort as a tiebreak column (max o_orderkey wins — exactly the
+    * oracle's dedup-CTE choice) instead of paying a pre-dedup window + extra
+    * exchange on the orders side.
     */
   val asofNative = Q(
     "q_asof_native",
@@ -215,12 +218,10 @@ object Analytics {
         .select(col("event_id"), col("user_id"),
           timestamp_micros(expr("ts DIV 1000")).as("t"))
       val orders = Tables.orders(s, d)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)))
-        .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"),
           col("o_orderkey"), col("o_totalprice"))
-      graft.plans.AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      graft.plans.AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot",
+          rightTiebreak = Seq("o_orderkey"))
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
         .orderBy("event_id")
     },

@@ -41,8 +41,10 @@ object Dedup {
   /** MinHash signatures for word-`n`-gram shingles:
     * (doc_id, hs: array<long> distinct shingle hashes, sig: array<long>).
     *
-    * One shuffle (group shingle hashes per doc); each permutation's minimum is
-    * an `array_min(transform(...))` fold — NOT a numPerms-way row fanout, which
+    * One shuffle (group shingle hashes per doc) — the md5 hashing runs over
+    * exploded rows inside whole-stage codegen (a per-doc HOF rewrite measures
+    * slower; see [[TextFns.shingles]]). Each permutation's minimum is an
+    * `array_min(transform(...))` fold — NOT a numPerms-way row fanout, which
     * would shuffle |shingles|·numPerms rows. Same values either way (min is
     * order-invariant), so the oracle is unaffected. The hash set rides along
     * so the verify stage never has to recompute shingles.
@@ -84,8 +86,12 @@ object Dedup {
   def minhashNearDups(documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     // the signature relation feeds the band generator AND both verify joins —
-    // persist so its scan→shingle→agg pipeline runs once, not three times
-    // (Bench/Verify clearCache() between queries; at scale this is a checkpoint)
+    // persist (columnar cache) rather than localCheckpoint: the band join
+    // reads only (doc_id, sig) and the verify joins only (doc_id, hs), and
+    // the cache serves each consumer PRUNED columns, where a checkpointed
+    // row RDD would deserialize the wide hs arrays for every consumer
+    // (measured 2.0 s vs 1.2 s at sf0.1). Cache lifetime is owned by the
+    // caller (Bench/Verify clearCache() between queries).
     val sig = minhashSignatures(documents, n, numPerms).persist()
     val bands = lshBands(sig, numPerms, rowsPerBand)
     val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
@@ -142,9 +148,11 @@ object Dedup {
     *
     * ONE hash aggregate with 32 sum columns — not a 32-way bit-position
     * explode (which multiplies the shuffle by 32 and adds a second aggregate
-    * stage). The per-bit sums are exact integers (count × ±1), identical to
-    * the exploded form at any parallelism, so the oracle (which still uses
-    * the unnest(range(32)) formulation) is unaffected.
+    * stage), and not a per-doc HOF fold (interpreted, outside codegen —
+    * measured slower; see [[TextFns.shingles]]). The per-bit sums are exact
+    * integers (count × ±1), identical to the exploded form at any
+    * parallelism, so the oracle (which still uses the unnest(range(32))
+    * formulation) is unaffected.
     */
   def simhashDf(documents: DataFrame): DataFrame = {
     val tc = documents
@@ -192,9 +200,11 @@ object Dedup {
   val simhashPairs = Q(
     "q_simhash_pairs",
     (s, d) => {
-      // simhash is carried through the block join (not re-joined afterwards)
-      // and persisted so both sides of the self-join read one materialization
-      val blocks = simhashDf(Tables.documents(s, d)).persist()
+      // simhash is carried through the block join (not re-joined afterwards);
+      // localCheckpoint (not persist) materializes the shared subplan ONCE
+      // and — unlike a cached plan, which AQE won't re-plan inside — leaves
+      // the self-join above it fully visible to AQE's runtime re-planning
+      val blocks = simhashDf(Tables.documents(s, d)).localCheckpoint()
         .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
         .select(col("doc_id"), col("simhash"), col("k"),
           (floor(col("simhash") / pow(lit(2.0), col("k") * 8)).cast("long") % 256L).as("bb"))
@@ -229,8 +239,10 @@ object Dedup {
     "q_ngram_jaccard",
     (s, d) => {
       // the df-capped shingle relation feeds both self-join sides AND the
-      // per-doc counts — persist so the scan→explode→window-cap runs once
-      val sh = TextFns.shingles(Tables.documents(s, d), 2, maxDf = Some(100)).persist()
+      // per-doc counts — localCheckpoint so the scan→explode→df-cap runs
+      // once and AQE still re-plans the joins above the materialized blocks
+      val sh = TextFns.shingles(Tables.documents(s, d), 2, maxDf = Some(100))
+        .localCheckpoint()
       val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
         .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))

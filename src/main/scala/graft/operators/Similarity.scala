@@ -236,56 +236,114 @@ object Similarity {
         .select(col(idAlias), col("cent_id").as("cell"), col("qe"))
   }
 
-  /** One k-means averaging step, partitioning-invariant: embedding values are
-    * quantized to integer micro-units and summed as BIGINT (exact, order-free)
-    * before the single rounded double division — so Spark at any parallelism
-    * and the DuckDB oracle produce identical centroids. Output rows:
-    * (cent_id, ce: array<double>).
+  /** Spark's `round(double, s)` exactly — HALF_UP over the shortest decimal
+    * representation (`java.math.BigDecimal.valueOf`), NaN/Infinity passed
+    * through — so driver-side build math stays bit-for-bit compatible with
+    * the column-expression and DuckDB forms.
     */
-  private def recomputeCentroids(assigned: DataFrame, corpus: DataFrame): DataFrame =
-    assigned.join(corpus.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(round(sum(round(col("x").cast("double") * 1000000d).cast("long")) /
-        (count(lit(1)) * 1000000.0d), 9).as("cd"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
-        s => s.getField("cd")).as("ce"))
-      .select(col("cell").as("cent_id"), col("ce"))
+  private def sparkRound(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** IVF ANN with a real k-means index build: seeds are sampled corpus
-    * vectors (vec_id 100..115), refined by 2 Lloyd iterations, then queries
-    * probe their `nprobe = 2` nearest cells and rank candidates by exact
-    * cosine. The refined centroids (16 × 64 doubles) are collected to the
-    * driver between iterations and re-broadcast as a literal relation — the
-    * standard Spark k-means loop (centroids are index metadata, not data;
-    * the corpus itself is only ever scanned, never collected). At 100 TB:
-    * 3 corpus scans to build the index, then search touches ~2/16 of the
-    * corpus per query batch.
+  /** One fused Lloyd iteration: assignment AND centroid recomputation in a
+    * single `mapPartitions` pass + one tiny reduce — ONE Spark job, zero
+    * shuffles, nothing but 16×(64 longs + a count) per partition crossing the
+    * wire. The per-row math replicates the declarative form bit-for-bit:
+    * cosine is the same left-fold double accumulation as [[VecFns.cosine]],
+    * assignment ranks by (round(cos,6) desc, cent_id asc) like
+    * [[nearestCells]], and the average quantizes each value to integer
+    * micro-units (`round(x*1e6)` as BIGINT — exact, order-free sums) before
+    * the single rounded division, exactly mirroring the oracle's
+    * `recompute` CTE — so the result is bit-for-bit identical and
+    * partitioning-invariant. Cells that lose all members drop out, as in the
+    * group-by form.
+    *
+    * This replaces a per-iteration chain of broadcast-join + window + two
+    * shuffled aggregates over fresh literal plans (re-analyzed and re-planned
+    * every iteration — the round-4 bench's 9.9 s job storm) with k-means the
+    * way Spark's own MLlib does it: data stays distributed, only index
+    * metadata (16 × 64 doubles) ever touches the driver.
     */
-  /** Full IVF search: k-means index build (2 Lloyd iterations from the
-    * sampled seeds) + `nprobe`-cell probe + exact cosine ranking of the
-    * candidates. Exposed with tunable nprobe/k so the recall/nprobe tradeoff
-    * is measurable (IvfRecallSpec); the registered query uses nprobe=2, k=3.
+  private def lloydStep(vecs: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+                        cents: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] = {
+    val bc = vecs.sparkContext.broadcast(cents)
+    val dims = Dims
+    val (sums, counts) = vecs.mapPartitions { it =>
+      val cs = bc.value
+      val sum = Array.fill(cs.length)(new Array[Long](dims))
+      val cnt = new Array[Long](cs.length)
+      it.foreach { case (_, vec) =>
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val ce = cs(ci)._2
+          var dot = 0d; var qn = 0d; var cn = 0d
+          var i = 0
+          while (i < dims) {
+            val x = vec(i).toDouble; val c = ce(i)
+            dot += x * c; qn += x * x; cn += c * c
+            i += 1
+          }
+          val score = sparkRound(dot / (math.sqrt(qn) * math.sqrt(cn)), 6)
+          if (score > bestScore || (score == bestScore && cs(ci)._1 < bestId)) {
+            best = ci; bestScore = score; bestId = cs(ci)._1
+          }
+          ci += 1
+        }
+        val acc = sum(best)
+        var i = 0
+        while (i < dims) { acc(i) += sparkRound(vec(i).toDouble * 1000000d, 0).toLong; i += 1 }
+        cnt(best) += 1
+      }
+      Iterator.single((sum, cnt))
+    }.reduce { case ((s1, c1), (s2, c2)) =>
+      var ci = 0
+      while (ci < s1.length) {
+        var i = 0
+        while (i < dims) { s1(ci)(i) += s2(ci)(i); i += 1 }
+        c1(ci) += c2(ci)
+        ci += 1
+      }
+      (s1, c1)
+    }
+    bc.unpersist()
+    cents.indices.iterator.filter(counts(_) > 0).map { ci =>
+      val n = counts(ci).toDouble
+      (cents(ci)._1,
+        Array.tabulate(dims)(i => sparkRound(sums(ci)(i).toDouble / (n * 1000000.0d), 9)))
+    }.toArray
+  }
+
+  /** Full IVF search: k-means index build (2 fused Lloyd iterations from the
+    * sampled seed vectors, vec_id 100..115) + `nprobe`-cell probe + exact
+    * cosine ranking of the candidates. Only index metadata (16 × 64 centroid
+    * doubles) is ever collected; the corpus is scanned 3× to build and ~2/16
+    * probed per query batch at search. Exposed with tunable nprobe/k so the
+    * recall/nprobe tradeoff is measurable (IvfRecallSpec); the registered
+    * query uses nprobe=2, k=3.
     */
   def ivfTopK(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val s = emb.sparkSession
-    // the build makes several passes over the corpus (assignment + averaging
-    // per iteration) — cache the narrow projection once, as any k-means does
+    // the build makes several passes over the corpus (2 Lloyd + the search
+    // assignment) — cache the narrow projection once, as any k-means does
     // (Bench/Verify clearCache() between queries reclaims it)
     val corpus = emb.filter(col("vec_id") >= NQ)
       .select(col("vec_id"), col("embedding")).persist()
-    val seeds = emb.filter(col("vec_id") >= 100L && col("vec_id") < 116L)
-      .select(col("vec_id").as("cent_id"),
-        transform(col("embedding"), x => x.cast("double")).as("ce"))
-    // 2 Lloyd iterations; each collects 16 tiny centroid rows, never data
-    val centroids = (1 to 2).foldLeft(seeds) { (cents, _) =>
-      val assigned = nearestCells(corpus, cents, "vid", 1).select("vid", "cell")
-      val next = recomputeCentroids(assigned, corpus)
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      import s.implicits._
-      next.toSeq.toDF("cent_id", "ce")
-    }
+    val vecs = corpus.rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val seeds: Array[(Long, Array[Double])] = emb
+      .filter(col("vec_id") >= 100L && col("vec_id") < 116L)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val built = (1 to 2).foldLeft(seeds)((cs, _) => lloydStep(vecs, cs))
+    // ONE literal centroid relation for the whole search (the build no longer
+    // plans any DataFrames at all)
+    import s.implicits._
+    val centroids = built.toSeq.map { case (id, ce) => (id, ce.toSeq) }.toDF("cent_id", "ce")
     // vectors ride through the assignments, so the search is a broadcast of
     // the (tiny) probe set against corpus cells — no join back to the
     // embeddings table, no extra shuffles
@@ -312,8 +370,8 @@ object Similarity {
 
   /** DuckDB twin of the k-means IVF build + nprobe=2 search. The assignment
     * and recompute CTEs are generated by the same private renderers for all
-    * three iterations, exactly mirroring [[nearestCells]]/
-    * [[recomputeCentroids]].
+    * three iterations, exactly mirroring [[nearestCells]] and the fused
+    * [[lloydStep]] quantized-average math.
     */
   private def assignSql(corpus: String, cents: String, out: String): String =
     s"""${out}_s AS (

@@ -241,9 +241,15 @@ object TextAnalysis {
 
   /** Vocabulary coverage: top-100 tokens by frequency with the cumulative
     * fraction of the corpus they cover — the curve that sizes a tokenizer
-    * vocabulary. One hash aggregate over tokens; the running sum is a window
-    * over the (tiny, post-aggregation) ranked vocab, and all fractions are
-    * exact-integer ratios rounded once.
+    * vocabulary. One hash aggregate over tokens, then a distributed top-k
+    * (`orderBy().limit` → TakeOrderedAndProject) BEFORE any window, so the
+    * ranking/cumulative window only ever sees ≤100 rows no matter how large
+    * the vocabulary is. The window partitions on the (constant-valued, but
+    * non-foldable — a literal would be optimized away, reintroducing
+    * WindowExec's all-to-one-task warning) `total` column: with a bounded
+    * 100-row input that is a deliberate single-partition window, not the
+    * all-data-to-one-executor shape an unpartitioned window over the full
+    * vocab would be. The coverage denominator is a separate scalar aggregate.
     */
   val vocabCoverage = Q(
     "q_vocab_coverage",
@@ -252,14 +258,14 @@ object TextAnalysis {
         .select(explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_tok"))
       val total = counts.agg(sum(col("n_tok")).as("total"))
+      val top = counts.orderBy(col("n_tok").desc, col("tok")).limit(100)
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("n_tok").desc, col("tok"))
-      counts.crossJoin(broadcast(total))
+      val w = Window.partitionBy(col("total")).orderBy(col("n_tok").desc, col("tok"))
+      top.crossJoin(broadcast(total))
         .withColumn("rank", row_number().over(w))
         .withColumn("coverage",
           round(sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double") / col("total").cast("double"), 6))
-        .filter(col("rank") <= 100)
         .select(col("rank").cast("long").as("rank"), col("tok"), col("n_tok"), col("coverage"))
         .orderBy("rank")
     },
@@ -280,8 +286,11 @@ object TextAnalysis {
   /** Unigram language-model scoring: mean token log-probability and the
     * perplexity proxy per document — the classic LM-based quality filter
     * (low-probability token soup scores poorly). The corpus LM is the
-    * token-frequency table (broadcastable after aggregation); per-doc math is
-    * one join + one aggregate, and the log-prob sums go through pre-rounded
+    * token-frequency table; its size grows with the corpus, so the tok→vocab
+    * join carries NO broadcast hint — AQE broadcasts it when it measures
+    * small and falls back to a shuffled hash join when it doesn't, which is
+    * the only posture that survives a 100 TB corpus. Per-doc math is one
+    * join + one aggregate, and the log-prob sums go through pre-rounded
     * DECIMALs so group sums are exact at any parallelism.
     */
   val lmScore = Q(
@@ -295,7 +304,7 @@ object TextAnalysis {
         .cast(org.apache.spark.sql.types.DecimalType(28, 9))
       val meanLp = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
       toks
-        .join(broadcast(vocab), Seq("tok"))
+        .join(vocab, Seq("tok"))
         .crossJoin(broadcast(total))
         .select(col("doc_id"), lp.as("lp"))
         .groupBy("doc_id")

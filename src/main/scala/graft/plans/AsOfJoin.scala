@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftglue.Bridge
 
@@ -30,8 +29,12 @@ import org.apache.spark.sql.graftglue.Bridge
   * Scale shape: both sides hash-cluster on the key and sort by (key, time) —
   * exactly a sort-merge join's distribution — then each co-partition merges
   * with two forward-only pointers, O(|L| + |R|) per partition, holding ONE
-  * buffered right row. Ties on right (key, time) must be pre-deduplicated for
-  * deterministic results (same requirement the composition documents).
+  * buffered right row. Ties on right (key, time) are resolved by the optional
+  * `rightTiebreak` ordering — the merge keeps the LAST tied row in sort
+  * order, so `Seq(col)` means "largest col wins" — which lets callers skip a
+  * whole pre-dedup window + exchange; with no tiebreak, ties must be
+  * pre-deduplicated for deterministic results (same requirement the
+  * composition documents).
   */
 object AsOfJoin {
 
@@ -40,7 +43,8 @@ object AsOfJoin {
     */
   case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                           leftKey: Expression, rightKey: Expression,
-                          leftTime: Expression, rightTime: Expression)
+                          leftTime: Expression, rightTime: Expression,
+                          rightTiebreak: Seq[Expression])
       extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -73,7 +77,7 @@ object AsOfJoin {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case j: AsOfJoinPlan =>
         AsOfJoinExec(planLater(j.left), planLater(j.right),
-          j.leftKey, j.rightKey, j.leftTime, j.rightTime) :: Nil
+          j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak) :: Nil
       case _ => Nil
     }
   }
@@ -84,7 +88,8 @@ object AsOfJoin {
     */
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                           leftKey: Expression, rightKey: Expression,
-                          leftTime: Expression, rightTime: Expression)
+                          leftTime: Expression, rightTime: Expression,
+                          rightTiebreak: Seq[Expression])
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -93,9 +98,14 @@ object AsOfJoin {
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+    // the tiebreak columns extend the right sort so equal (key, time) rows
+    // arrive in a deterministic order; the merge keeps the last one it
+    // consumes, so the MAX tiebreak wins — duplicate resolution costs a sort
+    // term instead of a whole pre-dedup window + exchange
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        rightTiebreak.map(SortOrder(_, Ascending)))
 
     override def outputOrdering: Seq[SortOrder] =
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -107,44 +117,61 @@ object AsOfJoin {
       copy(left = newLeft, right = newRight)
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val lk = BindReferences.bindReference(leftKey, left.output)
-      val lt = BindReferences.bindReference(leftTime, left.output)
-      val rk = BindReferences.bindReference(rightKey, right.output)
-      val rt = BindReferences.bindReference(rightTime, right.output)
-      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-      val rightWidth = right.output.size
+      val leftOut = left.output
+      val rightOut = right.output
       val outAttrs = output
+      val kDt = leftKey.dataType
+      val tDt = leftTime.dataType
+      val (lkE, ltE, rkE, rtE) = (leftKey, leftTime, rightKey, rightTime)
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+        // Everything per-row here is code-generated: the (key, time)
+        // extractors are Janino-compiled UnsafeProjections evaluated exactly
+        // once per input row, the comparisons are codegen'd BaseOrderings
+        // over those 2-field UnsafeRows (field 0 = key, field 1 = time; no
+        // boxing), and the output projection is the same generated
+        // UnsafeProjection a built-in sort-merge join would use. Generated
+        // classes are cached per-expression, so per-partition create() calls
+        // after the first hit the codegen cache.
+        val lProj = UnsafeProjection.create(Seq(lkE, ltE), leftOut)
+        val rProj = UnsafeProjection.create(Seq(rkE, rtE), rightOut)
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(kDt))
+        val timeOrd = RowOrdering.create(
+          Seq(SortOrder(BoundReference(1, tDt, nullable = true), Ascending)), Seq.empty)
         val joined = new JoinedRow
-        val nullRight = new GenericInternalRow(rightWidth)
+        val nullRight = new GenericInternalRow(rightOut.size)
         val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
-        val rBuf = rIt.buffered
         // the single buffered candidate: latest right row whose (key, time)
         // does not exceed the current left row's
         var held: InternalRow = null
-        var heldKey: Any = null
+        var heldKt: InternalRow = null
+        // right cursor: the row AND its extracted (key, time), computed once
+        // per right row (the buffered-iterator form re-evaluated the head's
+        // key for every left row)
+        var rCur: InternalRow = null
+        var rKt: InternalRow = null
+        def advanceRight(): Unit =
+          if (rIt.hasNext) { rCur = rIt.next(); rKt = rProj(rCur) }
+          else { rCur = null; rKt = null }
+        advanceRight()
         lIt.map { l =>
-          val lKeyV = lk.eval(l)
-          val lTimeV = lt.eval(l)
-          if (lKeyV != null && lTimeV != null) {
+          val lKt = lProj(l)
+          val lNull = lKt.isNullAt(0) || lKt.isNullAt(1)
+          if (!lNull) {
             var advancing = true
-            while (advancing && rBuf.hasNext) {
-              val r = rBuf.head
-              val rKeyV = rk.eval(r)
-              if (rKeyV == null) rBuf.next() // null keys never match; skip
+            while (advancing && rCur != null) {
+              if (rKt.isNullAt(0)) advanceRight() // null keys never match; skip
               else {
-                val c = keyOrd.compare(rKeyV, lKeyV)
-                if (c < 0) rBuf.next() // right still on an earlier key group
+                val c = keyOrd.compare(rKt, lKt)
+                if (c < 0) advanceRight() // right still on an earlier key group
                 else if (c == 0) {
-                  val rTimeV = rt.eval(r)
-                  if (rTimeV == null) rBuf.next() // null time never matches; must
-                  // consume it or it stalls the merge (NULLS FIRST puts it at
-                  // the head of the key group)
-                  else if (timeOrd.compare(rTimeV, lTimeV) <= 0) {
-                    held = r.copy() // held beyond this call — must copy
-                    heldKey = rk.eval(held)
-                    rBuf.next()
+                  if (rKt.isNullAt(1)) advanceRight() // null time never matches;
+                  // must consume it or it stalls the merge (NULLS FIRST puts
+                  // it at the head of the key group)
+                  else if (timeOrd.compare(rKt, lKt) <= 0) {
+                    // held beyond this call while the projection buffers are
+                    // reused — copy both the row and its extracted key
+                    held = rCur.copy(); heldKt = rKt.copy()
+                    advanceRight()
                   } else advancing = false // future-time row; stop before it
                 } else advancing = false // right ahead of left's key group
               }
@@ -152,8 +179,7 @@ object AsOfJoin {
           }
           // a null left key OR time can never satisfy l.t >= r.t — emit
           // null-padded, matching ASOF LEFT JOIN null-comparison semantics
-          val matched = held != null && lKeyV != null && lTimeV != null &&
-            keyOrd.compare(heldKey, lKeyV) == 0
+          val matched = held != null && !lNull && keyOrd.compare(heldKt, lKt) == 0
           toUnsafe(joined(l, if (matched) held else nullRight))
         }
       }
@@ -162,10 +188,15 @@ object AsOfJoin {
 
   /** Public builder: `AsOfJoin(events, orders, "user_id", "o_custkey",
     * "t", "ot")`. Column names must be disjoint between the two sides.
+    * `rightTiebreak` names right-side columns that deterministically resolve
+    * duplicate (key, time) rows — the largest tiebreak tuple wins — replacing
+    * a caller-side dedup window (and its exchange) with sort terms the merge
+    * already pays for.
     */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
-            leftTime: String, rightTime: String): DataFrame = {
+            leftTime: String, rightTime: String,
+            rightTiebreak: Seq[String] = Nil): DataFrame = {
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(right)
     val overlap = lPlan.output.map(_.name).toSet.intersect(rPlan.output.map(_.name).toSet)
@@ -181,6 +212,7 @@ object AsOfJoin {
       s"asof join key types differ: ${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
     require(lt.dataType == rt.dataType,
       s"asof join time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
-    Bridge.ofRows(left.sparkSession, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+    Bridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, rightTiebreak.map(attr(rPlan, _))))
   }
 }

@@ -20,13 +20,20 @@ object Sinks {
   def writeGeoJson(df: DataFrame, outDir: String, baseName: String, timestamp: String,
                    propCols: Seq[String]): String = {
     val path = s"$outDir/${baseName}_$timestamp.geojson"
-    val feature = to_json(struct(
-      lit("Feature").as("type"),
-      struct(col("geometry_type").as("type"), col("coordinates")).as("geometry"),
-      struct(propCols.map(col): _*).as("properties")))
-    df.select(feature.as("value")).write.mode(SaveMode.Overwrite).text(path)
+    df.select(featureJson(propCols).as("value")).write.mode(SaveMode.Overwrite).text(path)
     path
   }
+
+  /** One serialized GeoJSON Feature per row. `ignoreNullFields=false` keeps
+    * null-valued properties as explicit JSON nulls — the reference's GeoJSON
+    * writer preserves them (GeoPandas `to_file` keeps every property key).
+    */
+  private def featureJson(propCols: Seq[String]): Column =
+    to_json(struct(
+      lit("Feature").as("type"),
+      struct(col("geometry_type").as("type"), col("coordinates")).as("geometry"),
+      struct(propCols.map(col): _*).as("properties")),
+      Map("ignoreNullFields" -> "false"))
 
   /** CSV sink with a WKT geometry column, mirroring
     * process_cycle_networks.py:146-153 (geometry dropped, `geometry_wkt`
@@ -48,18 +55,16 @@ object Sinks {
     * JSON document is inherently a single-writer artifact, so the serialized
     * feature strings (not the source data) are coalesced to one task which
     * interleaves the commas and brackets streamingly — no collect, constant
-    * memory. Returns the part-file path holding the complete document.
+    * memory. Returns the part-file path holding the complete document; the
+    * part file is resolved through the Hadoop FileSystem API, so the sink
+    * works against any configured filesystem, not just the local one.
     */
   def writeGeoJsonFeatureCollection(df: DataFrame, outDir: String, baseName: String,
                                     timestamp: String, propCols: Seq[String]): String = {
     val path = s"$outDir/${baseName}_$timestamp.geojson"
-    val feature = to_json(struct(
-      lit("Feature").as("type"),
-      struct(col("geometry_type").as("type"), col("coordinates")).as("geometry"),
-      struct(propCols.map(col): _*).as("properties")))
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(feature.as("value")).as[String].coalesce(1)
+    df.select(featureJson(propCols).as("value")).as[String].coalesce(1)
       .mapPartitions { it =>
         val body = new Iterator[String] {
           def hasNext: Boolean = it.hasNext
@@ -68,8 +73,14 @@ object Sinks {
         Iterator("{\"type\": \"FeatureCollection\", \"features\": [") ++ body ++ Iterator("]}")
       }
       .write.mode(SaveMode.Overwrite).text(path)
-    new java.io.File(path).listFiles().filter(_.getName.startsWith("part-"))
-      .map(_.getAbsolutePath).head
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(dir).map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"FeatureCollection write produced no part file under $path — " +
+          "a zero-partition input writes nothing; write an empty collection explicitly if intended"))
+    // local paths come back java.io.File-compatible; other schemes keep the URI
+    if (Option(part.toUri.getScheme).forall(_ == "file")) part.toUri.getPath else part.toString
   }
 
   /** Batched relational-style sink — db_helpers.py:140-210's

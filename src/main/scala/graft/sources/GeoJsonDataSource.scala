@@ -125,7 +125,14 @@ case class GeoJsonInputPartition(path: String) extends InputPartition
 
 /** DSv2 write path: each task writes its partition as newline-delimited
   * Feature documents to a temp file; commit atomically moves the temp files
-  * into place, abort deletes them — the standard two-phase file commit.
+  * into place, abort deletes them — a two-phase file commit.
+  *
+  * Deployment constraint: tasks write and the driver moves through
+  * `java.io` paths, which is only correct when driver and executors share a
+  * filesystem (local mode, NFS). On a multi-node cluster with per-node local
+  * disks the driver-side move would find no temp files — a cluster port
+  * should route these file ops through the Hadoop FileSystem API against a
+  * shared scheme (hdfs:/s3:), as the sibling parquet-based sinks already do.
   * Input rows must carry the connector's normalized schema (geometry_type,
   * parts, properties; other columns are ignored), so `read → transform →
   * write` round-trips through `format("geojson")` symmetrically.
@@ -175,7 +182,10 @@ class GeoJsonWriterFactory(path: String, schema: StructType) extends DataWriterF
 class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val tmp = new java.io.File(s"$path/_tmp/part-$partitionId-$taskId.geojson")
-  private val out = new java.io.BufferedWriter(new java.io.FileWriter(tmp))
+  // UTF-8 explicitly — FileWriter's platform-default charset would corrupt
+  // non-ASCII property values against the reader's UTF-8 decode
+  private val out = java.nio.file.Files.newBufferedWriter(
+    tmp.toPath, java.nio.charset.StandardCharsets.UTF_8)
   private val mapper = new ObjectMapper()
   private val idx = schema.fieldNames.zipWithIndex.toMap
 
@@ -293,8 +303,13 @@ class GeoJsonPartitionReader(path: String, required: StructType)
       case "properties" =>
         Option(f.get("properties")).filterNot(_.isNull).map { props =>
           val kv = props.fields().asScala.toArray.map { e =>
-            val v = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
-            (UTF8String.fromString(e.getKey): Any, UTF8String.fromString(v): Any)
+            // JSON null stays a null map value (the writer emits nulls for
+            // them, so stringifying would break the round-trip as "null")
+            val v: Any =
+              if (e.getValue.isNull) null
+              else if (e.getValue.isTextual) UTF8String.fromString(e.getValue.asText())
+              else UTF8String.fromString(e.getValue.toString)
+            (UTF8String.fromString(e.getKey): Any, v)
           }
           new ArrayBasedMapData(new GenericArrayData(kv.map(_._1)), new GenericArrayData(kv.map(_._2)))
         }.orNull

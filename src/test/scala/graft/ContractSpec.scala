@@ -31,6 +31,28 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("no query has a global window over unbounded input") {
+    // An unpartitioned (or constant-partitioned) window moves its ENTIRE
+    // input to one task — fine over a limit-bounded relation, a scale-killer
+    // over anything data-sized (the round-4 q_vocab_coverage defect). Gate:
+    // every Window whose partition spec has no data-dependent expression must
+    // sit above a Limit somewhere in its input subtree.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LocalRelation, OneRowRelation, Window => LWindow}
+    val d = sf()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.forall(_.foldable) =>
+          val bounded = w.child.collectFirst {
+            case _: GlobalLimit | _: LocalLimit | _: LocalRelation | _: OneRowRelation => ()
+          }.nonEmpty
+          assert(bounded,
+            s"$name has a global window over unbounded input:\n${w.treeString.take(2000)}")
+        case _ => ()
+      }
+    }
+  }
+
   test("typed schema conforms to Dataset[CyclingRoute]") {
     import spark.implicits._
     val ds = SparkEntry.queries("q_typed_schema")(spark, sf()).as[CyclingRoute]
