@@ -368,6 +368,35 @@ object Similarity {
     annIvfSql
   )
 
+  /** Recall-targeted nprobe selection: walk the doubling nprobe ladder and
+    * return the first (smallest) value whose MEASURED mean recall@k against
+    * the exact brute-force top-k meets `targetRecall`, with the measured
+    * value — the way an ANN deployment tunes its speed/recall knob from data
+    * instead of folklore. Only the two tiny top-k result sets (|queries|·k
+    * rows each) are ever collected; index builds reuse the persisted corpus
+    * projection across ladder steps via the plan cache. Probing all cells has
+    * recall 1.0 by construction (IvfRecallSpec), so the walk always
+    * terminates at the full probe.
+    */
+  def autoNprobe(emb: DataFrame, k: Int, targetRecall: Double): (Int, Double) = {
+    require(targetRecall <= 1.0, s"targetRecall must be <= 1.0: $targetRecall")
+    def topsOf(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topsOf(cosineTopK(emb, k).filter(col("rank") <= k))
+    val ladder = Iterator.iterate(1)(_ * 2).takeWhile(_ < 16).toSeq :+ 16
+    val walked = ladder.iterator.map { np =>
+      val ivf = topsOf(ivfTopK(emb, np, k))
+      val rs = exact.toSeq.map { case (q, top) =>
+        ivf.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }
+      (np, rs.sum / rs.size)
+    }
+    walked.find(_._2 >= targetRecall).getOrElse(
+      throw new IllegalStateException("full probe did not reach target recall — " +
+        "index machinery violated its full-probe-equals-exact invariant"))
+  }
+
   /** DuckDB twin of the k-means IVF build + nprobe=2 search. The assignment
     * and recompute CTEs are generated by the same private renderers for all
     * three iterations, exactly mirroring [[nearestCells]] and the fused

@@ -92,6 +92,7 @@ class GeoJsonTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = GeoJsonDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -119,9 +120,65 @@ class GeoJsonScan(paths: Seq[String], required: StructType) extends Scan with Ba
     paths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoJsonReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.size == 1,
+      s"geojson streaming: readStream.load(<one queue directory>), got ${paths.size} paths")
+    new GeoJsonMicroBatchStream(paths.head, required)
+  }
 }
 
 case class GeoJsonInputPartition(path: String) extends InputPartition
+
+/** Streaming read over a document-QUEUE directory: each micro-batch picks up
+  * the `.geojson`/`.json` files that arrived since the last batch, one input
+  * partition per document through the same fetch+parse path as the batch
+  * read, so batch and stream see identical rows for identical documents.
+  *
+  * Offset model: a lexicographic filename watermark. The queue contract is
+  * that producers name files in monotonically increasing order (timestamped
+  * names — exactly what [[graft.sinks.Sinks.writeGeoJson]] emits); a file
+  * sorting below the committed watermark would be ignored, the same contract
+  * every name-ordered file queue has. Listing runs on the driver per batch
+  * (one directory listing — no data), parsing runs on executors.
+  */
+class GeoJsonMicroBatchStream(dir: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listDocs(): Seq[String] = {
+    val d = new java.io.File(if (dir.startsWith("file:")) new java.net.URI(dir).getPath else dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && (f.getName.endsWith(".geojson") || f.getName.endsWith(".json")))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = GeoJsonStreamOffset("")
+  override def latestOffset(): Offset =
+    GeoJsonStreamOffset(listDocs().lastOption.getOrElse(""))
+  override def deserializeOffset(json: String): Offset =
+    GeoJsonStreamOffset(new ObjectMapper().readTree(json).get("watermark").asText())
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GeoJsonStreamOffset].watermark
+    val hi = end.asInstanceOf[GeoJsonStreamOffset].watermark
+    listDocs().filter(p => p > lo && p <= hi)
+      .map(GeoJsonInputPartition.apply).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonReaderFactory(required)
+}
+
+case class GeoJsonStreamOffset(watermark: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val node = new ObjectMapper().createObjectNode()
+    node.put("watermark", watermark)
+    node.toString
+  }
+}
 
 /** DSv2 write path: each task writes its partition as newline-delimited
   * Feature documents to a temp file; commit atomically moves the temp files

@@ -40,4 +40,30 @@ class IvfRecallSpec extends SparkSpec {
     assert(byNp(8) >= byNp(2), "recall must not degrade as nprobe grows 2 -> 8")
     assert(byNp(2) > 0.0, "nprobe=2 must find at least some exact neighbours")
   }
+
+  test("autoNprobe picks the smallest ladder step meeting the recall target") {
+    spark.catalog.clearCache()
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val target = 0.95
+    val (np, recall) = Similarity.autoNprobe(emb, 3, target)
+    info(f"chosen nprobe=$np recall@3=$recall%.3f for target $target")
+    assert(recall >= target, s"chosen nprobe $np missed the target: $recall")
+    assert(Seq(1, 2, 4, 8, 16).contains(np))
+    // minimality on the ladder: the step below (if any) must miss the target
+    if (np > 1) {
+      spark.catalog.clearCache()
+      val below = np / 2
+      val ivf = Similarity.ivfTopK(emb, below, 3).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = SparkEntry.queries("q_ann_cosine")(spark, sf("sf0.01"))
+        .filter("rank <= 3").collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.toSeq.map { case (q, top) =>
+        ivf.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }
+      assert(rs.sum / rs.size < target, s"ladder step $below already met the target")
+    }
+  }
 }
