@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, OsgbToWgs84, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, MinhashSig, OsgbToWgs84, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,17 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg(children.head, children(1), children(2))
           .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val perms = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash(hs, numPerms): numPerms must be an integer literal, got $other")
+        }
+        MinhashSig(children.head, perms)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_osgb"),
       new ExpressionInfo(classOf[OsgbToWgs84].getName, "graft_osgb"),

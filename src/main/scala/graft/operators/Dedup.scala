@@ -50,15 +50,23 @@ object Dedup {
     * so the verify stage never has to recompute shingles.
     */
   def minhashSignatures(documents: DataFrame, n: Int, numPerms: Int): DataFrame = {
-    val coeffs = permCoeffs(numPerms)
+    // native fused-loop signature expression when GraftExtensions is
+    // installed (one codegen'd node); bit-identical HOF fallback otherwise
+    // (numPerms array_min folds — same values, interpreted lambdas)
+    val sigCol =
+      if (documents.sparkSession.catalog.functionExists("graft_minhash"))
+        expr(s"graft_minhash(hs, $numPerms)")
+      else {
+        val coeffs = permCoeffs(numPerms)
+        array(coeffs.map { case (a, b) =>
+          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
+        }: _*)
+      }
     TextFns.shingles(documents, n)
       .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("hs"))
-      .select(col("doc_id"), col("hs"),
-        array(coeffs.map { case (a, b) =>
-          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
-        }: _*).as("sig"))
+      .select(col("doc_id"), col("hs"), sigCol.as("sig"))
   }
 
   /** LSH banding: (doc_id, band, bkey) where bkey is the md5 of the band's
