@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftglue.Bridge
@@ -72,12 +73,27 @@ object AsOfJoin {
     }
   }
 
-  /** Planner strategy mapping the logical node to the physical merge. */
+  /** Planner strategy: mirrors Spark's own join planning — when the RIGHT
+    * side's estimated size fits under `spark.sql.autoBroadcastJoinThreshold`,
+    * plan the broadcast variant (no shuffle at all: the left side streams
+    * through its scan stage while each task probes a broadcast index); above
+    * the threshold, or with broadcasting disabled (threshold = -1), fall back
+    * to the shuffled sort-merge variant. The as-of shape is asymmetric — only
+    * the right (quote/dimension) side can be broadcast, and that side IS the
+    * small one in the canonical "events vs reference states" usage.
+    */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case j: AsOfJoinPlan =>
-        AsOfJoinExec(planLater(j.left), planLater(j.right),
-          j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak) :: Nil
+        val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        val exec =
+          if (threshold > 0 && j.right.stats.sizeInBytes <= threshold)
+            BroadcastAsOfJoinExec(planLater(j.left), planLater(j.right),
+              j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak)
+          else
+            AsOfJoinExec(planLater(j.left), planLater(j.right),
+              j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak)
+        exec :: Nil
       case _ => Nil
     }
   }
@@ -183,6 +199,214 @@ object AsOfJoin {
           toUnsafe(joined(l, if (matched) held else nullRight))
         }
       }
+    }
+  }
+
+  /** Broadcast as-of join: the right side is materialized through a standard
+    * [[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]]
+    * (declared via `BroadcastDistribution(IdentityBroadcastMode)`, so the
+    * collect runs on Spark's async broadcast thread and — under AQE — as a
+    * broadcast query stage CONCURRENT with the left side's stage); left tasks
+    * probe a per-executor index built lazily over the broadcast rows. Zero
+    * shuffles — the left side never leaves its scan stage — the same trade
+    * BroadcastHashJoin makes, and the winning plan whenever the right side is
+    * dimension-sized (the strategy guards it behind
+    * `autoBroadcastJoinThreshold`, so an oversized right side degrades to the
+    * shuffled merge, never to a driver OOM).
+    *
+    * Per left row: one hash probe + an O(log n) upper-bound binary search over
+    * that key's time-sorted rows (tiebreak-last order, same resolution as the
+    * merge variant). Work is O(L log maxGroup) with no sort of the left side.
+    */
+  case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                                   leftKey: Expression, rightKey: Expression,
+                                   leftTime: Expression, rightTime: Expression,
+                                   rightTiebreak: Seq[Expression])
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def outputPartitioning = left.outputPartitioning
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+        org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+          BlobBroadcastMode(right.output, rightKey, rightTime, rightTiebreak)))
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val rightOut = right.output
+      val leftOut = left.output
+      val outAttrs = output
+      val tDt = leftTime.dataType
+      val (lkE, ltE, rkE, rtE, tiebreak) = (leftKey, leftTime, rightKey, rightTime, rightTiebreak)
+      val nRightFields = rightOut.size
+      val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+      left.execute().mapPartitions({ lIt =>
+        val idx = BroadcastAsOfIndex.getOrBuild(bcast.value, nRightFields, rightOut,
+          rkE, rtE, tiebreak)
+        val timeOrd = PhysicalDataType.ordering(tDt).asInstanceOf[Ordering[Any]]
+        val lKey = BindReferences.bindReference(lkE, leftOut)
+        val lTime = BindReferences.bindReference(ltE, leftOut)
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rightOut.size)
+        val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+        lIt.map { l =>
+          val k = lKey.eval(l)
+          val t = lTime.eval(l)
+          var matched: InternalRow = null
+          if (k != null && t != null) {
+            val group = idx.get(k)
+            if (group != null) {
+              // upper-bound search: greatest i with group(i).time <= t; the
+              // build sorted tied times in tiebreak order, so "last <= t" is
+              // the max-tiebreak row — identical resolution to the merge exec
+              var lo = 0
+              var hi = group.length // exclusive; invariant: group(<lo).t <= t
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(group(mid).time, t) <= 0) lo = mid + 1 else hi = mid
+              }
+              if (lo > 0) matched = group(lo - 1).row
+            }
+          }
+          toUnsafe(joined(l, if (matched != null) matched else nullRight))
+        }
+      }, preservesPartitioning = true)
+    }
+  }
+
+  /** Broadcast payload builder: length-prefixed UnsafeRow bytes in ONE flat
+    * blob — the cheapest structure to serialize/deserialize (a plain byte
+    * array), built on BroadcastExchangeExec's async collect thread. The
+    * executor-side index wraps zero-copy row views over the blob.
+    */
+  case class BlobBroadcastMode(rightOut: Seq[Attribute], rkE: Expression, rtE: Expression,
+                               tiebreak: Seq[Expression])
+      extends org.apache.spark.sql.catalyst.plans.physical.BroadcastMode {
+    override def canonicalized: org.apache.spark.sql.catalyst.plans.physical.BroadcastMode = this
+    override def transform(rows: Array[InternalRow]): Any = transform(rows.iterator, None)
+    override def transform(rows: Iterator[InternalRow],
+                           sizeHint: Option[Long]): Any = {
+      // Group by key and time-sort each group HERE, on BroadcastExchange's
+      // async collect thread, so the executor-side index build is one
+      // sequential pass with a single hash insert per KEY. Blob layout:
+      // per group: [int rowCount][rowCount × (int len, UnsafeRow bytes)],
+      // rows in (time, tiebreak) ascending order.
+      val keyEval = BindReferences.bindReference(rkE, rightOut)
+      val timeEval = BindReferences.bindReference(rtE, rightOut)
+      val tiebreakEvals = tiebreak.map(BindReferences.bindReference(_, rightOut))
+      val timeCmp = PhysicalDataType.ordering(rtE.dataType).asInstanceOf[Ordering[Any]]
+      val tieCmps = tiebreak.map(e =>
+        PhysicalDataType.ordering(e.dataType).asInstanceOf[Ordering[Any]])
+      lazy val toUnsafe = UnsafeProjection.create(rightOut.map(_.dataType).toArray)
+      def cmpVals(a: Any, b: Any, ord: Ordering[Any]): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else ord.compare(a, b)
+      val cmp = new java.util.Comparator[UnsafeRow] {
+        override def compare(x: UnsafeRow, y: UnsafeRow): Int = {
+          var c = cmpVals(timeEval.eval(x), timeEval.eval(y), timeCmp)
+          var i = 0
+          while (c == 0 && i < tiebreakEvals.size) {
+            c = cmpVals(tiebreakEvals(i).eval(x), tiebreakEvals(i).eval(y), tieCmps(i))
+            i += 1
+          }
+          c
+        }
+      }
+      val grouped = new java.util.HashMap[Any, java.util.ArrayList[UnsafeRow]]()
+      rows.foreach { r =>
+        // BroadcastExchange collects UnsafeRows in practice; the projection
+        // only defends against a non-unsafe child, at a copy's cost
+        val u = r match { case ur: UnsafeRow => ur; case other => toUnsafe(other).copy() }
+        val k = keyEval.eval(u)
+        // rows with a null key or time can never be an as-of match
+        if (k != null && timeEval.eval(u) != null)
+          grouped.computeIfAbsent(k, _ => new java.util.ArrayList()).add(u)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      val writeBuffer = new Array[Byte](4096)
+      grouped.forEach { (_, group) =>
+        group.sort(cmp)
+        dos.writeInt(group.size())
+        group.forEach { u =>
+          dos.writeInt(u.getSizeInBytes)
+          u.writeToStream(dos, writeBuffer)
+        }
+      }
+      dos.close()
+      // BroadcastExchangeExec only accepts Array[InternalRow] (or a
+      // HashedRelation) from transform — wrap the blob as ONE single-field
+      // binary row, still a flat byte payload on the wire
+      val wrap = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.BinaryType))
+      Array[InternalRow](wrap(InternalRow(bos.toByteArray)).copy())
+    }
+  }
+
+  /** One time-sorted right row inside a broadcast as-of index group. */
+  final case class TimedRow(time: Any, row: InternalRow)
+
+  /** Executor-side index for [[BroadcastAsOfJoinExec]]: key → rows sorted by
+    * (time, tiebreak). Built once per executor per broadcast — memoized on the
+    * broadcast blob's identity in a WeakHashMap, so the entry is collectable
+    * as soon as the driver drops the broadcast.
+    */
+  object BroadcastAsOfIndex {
+    private val cache = new java.util.WeakHashMap[AnyRef, java.util.HashMap[Any, Array[TimedRow]]]()
+
+    def getOrBuild(wrapped: Array[InternalRow], nFields: Int,
+                   rightOut: Seq[Attribute], rkE: Expression, rtE: Expression,
+                   tiebreak: Seq[Expression]): java.util.HashMap[Any, Array[TimedRow]] =
+      cache.synchronized {
+        val hit = cache.get(wrapped)
+        if (hit != null) hit
+        else {
+          val built = build(wrapped(0).getBinary(0), nFields, rightOut, rkE, rtE, tiebreak)
+          cache.put(wrapped, built)
+          built
+        }
+      }
+
+    private def build(blob: Array[Byte], nFields: Int,
+                      rightOut: Seq[Attribute], rkE: Expression, rtE: Expression,
+                      tiebreak: Seq[Expression]): java.util.HashMap[Any, Array[TimedRow]] = {
+      // the blob arrives pre-grouped and pre-sorted (BlobBroadcastMode did
+      // the work on the broadcast thread) — this is one sequential parse
+      // with a single hash insert per key; rows point INTO the blob, zero
+      // per-row copies
+      val keyEval = BindReferences.bindReference(rkE, rightOut)
+      val timeEval = BindReferences.bindReference(rtE, rightOut)
+      val index = new java.util.HashMap[Any, Array[TimedRow]]()
+      val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      def readInt(pos: Int): Int =
+        ((blob(pos) & 0xff) << 24) | ((blob(pos + 1) & 0xff) << 16) |
+          ((blob(pos + 2) & 0xff) << 8) | (blob(pos + 3) & 0xff)
+      var pos = 0
+      while (pos < blob.length) {
+        val groupSize = readInt(pos)
+        pos += 4
+        val arr = new Array[TimedRow](groupSize)
+        var i = 0
+        while (i < groupSize) {
+          val len = readInt(pos)
+          val row = new UnsafeRow(nFields)
+          row.pointTo(blob, base + pos + 4, len)
+          pos += 4 + len
+          arr(i) = TimedRow(timeEval.eval(row), row)
+          i += 1
+        }
+        index.put(keyEval.eval(arr(0).row), arr)
+      }
+      index
     }
   }
 

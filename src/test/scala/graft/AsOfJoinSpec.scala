@@ -52,6 +52,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!physical.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("planner picks broadcast under the threshold, shuffled merge above; both paths agree") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    def run(): DataFrame = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    // default threshold (10 MB) >> sf0.001 orders: broadcast variant planned
+    val bPlan = run().queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastAsOfJoin"), s"expected broadcast as-of in:\n$bPlan")
+    assert(bPlan.contains("BroadcastExchange"), s"expected a standard BroadcastExchange in:\n$bPlan")
+    val bRows = run().orderBy("event_id").collect().map(_.toSeq).toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val mPlan = run().queryExecution.executedPlan.toString
+      assert(!mPlan.contains("BroadcastAsOfJoin"),
+        s"threshold -1 must fall back to the shuffled merge:\n$mPlan")
+      assert(mPlan.contains("AsOfJoin "), s"expected merge as-of in:\n$mPlan")
+      val mRows = run().orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(bRows == mRows, "broadcast and merge paths disagree")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("null right-side times are skipped, not allowed to stall the merge") {
     import spark.implicits._
     val left = Seq((1L, Some(20L), "e1"), (1L, Some(30L), "e2"), (2L, Some(5L), "e3"),
@@ -61,13 +84,22 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, Option.empty[Long], "null-time"), (1L, Some(10L), "match"),
       (2L, Some(50L), "future"))
       .toDF("o_custkey", "ot", "name")
-    val out = AsOfJoin(left, right, "user_id", "o_custkey", "t", "ot")
-      .select("tag", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    // the null-time row sorts NULLS FIRST at the key-group head; both left
-    // rows of key 1 must still reach the t=10 match behind it
-    assert(out("e1") == "match" && out("e2") == "match")
-    assert(out("e3") == null, "future-time right row must not match")
-    assert(out("e4") == null, "null LEFT time can never satisfy t >= ot")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    // same null semantics on BOTH physical paths (default → broadcast,
+    // -1 → shuffled merge)
+    for (threshold <- Seq(saved, "-1")) {
+      spark.conf.set(key, threshold)
+      try {
+        val out = AsOfJoin(left, right, "user_id", "o_custkey", "t", "ot")
+          .select("tag", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        // the null-time row sorts NULLS FIRST at the key-group head; both left
+        // rows of key 1 must still reach the t=10 match behind it
+        assert(out("e1") == "match" && out("e2") == "match")
+        assert(out("e3") == null, "future-time right row must not match")
+        assert(out("e4") == null, "null LEFT time can never satisfy t >= ot")
+      } finally spark.conf.set(key, saved)
+    }
   }
 
   test("mismatched key or time types fail at build time, not in executors") {
