@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, MinhashSig, OsgbToWgs84, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, MinhashSig, OsgbToWgs84, SimhashSig, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,6 +35,11 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
         }
         MinhashSig(children.head, perms)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimhashSig(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_osgb"),
       new ExpressionInfo(classOf[OsgbToWgs84].getName, "graft_osgb"),

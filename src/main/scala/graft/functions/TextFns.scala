@@ -45,42 +45,20 @@ object TextFns {
     * interpreted, outside codegen — a measured 1.5-2× regression on the
     * downstream join queries at sf0.1.
     *
-    * `maxDf`: optional document-frequency cap — shingles appearing in more
-    * than maxDf documents are dropped (stop-shingle removal). This is the
-    * standard guard that keeps shingle-blocked self-joins linear: without it a
-    * hot shingle with df=d contributes d² join rows.
+    * Document-frequency capping deliberately does NOT live here: the one
+    * consumer that needs it (q_ngram_jaccard) folds the cap into a bounded
+    * per-shingle doc-list aggregate (`graft_topk`), which needs neither a
+    * stop-shingle broadcast (unbounded driver list when the cap is small
+    * relative to the corpus) nor a count-over-window pass.
     */
-  def shingles(documents: DataFrame, n: Int, maxDf: Option[Int] = None): DataFrame = {
-    val toks = documents
+  def shingles(documents: DataFrame, n: Int): DataFrame =
+    documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= n)
-    val sh = toks
       .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - n)).as("i"), col("t"))
       .select(col("doc_id"),
         concat_ws(" ", (1 to n).map(k => element_at(col("t"), col("i") + k)): _*).as("sh"))
       .distinct()
-    maxDf match {
-      case None => sh
-      case Some(cap) =>
-        // The stop-shingle list is computed with a map-side-combinable
-        // aggregate and removed via a broadcast left-anti join — the big
-        // relation is never shuffled for the cap, unlike the
-        // count-over-window form which re-shuffles and sorts every shingle
-        // row. The hint is needed because this subplan is usually persisted
-        // (below), and AQE does not re-plan inside a cached plan — without
-        // the hint the anti join degrades to sort-merge. GUARD: the hot
-        // list's size is bounded by |shingle rows|/(cap+1), so the broadcast
-        // is only driver-safe when cap is large relative to the corpus
-        // (cap=100 at 100 TB ⇒ an unbounded list); caps below
-        // |corpus|/~100k should use the un-hinted form instead.
-        require(cap >= 1, s"maxDf cap must be positive: $cap")
-        val based = sh.persist()
-        val hot = based.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        based.join(broadcast(hot), Seq("sh"), "left_anti")
-          .select("doc_id", "sh")
-    }
-  }
 
   /** DuckDB rendering of [[shingles]] as a CTE body over `documents`. */
   def shinglesSql(n: Int, maxDf: Option[Int] = None): String = {

@@ -162,7 +162,17 @@ object Dedup {
     * parallelism, so the oracle (which still uses the unnest(range(32))
     * formulation) is unaffected.
     */
-  def simhashDf(documents: DataFrame): DataFrame = {
+  def simhashDf(documents: DataFrame): DataFrame =
+    // native per-doc expression when GraftExtensions is installed: zero
+    // shuffles (the aggregate form spends two wide exchanges on per-doc
+    // arithmetic); bit-identical values — SimhashSigSpec enforces it
+    if (documents.sparkSession.catalog.functionExists("graft_simhash"))
+      documents.select(col("doc_id"),
+        expr("graft_simhash(split(text, ' '))").as("simhash"))
+    else simhashAggDf(documents)
+
+  /** The built-in-only twin of [[simhashDf]] (and its value contract). */
+  def simhashAggDf(documents: DataFrame): DataFrame = {
     val tc = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok")
@@ -239,22 +249,46 @@ object Dedup {
   )
 
   /** Exact n-gram Jaccard on blocked pairs: the block key is a shared shingle
-    * (equi-join) over the df-capped shingle universe (stop-shingles removed,
-    * df ≤ 100), pairs kept once they share ≥ 10 shingles. The cap is what
-    * keeps the self-join linear: a hot shingle with df=d costs d² join rows.
+    * over the df-capped shingle universe (stop-shingles removed, df ≤ 100),
+    * pairs kept once they share ≥ 10 shingles.
+    *
+    * Shape: ONE aggregate per shingle collects its doc list with `graft_topk`
+    * — a bounded heap, so a pathologically hot shingle holds at most cap+1
+    * entries in every partial buffer (collect_set would buffer its full df
+    * before the filter could drop it — an executor OOM at 100 TB); df > cap
+    * shingles are then dropped by array size, and candidate pairs come from
+    * per-array combinations (≤ cap(cap-1)/2 per shingle, linear overall) —
+    * no self-join of the shingle relation, no second shuffle of shingle rows,
+    * and no stop-shingle side list to broadcast.
     */
   val ngramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      // the df-capped shingle relation feeds both self-join sides AND the
-      // per-doc counts — localCheckpoint so the scan→explode→df-cap runs
-      // once and AQE still re-plans the joins above the materialized blocks
-      val sh = TextFns.shingles(Tables.documents(s, d), 2, maxDf = Some(100))
+      val cap = 100
+      // per-doc dedup is ROW-LOCAL (array_distinct) — no shuffle spent on a
+      // global DISTINCT; the one wide shuffle is the doc-list aggregate
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"))).as("sh"))
+      // doc-list relation is one row per qualifying shingle (small) and feeds
+      // both the pair generator and the per-doc counts — localCheckpoint
+      // materializes it once and leaves AQE free above it
+      val capped = sh
+        .groupBy("sh")
+        .agg(expr(s"transform(graft_topk(cast(doc_id as double), doc_id, ${cap + 1})," +
+          " x -> x.id)").as("docs"))
+        .filter(size(col("docs")) <= cap)
+        .select("docs")
         .localCheckpoint()
-      val shn = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-        .filter(col("d1") < col("d2"))
+      val shn = capped.select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = capped
+        .select(explode(expr(
+          "flatten(transform(docs, (x, i) -> transform(slice(docs, i + 2, size(docs))," +
+            " y -> struct(least(x, y) as d1, greatest(x, y) as d2))))")).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 10L)
       val jac = col("shared").cast("double") / (col("n1") + col("n2") - col("shared"))
