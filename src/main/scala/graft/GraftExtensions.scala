@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, MinhashSig, OsgbToWgs84, SimhashSig, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,6 +34,17 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
             s"graft_minhash(hs, numPerms): numPerms must be an integer literal, got $other")
         }
         MinhashSig(children.head, perms)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes(tokens, n): n must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

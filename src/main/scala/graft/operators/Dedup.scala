@@ -53,8 +53,9 @@ object Dedup {
     // native fused-loop signature expression when GraftExtensions is
     // installed (one codegen'd node); bit-identical HOF fallback otherwise
     // (numPerms array_min folds — same values, interpreted lambdas)
+    val catalog = documents.sparkSession.catalog
     val sigCol =
-      if (documents.sparkSession.catalog.functionExists("graft_minhash"))
+      if (catalog.functionExists("graft_minhash"))
         expr(s"graft_minhash(hs, $numPerms)")
       else {
         val coeffs = permCoeffs(numPerms)
@@ -62,11 +63,23 @@ object Dedup {
           array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P))
         }: _*)
       }
-    TextFns.shingles(documents, n)
-      .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("hs"))
-      .select(col("doc_id"), col("hs"), sigCol.as("sig"))
+    // shuffle-free hash-set path: the whole (doc_id, hs, sig) relation is one
+    // map pass when the native shingle-hash expression is available — the
+    // column pipeline below shuffles every shingle row twice (DISTINCT + the
+    // per-doc set aggregate) for the same per-doc-local result. The empty-hs
+    // filter mirrors the explode pipeline, where a doc with < n tokens never
+    // produces a row.
+    val hsRel =
+      if (catalog.functionExists("graft_shingle_hashes"))
+        documents
+          .select(col("doc_id"), expr(s"graft_shingle_hashes(split(text, ' '), $n)").as("hs"))
+          .filter(size(col("hs")) > 0)
+      else
+        TextFns.shingles(documents, n)
+          .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+          .groupBy("doc_id")
+          .agg(collect_set(col("h")).as("hs"))
+    hsRel.select(col("doc_id"), col("hs"), sigCol.as("sig"))
   }
 
   /** LSH banding: (doc_id, band, bkey) where bkey is the md5 of the band's

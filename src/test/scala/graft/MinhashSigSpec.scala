@@ -40,6 +40,37 @@ class MinhashSigSpec extends SparkSpec {
       "different docs must differ somewhere in 32 permutations")
   }
 
+  test("graft_shingle_hashes equals the explode/DISTINCT/hash pipeline as a SET") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),              // repeated bigram "a b" must dedup
+      (2L, "single"),                  // < n tokens: no shingles
+      (3L, "x y"),                     // exactly one shingle
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"), expr("graft_shingle_hashes(split(text, ' '), 2)").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val pipeline = TextFns.shingles(docs, 2)
+      .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(native == pipeline)
+    assert(!native.contains(2L), "a doc with < n tokens must drop out")
+    assert(native(3L).size == 1)
+    assert(native(1L).size == 3, "'a b','b c','c a','a b' → 3 distinct shingles")
+  }
+
+  test("minhash signature relation is shuffle-free under the native expressions") {
+    val plan = graft.operators.Dedup
+      .minhashSignatures(Tables.documents(spark, sf("sf0.001")), 2, 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_shingle_hashes") && plan.contains("graft_minhash"),
+      s"expected native expressions in:\n$plan")
+    assert(!plan.contains("Exchange"), s"signature generation must be shuffle-free:\n$plan")
+  }
+
   test("graft_minhash of an empty hash set is null (array_min semantics)") {
     import spark.implicits._
     val out = Seq(Tuple1(Seq.empty[Long]), Tuple1(Seq(7L)))
