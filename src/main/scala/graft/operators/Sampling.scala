@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Sampling / data-mixing operators for assembling a training corpus.
+  *
+  * Both are map-dominant: the sampler is a pure per-row filter (no shuffle at
+  * all — the decision is a deterministic hash of the row's own id), and the
+  * mixture table is one small grouped aggregate joined to a broadcast scalar.
+  */
+object Sampling {
+
+  /** Stratified downsampling with DETERMINISTIC hash-mod buckets: a doc is
+    * kept iff md5-hash32(doc_id) mod 100 falls under its stratum's rate
+    * (en 50%, de 25%, rest 10%). Unlike `rand()`-based sampling this is
+    * reproducible across runs/engines (the oracle applies the identical
+    * rule), re-runnable incrementally (a doc's fate never changes), and
+    * needs no shuffle or count pass — the filter is evaluated at the scan.
+    */
+  val stratifiedSample = Q(
+    "q_stratified_sample",
+    (s, d) => {
+      val bucket = TextFns.hash32(col("doc_id").cast("string")) % 100L
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "de", 25L)
+        .otherwise(10L)
+      Tables.documents(s, d)
+        .filter(bucket < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE (${TextFns.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100) <
+       |      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+       |ORDER BY doc_id""".stripMargin
+  )
+
+  /** Domain-mixture table: per language, document/token counts, the token
+    * share of the corpus, and the upsampling weight that would equalize the
+    * mixture (`uniform-share / actual-share`) — the bookkeeping behind
+    * "mix domains to target proportions" in a training-data pipeline. One
+    * grouped aggregate (partial-aggregable) + a broadcast scalar join; the
+    * group cardinality is the number of domains, so the second stage is
+    * trivially small at any corpus size.
+    */
+  val domainMix = Q(
+    "q_domain_mix",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      val t = g.agg(sum(col("toks")).as("total"), count(lit(1)).as("ngroups"))
+      g.crossJoin(broadcast(t))
+        .select(col("lang"), col("docs"), col("toks").cast("long").as("tokens"),
+          round(col("toks").cast("double") / col("total"), 6).as("token_share"),
+          round((col("total").cast("double") / col("ngroups")) / col("toks"), 6).as("mix_weight"))
+        .orderBy("lang")
+    },
+    """WITH g AS (SELECT lang, count(*) AS docs, sum(len(string_split(text,' '))) AS toks
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT sum(toks) AS total, count(*) AS ngroups FROM g)
+      |SELECT lang, docs, CAST(toks AS BIGINT) AS tokens,
+      |  round(CAST(toks AS DOUBLE)/total, 6) AS token_share,
+      |  round((CAST(total AS DOUBLE)/ngroups)/toks, 6) AS mix_weight
+      |FROM g, t ORDER BY lang""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(stratifiedSample, domainMix)
+}

@@ -326,6 +326,71 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
+  /** Repetition-based quality signals (the Gopher-style repetition filters):
+    * per doc, the fraction of bigram occurrences belonging to a repeated
+    * bigram and the share of the single most frequent bigram. Shape: bigrams
+    * are built ROW-LOCALLY (no shuffle spent on construction), then two
+    * partial-aggregable hash aggregates — linear at any corpus size, and the
+    * (doc_id, bigram) key never concentrates (a doc's bigrams bound the
+    * group count).
+    */
+  val repetition = Q(
+    "q_repetition",
+    (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))")).as("bg"))
+      val dupFrac = col("dup_occ").cast("double") / col("total")
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("total"), max(col("c")).as("top_c"),
+          sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("dup_occ"))
+        .select(col("doc_id"),
+          col("total").cast("long").as("n_bigrams"),
+          round(dupFrac, 6).as("dup_bigram_frac"),
+          round(col("top_c").cast("double") / col("total"), 6).as("top_bigram_frac"),
+          (dupFrac > 0.5).as("repetitive"))
+        .orderBy("doc_id")
+    },
+    """WITH bg AS (
+      |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS bg
+      |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      |        WHERE len(string_split(text,' ')) >= 2),
+      |       unnest(range(len(t)-1)) AS u(i)),
+      |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1,2),
+      |agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top_c,
+      |               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+      |        FROM cnt GROUP BY 1)
+      |SELECT doc_id, CAST(total AS BIGINT) AS n_bigrams,
+      |  round(CAST(dup_occ AS DOUBLE)/total, 6) AS dup_bigram_frac,
+      |  round(CAST(top_c AS DOUBLE)/total, 6) AS top_bigram_frac,
+      |  (CAST(dup_occ AS DOUBLE)/total > 0.5) AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+  )
+
+  /** Text normalization: case-fold, strip non-alphanumerics, collapse runs
+    * of spaces, trim — the canonical pre-dedup/pre-tokenize cleanup pass.
+    * Pure per-row column functions: embarrassingly parallel, zero shuffles,
+    * stays in whole-stage codegen.
+    */
+  val normalize = Q(
+    "q_normalize",
+    (s, d) => {
+      val normed = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), normed.as("norm_text"),
+          (length(col("text")) - length(normed)).as("removed_chars"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  length(text) - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS removed_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
-    collocations, vocabCoverage, lmScore)
+    collocations, vocabCoverage, lmScore, repetition, normalize)
 }
