@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, BpeEncode, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -34,6 +34,21 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
             s"graft_minhash(hs, numPerms): numPerms must be an integer literal, got $other")
         }
         MinhashSig(children.head, perms)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val mergesExpr = children(1)
+        require(mergesExpr.foldable,
+          "graft_bpe(text, merges): merges must be a foldable array<string> literal")
+        val merges = mergesExpr.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe: merges must evaluate to an array, got $other")
+        }
+        BpeEncode(children.head, merges)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hashes"),

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** The distributed BPE trainer must agree merge-for-merge with an
+  * independent single-JVM reference implementation (same tie-break: max
+  * count, then lexicographic pair), and the native `graft_bpe` encoder must
+  * reproduce the reference encoding and round-trip every word.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference trainer: plain Scala over a word-frequency map. */
+  private def referenceTrain(freqs: Map[String, Long], numMerges: Int,
+                             minPairCount: Long): Seq[String] = {
+    var words = freqs.map { case (w, f) => (w.map(_.toString).toList, f) }.toList
+    val out = Seq.newBuilder[String]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        if (c < minPairCount) done = true
+        else {
+          out += s"$a $b"
+          words = words.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ListBuffer[String]()
+            syms.foreach { s =>
+              if (merged.nonEmpty && merged.last == a && s == b)
+                merged(merged.size - 1) = a + b
+              else merged += s
+            }
+            (merged.toList, f)
+          }
+        }
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Reference encoder: greedy lowest-rank merge loop. */
+  private def referenceEncode(word: String, merges: Seq[String]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toVector
+    var continue = syms.size >= 2
+    while (continue) {
+      val candidates = syms.zip(syms.tail).zipWithIndex
+        .flatMap { case ((x, y), i) => rank.get(s"$x $y").map(r => (r, i)) }
+      if (candidates.isEmpty) continue = false
+      else {
+        val (_, i) = candidates.minBy(_._1)
+        syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
+        continue = syms.size >= 2
+      }
+    }
+    syms
+  }
+
+  private val corpus = Seq(
+    ("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5))
+
+  private def corpusDf = {
+    import spark.implicits._
+    // one doc per word occurrence — the trainer sees plain text
+    corpus.flatMap { case (w, f) => Seq.fill(f)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("distributed trainer matches the reference merge-for-merge") {
+    val expected = referenceTrain(
+      corpus.map { case (w, f) => w -> f.toLong }.toMap, 8, minPairCount = 2L)
+    val trained = Bpe.train(corpusDf, 8, minPairCount = 2L)
+    assert(trained == expected, s"trained $trained != reference $expected")
+    assert(trained.nonEmpty && trained.size >= 4)
+  }
+
+  test("native graft_bpe encodes like the reference and round-trips every word") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, 8, minPairCount = 2L)
+    val mergeLit = merges.map(m => s"'${m}'").mkString("array(", ", ", ")")
+    val words = Seq("hug", "pug", "pun", "bun", "hugs", "hugging", "zebra")
+    val out = words.toDF("text")
+      .select(col("text"), expr(s"graft_bpe(text, $mergeLit)").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(out(w) == referenceEncode(w, merges), s"$w: ${out(w)}")
+      assert(out(w).mkString == w, s"$w must round-trip, got ${out(w)}")
+    }
+    // trained subwords actually compress: "hugs" must not stay characters
+    assert(out("hugs").size < "hugs".length)
+  }
+
+  test("multi-word text flattens word encodings in order; empty runs drop") {
+    import spark.implicits._
+    val merges = Bpe.train(corpusDf, 8, minPairCount = 2L)
+    val mergeLit = merges.map(m => s"'${m}'").mkString("array(", ", ", ")")
+    val out = Seq("hug pun  hugs").toDF("text")
+      .select(expr(s"graft_bpe(text, $mergeLit)").as("toks"))
+      .collect()(0).getSeq[String](0)
+    val expected = Seq("hug", "pun", "hugs").flatMap(referenceEncode(_, merges))
+    assert(out == expected)
+  }
+}
