@@ -392,5 +392,52 @@ object Dedup {
        |ORDER BY c.doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters)
+  /** Benchmark decontamination: flag training documents sharing ≥ 5 distinct
+    * bigram-shingle hashes with any document of the eval slice (here the
+    * `src0` source stands in for a benchmark suite). The asymmetric twin of
+    * near-dup detection: candidate generation is an equi-join on the shingle
+    * hash against the EVAL side — which in production is a benchmark corpus,
+    * orders of magnitude smaller than the training corpus, so the join
+    * carries no hint and AQE broadcasts the eval side while it measures
+    * small (the lm-score posture; a hint would be an unbounded-broadcast
+    * hazard if the eval slice grew). Shingle hashing itself is the same
+    * shuffle-free native expression the minhash family uses.
+    */
+  val decontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def hashes(df: DataFrame, idAs: String) =
+        if (s.catalog.functionExists("graft_shingle_hashes"))
+          df.select(col("doc_id").as(idAs),
+            explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
+        else
+          TextFns.shingles(df, 2)
+            .select(col("doc_id").as(idAs), TextFns.hash32(col("sh")).as("h"))
+      val tr = hashes(docs.filter(col("source") =!= "src0"), "train_doc")
+      val ev = hashes(docs.filter(col("source") === "src0"), "eval_doc")
+      tr.join(ev, Seq("h"))
+        .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5L)
+        .groupBy("train_doc")
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("shared")).cast("long").as("max_shared"))
+        .orderBy("train_doc")
+    },
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source, ('0x'||substr(md5(t[i+1] || ' ' || t[i+2]),1,8))::BIGINT AS h
+      |  FROM (SELECT doc_id, source, string_split(text,' ') AS t FROM documents
+      |        WHERE len(string_split(text,' ')) >= 2),
+      |       unnest(range(len(t)-1)) AS u(i)),
+      |tr AS (SELECT doc_id, h FROM sh WHERE source <> 'src0'),
+      |ev AS (SELECT doc_id, h FROM sh WHERE source = 'src0'),
+      |hits AS (
+      |  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, count(*) AS shared
+      |  FROM tr JOIN ev ON tr.h = ev.h
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT train_doc, count(*) AS n_eval_matches, CAST(max(shared) AS BIGINT) AS max_shared
+      |FROM hits GROUP BY 1 ORDER BY train_doc""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters,
+    decontaminate)
 }

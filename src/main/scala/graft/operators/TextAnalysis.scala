@@ -391,6 +391,50 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
   )
 
+  /** Top-5 TF-IDF terms per document — the classic keyword/relevance
+    * extraction. Two partial-aggregable hash aggregates (tf, then df over the
+    * already-distinct (doc, tok) pairs), an un-hinted vocab join (AQE
+    * broadcasts while the vocab measures small, shuffles when it doesn't —
+    * the lm-score posture), and a top-k window PARTITIONED by doc_id (never
+    * global). The idf is pre-rounded to 9 dp before the per-term product so
+    * both engines rank identical values (ties then break on the token).
+    */
+  val tfidf = Q(
+    "q_tfidf",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nRel = tf.agg(countDistinct(col("doc_id")).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok"))
+      tf.join(dfRel, Seq("tok"))
+        .crossJoin(broadcast(nRel))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * round(log(col("n").cast("double") / col("df")), 9), 6).as("tfidf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("tok"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1,2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    round(tf.tf * round(ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 9), 6) AS tfidf
+      |  FROM tf JOIN df ON df.tok = tf.tok),
+      |ranked AS (
+      |  SELECT doc_id, tok, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tfidf
+      |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
-    collocations, vocabCoverage, lmScore, repetition, normalize)
+    collocations, vocabCoverage, lmScore, repetition, normalize, tfidf)
 }
