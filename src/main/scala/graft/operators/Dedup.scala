@@ -438,6 +438,30 @@ object Dedup {
       |FROM hits GROUP BY 1 ORDER BY train_doc""".stripMargin
   )
 
+  /** The dedup DELIVERABLE as a corpus: greedy pairwise near-dup removal —
+    * drop every document that is the HIGHER id of a MinHash near-dup pair,
+    * keep everything else. (The cluster-rep policy lives in
+    * `q_dedup_clusters`; this is the cheap one-pass policy real pipelines
+    * default to.) One anti-join of the corpus against the (tiny) distinct
+    * drop list — AQE broadcasts it; the corpus is never shuffled.
+    */
+  val dedupKeep = Q(
+    "q_dedup_keep",
+    (s, d) => {
+      val drop = minhashNearDups(Tables.documents(s, d), 2, 32, 4, 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    s"""WITH pairs AS (
+       |  SELECT d1, d2 FROM (${minhash.oracle.replace("ORDER BY d1, d2", "")}))
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters,
-    decontaminate)
+    decontaminate, dedupKeep)
 }

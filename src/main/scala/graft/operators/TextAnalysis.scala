@@ -435,6 +435,51 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
   )
 
+  /** Quality-filter FUNNEL: how many documents survive each successive
+    * pipeline stage (input → min length → unique-token ratio → exact dedup
+    * keep-first) — the observability table every filtering pipeline reports.
+    * All stage predicates are row-local except the dedup rank (one window
+    * PARTITIONED by digest — bounded groups, never global); the funnel
+    * itself is a single conditional aggregation over one scan.
+    */
+  val filterFunnel = Q(
+    "q_filter_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val stages = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
+          md5(trim(lower(col("text")))).as("digest"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("digest").orderBy("doc_id")))
+      val passLen = col("n_tok") >= 30L
+      val passUniq = passLen && col("uniq_ratio") >= 0.35
+      val passDedup = passUniq && col("rn") === 1
+      stages.agg(
+          count(lit(1)).as("a_input"),
+          sum(when(passLen, 1L).otherwise(0L)).as("b_min_length"),
+          sum(when(passUniq, 1L).otherwise(0L)).as("c_uniq_ratio"),
+          sum(when(passDedup, 1L).otherwise(0L)).as("d_exact_dedup"))
+        .select(expr("stack(4, 'a_input', a_input, 'b_min_length', b_min_length," +
+          " 'c_uniq_ratio', c_uniq_ratio, 'd_exact_dedup', d_exact_dedup) AS (stage, docs)"))
+        .orderBy("stage")
+    },
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+      |                  md5(trim(lower(text))) AS digest FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n_tok,
+      |             len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+      |             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      |      FROM t)
+      |SELECT 'a_input' AS stage, count(*) AS docs FROM s
+      |UNION ALL SELECT 'b_min_length', count(*) FROM s WHERE n_tok >= 30
+      |UNION ALL SELECT 'c_uniq_ratio', count(*) FROM s WHERE n_tok >= 30 AND uniq_ratio >= 0.35
+      |UNION ALL SELECT 'd_exact_dedup', count(*) FROM s
+      |  WHERE n_tok >= 30 AND uniq_ratio >= 0.35 AND rn = 1
+      |ORDER BY stage""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
-    collocations, vocabCoverage, lmScore, repetition, normalize, tfidf)
+    collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel)
 }
