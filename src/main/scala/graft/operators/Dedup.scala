@@ -343,14 +343,20 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("v")).distinct().withColumn("l", col("v"))
       .localCheckpoint()
+    def propagate(ls: DataFrame): DataFrame = {
+      val neigh = edges.join(ls.select(col("v").as("w"), col("l")), Seq("w"))
+        .groupBy("v").agg(min(col("l")).as("nl"))
+      ls.join(neigh, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+    }
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val neigh = edges.join(labels.select(col("v").as("w"), col("l")), Seq("w"))
-        .groupBy("v").agg(min(col("l")).as("nl"))
-      val next = labels.join(neigh, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint()
+      // TWO propagation steps per materialization/probe: labels only ever
+      // DECREASE under min-propagation (monotone, no oscillation), so
+      // "unchanged after a double step" ⟺ fixpoint — same invariant, half
+      // the checkpoint + convergence-probe jobs for the same round count
+      val next = propagate(propagate(labels)).localCheckpoint()
       val changed = next.join(labels.select(col("v"), col("l").as("old")), Seq("v"))
         .filter(col("l") =!= col("old")).limit(1).count()
       labels = next
