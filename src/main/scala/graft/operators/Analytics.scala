@@ -236,6 +236,38 @@ object Analytics {
       |ORDER BY ev.event_id""".stripMargin
   )
 
+  /** Training-sequence construction: each user's first 20 events in time
+    * order as a comma-joined event-type sequence — the feature-engineering
+    * shape behind behavioral/sequential model corpora. The ranking window
+    * PARTITIONS by user (bounded groups), the per-user buffer is capped at
+    * 20 rows before aggregation, and the ordered concat is made
+    * collect-order-independent by sorting the (rank, type) structs inside
+    * the row — deterministic at any parallelism.
+    */
+  val eventSequences = Q(
+    "q_event_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("seq_len"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ",").as("sequence"))
+        .orderBy("user_id")
+    },
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |firstk AS (SELECT * FROM ranked WHERE rn <= 20)
+      |SELECT user_id, count(*) AS seq_len,
+      |  string_agg(event_type, ',' ORDER BY rn) AS sequence
+      |FROM firstk GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
-    sessionize, topKAgg)
+    sessionize, topKAgg, eventSequences)
 }
