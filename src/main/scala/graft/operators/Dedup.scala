@@ -180,8 +180,11 @@ object Dedup {
     // shuffles (the aggregate form spends two wide exchanges on per-doc
     // arithmetic); bit-identical values — SimhashSigSpec enforces it
     if (documents.sparkSession.catalog.functionExists("graft_simhash"))
-      documents.select(col("doc_id"),
-        expr("graft_simhash(split(text, ' '))").as("simhash"))
+      // null-text docs produce no token rows in the aggregate form and so
+      // no output row — mirror that exactly (the expression alone would
+      // emit a null-simhash row)
+      documents.filter(col("text").isNotNull)
+        .select(col("doc_id"), expr("graft_simhash(split(text, ' '))").as("simhash"))
     else simhashAggDf(documents)
 
   /** The built-in-only twin of [[simhashDf]] (and its value contract). */
