@@ -106,20 +106,74 @@ class GeoJsonTable(options: CaseInsensitiveStringMap)
       info.schema())
 }
 
+/** Scan builder with column pruning AND filter pushdown. Two filter shapes
+  * are accepted (and then FULLY enforced, so Spark needs no residual):
+  *
+  *   - `source_file = v` / `source_file IN (...)` — DOCUMENT-level pruning:
+  *     non-matching documents are dropped from `planInputPartitions`, so
+  *     they are never fetched or parsed at all (the connector's analog of
+  *     partition pruning; with a remote fetch seam this skips the network
+  *     call, the dominant cost of a scrape ETL).
+  *   - `geometry_type = v` / `geometry_type IN (...)` — enforced inside the
+  *     partition reader while iterating features, before any row is built.
+  *
+  * Everything else is returned to Spark to evaluate post-scan.
+  */
 class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
   private var required: StructType = GeoJsonDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var fileKeep: Option[Set[String]] = None
+  private var geomKeep: Option[Set[String]] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GeoJsonScan(GeoJsonDataSource.inputs(options), required)
+
+  private def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
+    Some(cur.fold(add)(_ intersect add))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("source_file", _: String) | EqualTo("geometry_type", _: String) => true
+      case In("source_file", vs) => vs.forall(_.isInstanceOf[String])
+      case In("geometry_type", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("source_file", v: String) => fileKeep = intersect(fileKeep, Set(v))
+      case In("source_file", vs) =>
+        fileKeep = intersect(fileKeep, vs.map(_.asInstanceOf[String]).toSet)
+      case EqualTo("geometry_type", v: String) => geomKeep = intersect(geomKeep, Set(v))
+      case In("geometry_type", vs) =>
+        geomKeep = intersect(geomKeep, vs.map(_.asInstanceOf[String]).toSet)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, geomKeep)
 }
 
-class GeoJsonScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class GeoJsonScan(paths: Seq[String], required: StructType,
+                  fileKeep: Option[Set[String]] = None,
+                  geomKeep: Option[Set[String]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Documents surviving the pushed source_file pruning. */
+  def prunedPaths: Seq[String] =
+    fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(GeoJsonInputPartition.apply).toArray
+    prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(required)
+    new GeoJsonReaderFactory(required, geomKeep)
+  override def description(): String =
+    s"GeoJsonScan docs=${prunedPaths.size}/${paths.size}" +
+      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}")
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(paths.size == 1,
@@ -302,15 +356,21 @@ class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, task
   override def close(): Unit = ()
 }
 
-class GeoJsonReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GeoJsonReaderFactory(required: StructType,
+                           geomKeep: Option[Set[String]] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required)
+    new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required,
+      geomKeep)
 }
 
 /** Parses one document and streams its features as InternalRows, building
-  * only the pruned columns.
+  * only the pruned columns. A pushed geometry_type filter is enforced here,
+  * before any row is built (a feature with no geometry has a null type and
+  * never matches, same as Spark's EqualTo null semantics).
   */
-class GeoJsonPartitionReader(path: String, required: StructType)
+class GeoJsonPartitionReader(path: String, required: StructType,
+                             geomKeep: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val fileName = path.split('/').last
@@ -376,9 +436,18 @@ class GeoJsonPartitionReader(path: String, required: StructType)
     new GenericInternalRow(values)
   }
 
-  override def next(): Boolean =
-    if (features.hasNext) { val (f, i) = features.next(); current = toRow(f, i); true }
-    else false
+  private def keep(f: JsonNode): Boolean = geomKeep.forall { g =>
+    Option(f.get("geometry")).filterNot(_.isNull)
+      .exists(geom => g.contains(geom.get("type").asText()))
+  }
+
+  override def next(): Boolean = {
+    while (features.hasNext) {
+      val (f, i) = features.next()
+      if (keep(f)) { current = toRow(f, i); return true }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

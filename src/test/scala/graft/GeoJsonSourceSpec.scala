@@ -134,6 +134,39 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(math.abs(backLen - 14.0) < 1e-9)
   }
 
+  test("source_file filter prunes whole documents from the scan") {
+    val a = tmpFile("keep.json", s"""{"type": "FeatureCollection", "features": [$feature, $feature]}""")
+    val b = tmpFile("drop.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
+    val df = spark.read.format("geojson").load(a, b)
+      .filter(col("source_file") === "keep.json")
+    assert(df.count() == 2)
+    assert(df.select("source_file").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("keep.json"))
+    // the non-matching DOCUMENT is pruned from planInputPartitions, not
+    // parsed-then-filtered: the scan description reports 1 of 2 docs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("docs=1/2"), s"expected document pruning in:\n$plan")
+    // IN-list prunes the same way; unknown names prune to zero docs
+    assert(spark.read.format("geojson").load(a, b)
+      .filter(col("source_file").isin("keep.json", "nope.json")).count() == 2)
+    assert(spark.read.format("geojson").load(a, b)
+      .filter(col("source_file") === "nope.json").count() == 0)
+  }
+
+  test("geometry_type filter is enforced in the reader before rows are built") {
+    val mixed = tmpFile("mixed.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $pointFeature, $feature]}""")
+    val df = spark.read.format("geojson").load(mixed)
+      .filter(col("geometry_type") === "LineString")
+    assert(df.count() == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("geometry_type IN (LineString)"),
+      s"expected pushed geometry filter in:\n$plan")
+    // feature_idx keeps the ORIGINAL in-document positions (same rows a
+    // post-scan filter would produce)
+    assert(df.select("feature_idx").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+  }
+
   test("connector prunes columns and reads via a url option; http fails fast") {
     val fc = tmpFile("fc5.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
     val pruned = spark.read.format("geojson").load(fc).select("geometry_type")
