@@ -236,6 +236,44 @@ object Analytics {
       |ORDER BY ev.event_id""".stripMargin
   )
 
+  /** Native as-of join with a TOLERANCE (max staleness): a match only counts
+    * if the matched right row is at most 8400 days older than the left time
+    * (pandas merge_asof's `tolerance`, kdb wj's window). Both physical
+    * variants (broadcast probe and sort-merge) enforce it on the single held
+    * candidate — the closest preceding row — so staleness never changes the
+    * merge's O(L+R) shape. Oracle: DuckDB ASOF LEFT JOIN with the match
+    * nulled out beyond the interval.
+    */
+  val asofTolerance = Q(
+    "q_asof_tolerance",
+    (s, d) => {
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("t"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ot"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.plans.AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot",
+          rightTiebreak = Seq("o_orderkey"),
+          tolerance = Some(8400L * 86400L * 1000000L)) // 8400 days in micros
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    },
+    """WITH dedup AS (
+      |  SELECT * FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1),
+      |j AS (
+      |  SELECT ev.event_id, ev.user_id, od.o_orderkey, od.o_totalprice, ev.ts, od.o_orderdate
+      |  FROM events ev ASOF LEFT JOIN dedup od
+      |    ON ev.user_id = od.o_custkey AND ev.ts >= od.o_orderdate)
+      |SELECT event_id, user_id,
+      |  CASE WHEN ts - CAST(o_orderdate AS TIMESTAMP) <= INTERVAL 8400 DAY THEN o_orderkey END AS o_orderkey,
+      |  CASE WHEN ts - CAST(o_orderdate AS TIMESTAMP) <= INTERVAL 8400 DAY THEN o_totalprice END AS o_totalprice
+      |FROM j ORDER BY event_id""".stripMargin
+  )
+
   /** Training-sequence construction: each user's first 20 events in time
     * order as a comma-joined event-type sequence — the feature-engineering
     * shape behind behavioral/sequential model corpora. The ranking window
@@ -269,5 +307,5 @@ object Analytics {
   )
 
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
-    sessionize, topKAgg, eventSequences)
+    asofTolerance, sessionize, topKAgg, eventSequences)
 }

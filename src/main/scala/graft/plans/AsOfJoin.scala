@@ -45,7 +45,8 @@ object AsOfJoin {
   case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                           leftKey: Expression, rightKey: Expression,
                           leftTime: Expression, rightTime: Expression,
-                          rightTiebreak: Seq[Expression])
+                          rightTiebreak: Seq[Expression],
+                          tolerance: Option[Long] = None)
       extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -89,10 +90,10 @@ object AsOfJoin {
         val exec =
           if (threshold > 0 && j.right.stats.sizeInBytes <= threshold)
             BroadcastAsOfJoinExec(planLater(j.left), planLater(j.right),
-              j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak)
+              j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak, j.tolerance)
           else
             AsOfJoinExec(planLater(j.left), planLater(j.right),
-              j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak)
+              j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.rightTiebreak, j.tolerance)
         exec :: Nil
       case _ => Nil
     }
@@ -102,10 +103,23 @@ object AsOfJoin {
     * exchanges and (key, time) sorts from the declared requirements; the
     * merge itself is a per-partition two-pointer pass.
     */
+  /** Physical (boxed) time value → Long, for tolerance arithmetic (the
+    * builder restricts tolerance to integral-physical time types).
+    */
+  private def timeAsLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalStateException(
+      s"as-of tolerance on non-integral time value: $other")
+  }
+
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                           leftKey: Expression, rightKey: Expression,
                           leftTime: Expression, rightTime: Expression,
-                          rightTiebreak: Seq[Expression])
+                          rightTiebreak: Seq[Expression],
+                          tolerance: Option[Long] = None)
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -194,8 +208,12 @@ object AsOfJoin {
             }
           }
           // a null left key OR time can never satisfy l.t >= r.t — emit
-          // null-padded, matching ASOF LEFT JOIN null-comparison semantics
-          val matched = held != null && !lNull && keyOrd.compare(heldKt, lKt) == 0
+          // null-padded, matching ASOF LEFT JOIN null-comparison semantics.
+          // With a tolerance, the HELD row is the closest preceding one, so
+          // "held too stale" means no row matches.
+          val matched = held != null && !lNull && keyOrd.compare(heldKt, lKt) == 0 &&
+            tolerance.forall(tol =>
+              timeAsLong(lKt.get(1, tDt)) - timeAsLong(heldKt.get(1, tDt)) <= tol)
           toUnsafe(joined(l, if (matched) held else nullRight))
         }
       }
@@ -221,7 +239,8 @@ object AsOfJoin {
   case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
                                    leftKey: Expression, rightKey: Expression,
                                    leftTime: Expression, rightTime: Expression,
-                                   rightTiebreak: Seq[Expression])
+                                   rightTiebreak: Seq[Expression],
+                                   tolerance: Option[Long] = None)
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -272,7 +291,9 @@ object AsOfJoin {
                 val mid = (lo + hi) >>> 1
                 if (timeOrd.compare(group(mid).time, t) <= 0) lo = mid + 1 else hi = mid
               }
-              if (lo > 0) matched = group(lo - 1).row
+              if (lo > 0 && tolerance.forall(tol =>
+                  timeAsLong(t) - timeAsLong(group(lo - 1).time) <= tol))
+                matched = group(lo - 1).row
             }
           }
           toUnsafe(joined(l, if (matched != null) matched else nullRight))
@@ -420,7 +441,8 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTime: String, rightTime: String,
-            rightTiebreak: Seq[String] = Nil): DataFrame = {
+            rightTiebreak: Seq[String] = Nil,
+            tolerance: Option[Long] = None): DataFrame = {
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(right)
     val overlap = lPlan.output.map(_.name).toSet.intersect(rPlan.output.map(_.name).toSet)
@@ -436,7 +458,21 @@ object AsOfJoin {
       s"asof join key types differ: ${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
     require(lt.dataType == rt.dataType,
       s"asof join time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
+    // tolerance = max staleness in the time type's PHYSICAL unit (micros for
+    // timestamps, the raw value for integer times): a right row matches only
+    // if 0 <= l.t - r.t <= tolerance — pandas merge_asof's `tolerance`
+    tolerance.foreach { tol =>
+      require(tol >= 0L, s"asof tolerance must be non-negative: $tol")
+      val integral = lt.dataType match {
+        case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      require(integral,
+        s"asof tolerance requires an integral-physical time type, got ${lt.dataType.simpleString}")
+    }
     Bridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, rightTiebreak.map(attr(rPlan, _))))
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, rightTiebreak.map(attr(rPlan, _)), tolerance))
   }
 }

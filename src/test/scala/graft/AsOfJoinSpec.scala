@@ -102,6 +102,34 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance nulls out stale matches identically on both physical paths") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "fresh"), (1L, 150L, "stale"), (2L, 100L, "exact"))
+      .toDF("user_id", "t", "tag")
+    val right = Seq((1L, 90L, "a"), (2L, 50L, "b"))
+      .toDF("o_custkey", "ot", "name")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    for (threshold <- Seq(saved, "-1")) {
+      spark.conf.set(key, threshold)
+      try {
+        val out = AsOfJoin(left, right, "user_id", "o_custkey", "t", "ot",
+            tolerance = Some(50L))
+          .select("tag", "name").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(out("fresh") == "a", "within tolerance (100-90=10 <= 50) must match")
+        assert(out("stale") == null, "beyond tolerance (150-90=60 > 50) must null out")
+        assert(out("exact") == "b", "boundary (100-50=50 <= 50) is inclusive")
+      } finally spark.conf.set(key, saved)
+    }
+    // non-integral time types reject tolerance at build time
+    val badTime = Seq((1L, "x")).toDF("o_custkey", "ot")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(left.select(col("user_id"), col("t").cast("string").as("t")),
+        badTime, "user_id", "o_custkey", "t", "ot", tolerance = Some(1L))
+    }
+    assert(e.getMessage.contains("integral-physical") || e.getMessage.contains("time types"))
+  }
+
   test("mismatched key or time types fail at build time, not in executors") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("user_id", "t")
