@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, BpeEncode, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -66,6 +66,17 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimhashSig(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomAgg(children.head, children(1), children(2))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[MightContain].getName, "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MightContain(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_osgb"),
       new ExpressionInfo(classOf[OsgbToWgs84].getName, "graft_osgb"),

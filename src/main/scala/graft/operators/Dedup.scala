@@ -447,6 +447,51 @@ object Dedup {
       |FROM hits GROUP BY 1 ORDER BY train_doc""".stripMargin
   )
 
+  /** Decontamination with a Bloom-filter runtime pre-filter — the 100 TB
+    * refinement of `q_decontaminate`. The eval side's shingle hashes are
+    * aggregated into a fixed-size Bloom filter (`graft_bloom`: bitset-OR
+    * mergeable, a few hundred KB regardless of corpus size) via an
+    * uncorrelated scalar subquery; the TRAINING side — the 100 TB relation —
+    * is probed with `graft_might_contain` inside its scan filter, so the
+    * overwhelming non-contaminated majority is cut BEFORE the shuffle the
+    * exact equi-join needs. No false negatives + exact verify join ⇒
+    * bit-identical to the un-prefiltered query (the oracle is the same SQL);
+    * the fpp knob only trades filter size against shuffle savings. Same
+    * architecture as Spark's internal InjectRuntimeFilter, exposed as a
+    * user-callable pair so a pipeline can build the filter once and reuse it
+    * across many scans.
+    */
+  val decontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      if (!s.catalog.functionExists("graft_bloom")) {
+        // sessions without the extensions get the exact (un-prefiltered) plan
+        decontaminate.fn(s, d)
+      } else {
+        def hashes(df: DataFrame, idAs: String) =
+          df.select(col("doc_id").as(idAs),
+            explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
+        hashes(docs.filter(col("source") =!= "src0"), "train_doc")
+          .createOrReplaceTempView("graft_decon_train")
+        hashes(docs.filter(col("source") === "src0"), "eval_doc")
+          .createOrReplaceTempView("graft_decon_eval")
+        s.sql(
+          """WITH trf AS (
+            |  SELECT train_doc, h FROM graft_decon_train
+            |  WHERE graft_might_contain(
+            |    (SELECT graft_bloom(h, 400000, CAST(0.01 AS DOUBLE)) FROM graft_decon_eval), h)),
+            |hits AS (
+            |  SELECT train_doc, eval_doc, count(*) AS shared
+            |  FROM trf JOIN graft_decon_eval ev USING (h)
+            |  GROUP BY 1, 2 HAVING count(*) >= 5)
+            |SELECT train_doc, count(*) AS n_eval_matches, CAST(max(shared) AS BIGINT) AS max_shared
+            |FROM hits GROUP BY 1 ORDER BY train_doc""".stripMargin)
+      }
+    },
+    decontaminate.oracle
+  )
+
   /** The dedup DELIVERABLE as a corpus: greedy pairwise near-dup removal —
     * drop every document that is the HIGHER id of a MinHash near-dup pair,
     * keep everything else. (The cluster-rep policy lives in
@@ -472,5 +517,5 @@ object Dedup {
   )
 
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters,
-    decontaminate, dedupKeep)
+    decontaminate, decontaminateBloom, dedupKeep)
 }
