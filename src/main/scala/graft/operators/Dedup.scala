@@ -291,10 +291,17 @@ object Dedup {
       // doc-list relation is one row per qualifying shingle (small) and feeds
       // both the pair generator and the per-doc counts — localCheckpoint
       // materializes it once and leaves AQE free above it
+      // bounded heap per partial buffer with the extensions installed; a
+      // session without GraftExtensions degrades to collect_set (same rows —
+      // pair generation is order-invariant — at unbounded-buffer cost)
+      val docList =
+        if (s.catalog.functionExists("graft_topk"))
+          expr(s"transform(graft_topk(cast(doc_id as double), doc_id, ${cap + 1})," +
+            " x -> x.id)")
+        else expr("collect_set(doc_id)")
       val capped = sh
         .groupBy("sh")
-        .agg(expr(s"transform(graft_topk(cast(doc_id as double), doc_id, ${cap + 1})," +
-          " x -> x.id)").as("docs"))
+        .agg(docList.as("docs"))
         .filter(size(col("docs")) <= cap)
         .select("docs")
         .localCheckpoint()
@@ -472,21 +479,23 @@ object Dedup {
         def hashes(df: DataFrame, idAs: String) =
           df.select(col("doc_id").as(idAs),
             explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
-        hashes(docs.filter(col("source") =!= "src0"), "train_doc")
-          .createOrReplaceTempView("graft_decon_train")
-        hashes(docs.filter(col("source") === "src0"), "eval_doc")
-          .createOrReplaceTempView("graft_decon_eval")
-        s.sql(
-          """WITH trf AS (
-            |  SELECT train_doc, h FROM graft_decon_train
-            |  WHERE graft_might_contain(
-            |    (SELECT graft_bloom(h, 400000, CAST(0.01 AS DOUBLE)) FROM graft_decon_eval), h)),
-            |hits AS (
-            |  SELECT train_doc, eval_doc, count(*) AS shared
-            |  FROM trf JOIN graft_decon_eval ev USING (h)
-            |  GROUP BY 1, 2 HAVING count(*) >= 5)
-            |SELECT train_doc, count(*) AS n_eval_matches, CAST(max(shared) AS BIGINT) AS max_shared
-            |FROM hits GROUP BY 1 ORDER BY train_doc""".stripMargin)
+        val ev = hashes(docs.filter(col("source") === "src0"), "eval_doc")
+        // the 1-row bloom aggregate joined broadcast-style is the DataFrame
+        // rendering of a scalar subquery: the filter value is computed once
+        // and shipped to every train-side task — no session temp views, so
+        // concurrent runs in one SparkSession can't clash or leak state
+        val bloom = ev.agg(expr("graft_bloom(h, 400000, CAST(0.01 AS DOUBLE))").as("bf"))
+        val trf = hashes(docs.filter(col("source") =!= "src0"), "train_doc")
+          .join(broadcast(bloom))
+          .filter(expr("graft_might_contain(bf, h)"))
+          .select("train_doc", "h")
+        trf.join(ev, Seq("h"))
+          .groupBy("train_doc", "eval_doc")
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5L)
+          .groupBy("train_doc")
+          .agg(count(lit(1)).as("n_eval_matches"), max(col("shared")).as("max_shared"))
+          .orderBy("train_doc")
       }
     },
     decontaminate.oracle

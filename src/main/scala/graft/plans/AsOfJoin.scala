@@ -270,17 +270,20 @@ object AsOfJoin {
         val idx = BroadcastAsOfIndex.getOrBuild(bcast.value, nRightFields, rightOut,
           rkE, rtE, tiebreak)
         val timeOrd = PhysicalDataType.ordering(tDt).asInstanceOf[Ordering[Any]]
-        val lKey = BindReferences.bindReference(lkE, leftOut)
+        // probe with the same normalized single-field projection the index is
+        // keyed on; the projection's reused output row is safe for get()
+        val lKeyProj = UnsafeProjection.create(
+          Seq(Bridge.normalizeFloats(BindReferences.bindReference(lkE, leftOut))))
         val lTime = BindReferences.bindReference(ltE, leftOut)
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rightOut.size)
         val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
         lIt.map { l =>
-          val k = lKey.eval(l)
+          val kRow = lKeyProj(l)
           val t = lTime.eval(l)
           var matched: InternalRow = null
-          if (k != null && t != null) {
-            val group = idx.get(k)
+          if (!kRow.isNullAt(0) && t != null) {
+            val group = idx.get(kRow)
             if (group != null) {
               // upper-bound search: greatest i with group(i).time <= t; the
               // build sorted tied times in tiebreak order, so "last <= t" is
@@ -342,15 +345,25 @@ object AsOfJoin {
           c
         }
       }
-      val grouped = new java.util.HashMap[Any, java.util.ArrayList[UnsafeRow]]()
+      // group on an UnsafeRow PROJECTION of the key, not the boxed eval value:
+      // UnsafeRow compares by value bytes, where e.g. Array[Byte] (BinaryType
+      // keys) compares by identity — boxed keys would split every binary-keyed
+      // group into per-row singletons and silently drop rows at index build.
+      // Float normalization keeps -0.0/0.0 and NaN bit patterns unified, as
+      // Spark's own planner does for equi-join keys.
+      val keyProj = UnsafeProjection.create(Seq(Bridge.normalizeFloats(keyEval)))
+      val grouped = new java.util.HashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
       rows.foreach { r =>
         // BroadcastExchange collects UnsafeRows in practice; the projection
         // only defends against a non-unsafe child, at a copy's cost
         val u = r match { case ur: UnsafeRow => ur; case other => toUnsafe(other).copy() }
-        val k = keyEval.eval(u)
+        val kRow = keyProj(u)
         // rows with a null key or time can never be an as-of match
-        if (k != null && timeEval.eval(u) != null)
-          grouped.computeIfAbsent(k, _ => new java.util.ArrayList()).add(u)
+        if (!kRow.isNullAt(0) && timeEval.eval(u) != null) {
+          var g = grouped.get(kRow)
+          if (g == null) { g = new java.util.ArrayList(); grouped.put(kRow.copy(), g) }
+          g.add(u)
+        }
       }
       val bos = new java.io.ByteArrayOutputStream()
       val dos = new java.io.DataOutputStream(bos)
@@ -382,11 +395,11 @@ object AsOfJoin {
     * as soon as the driver drops the broadcast.
     */
   object BroadcastAsOfIndex {
-    private val cache = new java.util.WeakHashMap[AnyRef, java.util.HashMap[Any, Array[TimedRow]]]()
+    private val cache = new java.util.WeakHashMap[AnyRef, java.util.HashMap[UnsafeRow, Array[TimedRow]]]()
 
     def getOrBuild(wrapped: Array[InternalRow], nFields: Int,
                    rightOut: Seq[Attribute], rkE: Expression, rtE: Expression,
-                   tiebreak: Seq[Expression]): java.util.HashMap[Any, Array[TimedRow]] =
+                   tiebreak: Seq[Expression]): java.util.HashMap[UnsafeRow, Array[TimedRow]] =
       cache.synchronized {
         val hit = cache.get(wrapped)
         if (hit != null) hit
@@ -399,14 +412,18 @@ object AsOfJoin {
 
     private def build(blob: Array[Byte], nFields: Int,
                       rightOut: Seq[Attribute], rkE: Expression, rtE: Expression,
-                      tiebreak: Seq[Expression]): java.util.HashMap[Any, Array[TimedRow]] = {
+                      tiebreak: Seq[Expression]): java.util.HashMap[UnsafeRow, Array[TimedRow]] = {
       // the blob arrives pre-grouped and pre-sorted (BlobBroadcastMode did
       // the work on the broadcast thread) — this is one sequential parse
       // with a single hash insert per key; rows point INTO the blob, zero
       // per-row copies
       val keyEval = BindReferences.bindReference(rkE, rightOut)
       val timeEval = BindReferences.bindReference(rtE, rightOut)
-      val index = new java.util.HashMap[Any, Array[TimedRow]]()
+      // index key = normalized UnsafeRow of the key (value equality for every
+      // supported type, incl. binary/struct), mirroring BlobBroadcastMode's
+      // grouping so build groups and probe keys always agree
+      val keyProj = UnsafeProjection.create(Seq(Bridge.normalizeFloats(keyEval)))
+      val index = new java.util.HashMap[UnsafeRow, Array[TimedRow]]()
       val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
       def readInt(pos: Int): Int =
         ((blob(pos) & 0xff) << 24) | ((blob(pos + 1) & 0xff) << 16) |
@@ -425,7 +442,7 @@ object AsOfJoin {
           arr(i) = TimedRow(timeEval.eval(row), row)
           i += 1
         }
-        index.put(keyEval.eval(arr(0).row), arr)
+        index.put(keyProj(arr(0).row).copy(), arr)
       }
       index
     }
@@ -456,6 +473,11 @@ object AsOfJoin {
     // types — mixed types would misbehave at runtime, so fail at plan time
     require(lk.dataType == rk.dataType,
       s"asof join key types differ: ${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
+    // the merge variant sorts by key and the broadcast variant compares key
+    // bytes — both need a type where ordering/byte equality IS value equality,
+    // which is every orderable type (MapType is the one that isn't)
+    require(RowOrdering.isOrderable(lk.dataType),
+      s"asof join key type is not orderable: ${lk.dataType.simpleString}")
     require(lt.dataType == rt.dataType,
       s"asof join time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
     // tolerance = max staleness in the time type's PHYSICAL unit (micros for

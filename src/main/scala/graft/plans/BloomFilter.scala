@@ -44,7 +44,10 @@ object Bloom {
   def numBits(n: Long, p: Double): Int = {
     val m = math.ceil(-n * math.log(p) / (math.log(2) * math.log(2)))
     val words = math.max(1L, math.ceil(m / 64.0).toLong)
-    require(words <= (Int.MaxValue.toLong + 1) / 64,
+    // words * 64 must stay a valid Int: at exactly 2^31 bits the .toInt below
+    // would wrap negative, so the cap is the largest word count whose bit
+    // count still fits in Int.MaxValue (2^31 - 64 bits ≈ 256 MB)
+    require(words * 64 <= Int.MaxValue.toLong,
       s"bloom filter too large: n=$n fpp=$p needs ${words * 64} bits")
     (words * 64).toInt
   }

@@ -63,7 +63,20 @@ case class BpeTable(merges: Seq[String]) {
   }
 
   def encode(word: String): Seq[String] = {
-    var syms = word.map(_.toString).toBuffer
+    // seed the symbol buffer by CODE POINT, not UTF-16 unit: astral-plane
+    // characters (emoji, rare CJK) must stay whole surrogate pairs so the
+    // trainer (code-point split) and encoder agree and token concatenation
+    // reproduces the input word
+    var syms = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        buf += word.substring(i, i + n)
+        i += n
+      }
+      buf
+    }
     var continue = syms.size >= 2
     while (continue) {
       var best = -1

@@ -22,4 +22,11 @@ object Bridge {
   /** The optimized logical plan (for plan-shape assertions in specs). */
   def optimized(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[Row]].queryExecution.optimizedPlan
+
+  /** Canonicalize -0.0/NaN in float-typed expressions (what Spark's planner
+    * does to equi-join keys) so byte-level key comparison is value equality.
+    */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }
