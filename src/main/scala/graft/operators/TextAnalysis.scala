@@ -480,6 +480,122 @@ object TextAnalysis {
       |ORDER BY stage""".stripMargin
   )
 
+  /** BM25 relevance ranking (Robertson/Spärck Jones, k1=1.2 b=0.75) of every
+    * document against a fixed query term set — the retrieval scorer behind
+    * benchmark-decontamination triage and search-based corpus curation. Scale
+    * shape: term statistics (df per query term — |query| rows — and the
+    * 1-row avgdl/N aggregate) are BROADCAST; the corpus relation only
+    * shuffles for its per-doc aggregates, keyed by doc_id, so no global
+    * state grows with corpus size. Per-term contributions are rounded to
+    * 9 dp and summed as DECIMAL so the score is partitioning-invariant.
+    */
+  val bm25 = Q(
+    "q_bm25",
+    (s, d) => {
+      val terms = Seq("spark", "join", "hash")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = dl.agg(
+        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      val qtoks = toks.filter(col("w").isin(terms: _*))
+      val tf = qtoks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfRel = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(dfRel), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+              col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))), 9)
+            .cast("decimal(18,9)").as("c"))
+      contrib.groupBy("doc_id")
+        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    },
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(sum(len) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('spark','join','hash') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      ln((n_docs - df + 0.5E0) / (df + 0.5E0) + 1.0E0) *
+      |      tf * 2.2E0 / (tf + 1.2E0 * (0.25E0 + 0.75E0 * len / avgdl)), 9) AS DECIMAL(18,9)) AS c
+      |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, doc_id LIMIT 50""".stripMargin
+  )
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every out-of-target
+    * document by the mean log-likelihood ratio of its tokens under hashed
+    * bag-of-words models of the TARGET distribution (source `src0`) vs the
+    * general pool — the standard recipe for resampling a 100 TB crawl toward
+    * a small high-quality domain. The feature space is hashed to a FIXED
+    * 4096 buckets, so both count models are bounded broadcast relations no
+    * matter how large the corpus, and the corpus-side plan is one broadcast
+    * join + one per-doc aggregate (add-one smoothing keeps unseen buckets
+    * finite). Contributions are rounded and decimal-summed for
+    * partitioning-invariance.
+    */
+  val importanceWeights = Q(
+    "q_importance_weights",
+    (s, d) => {
+      val nB = 4096
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % nB).as("b"))
+      val tgt = tok.filter(col("source") === "src0").groupBy("b").agg(count(lit(1)).as("tc"))
+      val src = tok.filter(col("source") =!= "src0").groupBy("b").agg(count(lit(1)).as("sc"))
+      val tots = tok.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tgt_tot"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("src_tot"))
+      val contrib = tok.filter(col("source") =!= "src0")
+        .join(broadcast(tgt), Seq("b"), "left")
+        .join(broadcast(src), Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("doc_id"),
+          round(
+            log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tgt_tot") + lit(4096.0))) -
+              log((coalesce(col("sc"), lit(0L)) + lit(1.0)) / (col("src_tot") + lit(4096.0))), 9)
+            .cast("decimal(18,9)").as("c"))
+      contrib.groupBy("doc_id")
+        .agg(round(sum(col("c")).cast("double") / count(lit(1)), 6).as("logratio"))
+        .orderBy(col("logratio").desc, col("doc_id"))
+        .limit(100)
+    },
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(unnest(split(text, ' '))), 1, 15))::BIGINT % 4096 AS b
+      |  FROM documents),
+      |tgt AS (SELECT b, count(*) AS tc FROM tok WHERE source = 'src0' GROUP BY 1),
+      |src AS (SELECT b, count(*) AS sc FROM tok WHERE source <> 'src0' GROUP BY 1),
+      |tots AS (
+      |  SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt_tot,
+      |         sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS src_tot
+      |  FROM tok),
+      |contrib AS (
+      |  SELECT tok.doc_id,
+      |    CAST(round(
+      |      ln((COALESCE(tc, 0) + 1.0E0) / (tgt_tot + 4096.0E0)) -
+      |      ln((COALESCE(sc, 0) + 1.0E0) / (src_tot + 4096.0E0)), 9) AS DECIMAL(18,9)) AS c
+      |  FROM tok LEFT JOIN tgt USING (b) LEFT JOIN src USING (b) CROSS JOIN tots
+      |  WHERE tok.source <> 'src0')
+      |SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS logratio
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY round(CAST(sum(c) AS DOUBLE) / count(*), 6) DESC, doc_id LIMIT 100""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
-    collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel)
+    collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
+    bm25, importanceWeights)
 }
