@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalP
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, GenerateUnsafeProjection, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.graftglue.Bridge
 
 /** Native as-of join — the whole-operator extension tier: a custom
@@ -241,7 +243,7 @@ object AsOfJoin {
                                    leftTime: Expression, rightTime: Expression,
                                    rightTiebreak: Seq[Expression],
                                    tolerance: Option[Long] = None)
-      extends BinaryExecNode {
+      extends BinaryExecNode with CodegenSupport {
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -257,51 +259,134 @@ object AsOfJoin {
         newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
       copy(left = newLeft, right = newRight)
 
+    private def probeHelper: AsOfProbe =
+      new AsOfProbe(right.output, rightKey, rightTime, rightTiebreak,
+        leftTime.dataType, tolerance)
+
     override protected def doExecute(): RDD[InternalRow] = {
-      val rightOut = right.output
       val leftOut = left.output
       val outAttrs = output
-      val tDt = leftTime.dataType
-      val (lkE, ltE, rkE, rtE, tiebreak) = (leftKey, leftTime, rightKey, rightTime, rightTiebreak)
-      val nRightFields = rightOut.size
+      val lkE = leftKey
+      val ltE = leftTime
+      val nRightFields = right.output.size
+      val helper = probeHelper
       val bcast = right.executeBroadcast[Array[InternalRow]]()
 
       left.execute().mapPartitions({ lIt =>
-        val idx = BroadcastAsOfIndex.getOrBuild(bcast.value, nRightFields, rightOut,
-          rkE, rtE, tiebreak)
-        val timeOrd = PhysicalDataType.ordering(tDt).asInstanceOf[Ordering[Any]]
+        val idx = helper.buildIndex(bcast.value)
         // probe with the same normalized single-field projection the index is
         // keyed on; the projection's reused output row is safe for get()
         val lKeyProj = UnsafeProjection.create(
           Seq(Bridge.normalizeFloats(BindReferences.bindReference(lkE, leftOut))))
         val lTime = BindReferences.bindReference(ltE, leftOut)
         val joined = new JoinedRow
-        val nullRight = new GenericInternalRow(rightOut.size)
+        val nullRight = new GenericInternalRow(nRightFields)
         val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
         lIt.map { l =>
-          val kRow = lKeyProj(l)
           val t = lTime.eval(l)
-          var matched: InternalRow = null
-          if (!kRow.isNullAt(0) && t != null) {
-            val group = idx.get(kRow)
-            if (group != null) {
-              // upper-bound search: greatest i with group(i).time <= t; the
-              // build sorted tied times in tiebreak order, so "last <= t" is
-              // the max-tiebreak row — identical resolution to the merge exec
-              var lo = 0
-              var hi = group.length // exclusive; invariant: group(<lo).t <= t
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (timeOrd.compare(group(mid).time, t) <= 0) lo = mid + 1 else hi = mid
-              }
-              if (lo > 0 && tolerance.forall(tol =>
-                  timeAsLong(t) - timeAsLong(group(lo - 1).time) <= tol))
-                matched = group(lo - 1).row
-            }
-          }
+          val kRow = lKeyProj(l)
+          val matched =
+            if (!kRow.isNullAt(0) && t != null) helper.probe(idx, kRow, t) else null
           toUnsafe(joined(l, if (matched != null) matched else nullRight))
         }
       }, preservesPartitioning = true)
+    }
+
+    // ---- whole-stage codegen: fuse the probe into the LEFT side's stage ----
+    // The same shape BroadcastHashJoinExec uses: this node produces from its
+    // stream (left) child, and each consumed left row probes the broadcast
+    // index inline — no per-row interpreted expression eval, no per-row
+    // output UnsafeProjection; downstream operators consume the column
+    // variables directly.
+
+    // exactly ONE output row per stream row (left outer, unique as-of match),
+    // so the copy requirement is the stream side's own — the default binary
+    // handling doesn't apply to a build side that is never produced from
+    override def needCopyResult: Boolean =
+      left.asInstanceOf[CodegenSupport].needCopyResult
+
+    override def inputRDDs(): Seq[RDD[InternalRow]] =
+      left.asInstanceOf[CodegenSupport].inputRDDs()
+
+    override protected def doProduce(ctx: CodegenContext): String =
+      left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+    override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+      val helperTerm = ctx.addReferenceObj("asofProbe", probeHelper)
+      val bcast = right.executeBroadcast[Array[InternalRow]]()
+      val bcastTerm = ctx.addReferenceObj("asofBroadcast", bcast)
+      // per-task-instance index, built once from the broadcast blob (memoized
+      // per executor in BroadcastAsOfIndex)
+      val idxTerm = ctx.addMutableState("java.util.HashMap", "asofIndex",
+        v => s"$v = $helperTerm.buildIndex((InternalRow[]) $bcastTerm.value());")
+
+      ctx.currentVars = input
+      // single-field normalized UnsafeRow key — the exact representation the
+      // index is keyed on
+      val keyEv = GenerateUnsafeProjection.createCode(ctx,
+        Seq(Bridge.normalizeFloats(BindReferences.bindReference(leftKey, left.output))))
+      val timeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+      val matched = ctx.freshName("asofMatched")
+
+      // right-side output columns read from the matched row (nulls when no
+      // match — LEFT OUTER semantics)
+      val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+        val isNull = ctx.freshName("asofIsNull")
+        val value = ctx.freshName("asofValue")
+        val javaType = CodeGenerator.javaType(a.dataType)
+        val valueCode = CodeGenerator.getValue(matched, a.dataType, i.toString)
+        val c = code"""
+          |boolean $isNull = $matched == null || $matched.isNullAt($i);
+          |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($valueCode);
+          |"""
+        ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      }
+
+      s"""
+         |${keyEv.code}
+         |${timeEv.code}
+         |InternalRow $matched = null;
+         |if (!${keyEv.value}.isNullAt(0) && !(${timeEv.isNull})) {
+         |  $matched = $helperTerm.probe((java.util.HashMap) $idxTerm,
+         |    (UnsafeRow) ${keyEv.value}, (Object) ${timeEv.value});
+         |}
+         |${consume(ctx, input ++ rightVars)}
+       """.stripMargin
+    }
+  }
+
+  /** Serializable probe kernel shared by the interpreted and codegen paths of
+    * [[BroadcastAsOfJoinExec]]: builds (memoized) the broadcast index and
+    * answers "latest right row with this key at time ≤ t (within tolerance)"
+    * by upper-bound binary search over the key's time-sorted group.
+    */
+  final class AsOfProbe(rightOut: Seq[Attribute], rkE: Expression, rtE: Expression,
+                        tiebreak: Seq[Expression],
+                        timeDt: org.apache.spark.sql.types.DataType,
+                        tolerance: Option[Long]) extends Serializable {
+    @transient private lazy val timeOrd =
+      PhysicalDataType.ordering(timeDt).asInstanceOf[Ordering[Any]]
+
+    def buildIndex(rows: Array[InternalRow]): java.util.HashMap[UnsafeRow, Array[TimedRow]] =
+      BroadcastAsOfIndex.getOrBuild(rows, rightOut.size, rightOut, rkE, rtE, tiebreak)
+
+    def probe(idx: java.util.HashMap[UnsafeRow, Array[TimedRow]],
+              key: UnsafeRow, t: Any): InternalRow = {
+      val group = idx.get(key)
+      if (group == null) return null
+      // upper-bound search: greatest i with group(i).time <= t; the build
+      // sorted tied times in tiebreak order, so "last <= t" is the
+      // max-tiebreak row — identical resolution to the merge exec
+      var lo = 0
+      var hi = group.length // exclusive; invariant: group(<lo).t <= t
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (timeOrd.compare(group(mid).time, t) <= 0) lo = mid + 1 else hi = mid
+      }
+      if (lo > 0 && tolerance.forall(tol =>
+          timeAsLong(t) - timeAsLong(group(lo - 1).time) <= tol))
+        group(lo - 1).row
+      else null
     }
   }
 

@@ -164,4 +164,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.count() ==
       SparkEntry.queries("q_asof_join")(spark, dir).filter(col("user_id") < 100L).count())
   }
+
+  test("broadcast as-of probe runs inside whole-stage codegen, fused with the scan") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    val df = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    // codegen collapse happens per AQE query stage at execution — run first,
+    // then assert on the FINAL rendered plan
+    val nRows = df.collect().length
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"expected the broadcast variant in:\n$plan")
+    // a codegen'd node renders with a `*(n)` stage prefix
+    assert("""\*\(\d+\) BroadcastAsOfJoin""".r.findFirstIn(plan).nonEmpty,
+      s"broadcast as-of probe fell out of whole-stage codegen:\n$plan")
+    // and the fused plan still produces the composition's rows
+    assert(nRows.toLong == SparkEntry.queries("q_asof_join")(spark, dir).count())
+  }
 }
