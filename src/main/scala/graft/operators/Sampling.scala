@@ -69,5 +69,40 @@ object Sampling {
       |FROM g, t ORDER BY lang""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(stratifiedSample, domainMix)
+  /** Training-sequence PACKING: assign documents to fixed-token-budget bins
+    * (512 tokens) within each source shard by start-offset packing — a doc
+    * goes to the bin its running-token offset falls in. This is the
+    * deterministic, order-stable packing real pretraining pipelines use to
+    * batch variable-length documents into fixed-length sequences. Scale
+    * shape: ONE window partitioned by source (shards are bounded — there is
+    * no global ordering or global cumulative sum anywhere), then a grouped
+    * aggregate over (source, bin). At 100 TB the per-shard running sum is the
+    * same per-partition sequential pass a sort within the shard already pays.
+    */
+  val packSequences = Q(
+    "q_pack_sequences",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin_id", expr("off div 512"))
+        .groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("source", "bin_id")
+    },
+    """WITH t AS (SELECT doc_id, source, len(split(text, ' ')) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, source, n_tok,
+      |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                         ROWS UNBOUNDED PRECEDING) - n_tok AS off
+      |      FROM t)
+      |SELECT source, CAST(off // 512 AS BIGINT) AS bin_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences)
 }

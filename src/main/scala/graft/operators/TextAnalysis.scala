@@ -595,7 +595,64 @@ object TextAnalysis {
       |ORDER BY round(CAST(sum(c) AS DOUBLE) / count(*), 6) DESC, doc_id LIMIT 100""".stripMargin
   )
 
+  /** Interpolated bigram language-model scoring: each document's mean log
+    * probability under `0.7·P(w2|w1) + 0.3·P(w2)` with the bigram table
+    * thresholded at count ≥ 5 (unseen/rare bigrams back off to the unigram
+    * term — the Jelinek-Mercer recipe). Upgrades `q_lm_score`'s unigram model
+    * with sequential structure. Scale shape: bigrams are built ROW-LOCALLY
+    * (transform over the token array — no positions self-join), and the
+    * count models join back by plain equi-joins with NO broadcast hint — the
+    * vocabulary and bigram relations grow with the corpus, so the planner
+    * must stay free to shuffle them (the q_lm_score round-4 lesson).
+    */
+  val lmBigram = Q(
+    "q_lm_bigram",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+      val toks = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      val big = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i + 1] as w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("bc")).filter(col("bc") >= 5L)
+      val scored = big
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .join(bc, Seq("w1", "w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log(
+            lit(0.7) * coalesce(col("bc").cast("double") / col("c1"), lit(0.0)) +
+              lit(0.3) * col("c2").cast("double") / col("n")), 9)
+            .cast("decimal(18,9)").as("lp"))
+      scored.groupBy("doc_id")
+        .agg(round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logp"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS w FROM t0),
+      |big AS (
+      |  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+      |  FROM (SELECT doc_id, t FROM t0 WHERE len(t) >= 2), unnest(range(len(t)-1)) AS u(i)),
+      |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM tok),
+      |bc AS (SELECT w1, w2, count(*) AS bc FROM big GROUP BY 1, 2 HAVING count(*) >= 5),
+      |scored AS (
+      |  SELECT big.doc_id,
+      |    CAST(round(ln(
+      |      0.7E0 * COALESCE(CAST(bc.bc AS DOUBLE) / u1.c, 0.0E0) +
+      |      0.3E0 * CAST(u2.c AS DOUBLE) / n), 9) AS DECIMAL(18,9)) AS lp
+      |  FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2
+      |  LEFT JOIN bc ON bc.w1 = big.w1 AND bc.w2 = big.w2 CROSS JOIN tot)
+      |SELECT doc_id, round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
+      |       CAST(count(*) AS BIGINT) AS n_bigrams
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
-    bm25, importanceWeights)
+    bm25, importanceWeights, lmBigram)
 }
