@@ -419,25 +419,55 @@ object Dedup {
     * hazard if the eval slice grew). Shingle hashing itself is the same
     * shuffle-free native expression the minhash family uses.
     */
+  /** Benchmark decontamination as a reusable, parameterized API: report every
+    * `train` document sharing at least `minShared` distinct `n`-gram shingle
+    * hashes with some `eval` document (both inputs need `doc_id` + `text`).
+    * `n` tunes specificity (bigger shingles = fewer coincidental hits) and
+    * `minShared` the evidence threshold — the two knobs a real contamination
+    * audit sweeps. `bloomCapacity` inserts the Bloom pre-filter in front of
+    * the exact verify join (result-invariant: no false negatives, the exact
+    * join removes false positives); sessions without the extensions degrade
+    * to the composed shingle path and skip the prefilter.
+    */
+  def decontaminationReport(train: DataFrame, eval: DataFrame,
+                            n: Int = 2, minShared: Long = 5L,
+                            bloomCapacity: Option[Int] = None): DataFrame = {
+    val s = train.sparkSession
+    def hashes(df: DataFrame, idAs: String) =
+      if (s.catalog.functionExists("graft_shingle_hashes"))
+        df.select(col("doc_id").as(idAs),
+          explode(expr(s"graft_shingle_hashes(split(text, ' '), $n)")).as("h"))
+      else
+        TextFns.shingles(df, n)
+          .select(col("doc_id").as(idAs), TextFns.hash32(col("sh")).as("h"))
+    val ev = hashes(eval, "eval_doc")
+    val tr0 = hashes(train, "train_doc")
+    val tr = bloomCapacity match {
+      case Some(cap) if s.catalog.functionExists("graft_bloom") =>
+        // the 1-row bloom aggregate joined broadcast-style is the DataFrame
+        // rendering of a scalar subquery: built once from the (small) eval
+        // side, probed inside the train side's scan stage — no temp views,
+        // so concurrent runs in one SparkSession can't clash or leak state
+        val bloom = ev.agg(expr(s"graft_bloom(h, $cap, CAST(0.01 AS DOUBLE))").as("bf"))
+        tr0.join(broadcast(bloom))
+          .filter(expr("graft_might_contain(bf, h)"))
+          .select("train_doc", "h")
+      case _ => tr0
+    }
+    tr.join(ev, Seq("h"))
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy("train_doc")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("shared")).cast("long").as("max_shared"))
+      .orderBy("train_doc")
+  }
+
   val decontaminate = Q(
     "q_decontaminate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      def hashes(df: DataFrame, idAs: String) =
-        if (s.catalog.functionExists("graft_shingle_hashes"))
-          df.select(col("doc_id").as(idAs),
-            explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
-        else
-          TextFns.shingles(df, 2)
-            .select(col("doc_id").as(idAs), TextFns.hash32(col("sh")).as("h"))
-      val tr = hashes(docs.filter(col("source") =!= "src0"), "train_doc")
-      val ev = hashes(docs.filter(col("source") === "src0"), "eval_doc")
-      tr.join(ev, Seq("h"))
-        .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 5L)
-        .groupBy("train_doc")
-        .agg(count(lit(1)).as("n_eval_matches"), max(col("shared")).cast("long").as("max_shared"))
-        .orderBy("train_doc")
+      decontaminationReport(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"))
     },
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, source, ('0x'||substr(md5(t[i+1] || ' ' || t[i+2]),1,8))::BIGINT AS h
@@ -472,31 +502,9 @@ object Dedup {
     "q_decontaminate_bloom",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      if (!s.catalog.functionExists("graft_bloom")) {
-        // sessions without the extensions get the exact (un-prefiltered) plan
-        decontaminate.fn(s, d)
-      } else {
-        def hashes(df: DataFrame, idAs: String) =
-          df.select(col("doc_id").as(idAs),
-            explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
-        val ev = hashes(docs.filter(col("source") === "src0"), "eval_doc")
-        // the 1-row bloom aggregate joined broadcast-style is the DataFrame
-        // rendering of a scalar subquery: the filter value is computed once
-        // and shipped to every train-side task — no session temp views, so
-        // concurrent runs in one SparkSession can't clash or leak state
-        val bloom = ev.agg(expr("graft_bloom(h, 400000, CAST(0.01 AS DOUBLE))").as("bf"))
-        val trf = hashes(docs.filter(col("source") =!= "src0"), "train_doc")
-          .join(broadcast(bloom))
-          .filter(expr("graft_might_contain(bf, h)"))
-          .select("train_doc", "h")
-        trf.join(ev, Seq("h"))
-          .groupBy("train_doc", "eval_doc")
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 5L)
-          .groupBy("train_doc")
-          .agg(count(lit(1)).as("n_eval_matches"), max(col("shared")).as("max_shared"))
-          .orderBy("train_doc")
-      }
+      decontaminationReport(
+        docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+        bloomCapacity = Some(400000))
     },
     decontaminate.oracle
   )

@@ -77,6 +77,28 @@ class ContractSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
   }
 
+  test("decontamination API honors shingle size and threshold parameters") {
+    import spark.implicits._
+    // train doc 10 shares the 6-token run "a b c d e f" with the eval doc:
+    // 5 distinct shared bigrams, 4 distinct shared trigrams
+    val train = Seq((10L, "a b c d e f x y z"), (11L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f q q q")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    assert(ids(operators.Dedup.decontaminationReport(train, eval, n = 2, minShared = 5L)) == Seq(10L))
+    assert(ids(operators.Dedup.decontaminationReport(train, eval, n = 2, minShared = 6L)).isEmpty,
+      "threshold above the shared-bigram count must drop the hit")
+    assert(ids(operators.Dedup.decontaminationReport(train, eval, n = 3, minShared = 4L)) == Seq(10L))
+    assert(ids(operators.Dedup.decontaminationReport(train, eval, n = 3, minShared = 5L)).isEmpty,
+      "trigram shingling must see one fewer shared shingle than bigram")
+    // the bloom prefilter is result-invariant at any parameterization
+    val exact = operators.Dedup.decontaminationReport(train, eval, n = 3, minShared = 4L)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = operators.Dedup.decontaminationReport(train, eval, n = 3, minShared = 4L,
+      bloomCapacity = Some(1000)).collect().map(_.toSeq).toSeq
+    assert(exact == bloomed, "bloom prefilter changed the report")
+  }
+
   test("broadcast star join broadcasts the dims") {
     val plan = SparkEntry.queries("q_join_broadcast")(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
