@@ -444,14 +444,17 @@ object Dedup {
     val tr0 = hashes(train, "train_doc")
     val tr = bloomCapacity match {
       case Some(cap) if s.catalog.functionExists("graft_bloom") =>
-        // the 1-row bloom aggregate joined broadcast-style is the DataFrame
-        // rendering of a scalar subquery: built once from the (small) eval
-        // side, probed inside the train side's scan stage — no temp views,
-        // so concurrent runs in one SparkSession can't clash or leak state
-        val bloom = ev.agg(expr(s"graft_bloom(h, $cap, CAST(0.01 AS DOUBLE))").as("bf"))
-        tr0.join(broadcast(bloom))
-          .filter(expr("graft_might_contain(bf, h)"))
-          .select("train_doc", "h")
+        // build the filter DISTRIBUTED (mergeable bitset-OR aggregate), then
+        // materialize the single capacity-bounded value (a few hundred KB —
+        // the same driver-side materialization Spark's InjectRuntimeFilter
+        // performs for its bloom subquery) and inline it as a LITERAL: the
+        // probe then decodes the filter once per task. Feeding the bytes
+        // through a join column instead would copy + decode the filter PER
+        // ROW (row accessors copy binary values) — measured as a 100×
+        // slowdown at sf0.1.
+        val bf = ev.agg(expr(s"graft_bloom(h, $cap, CAST(0.01 AS DOUBLE))").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        tr0.filter(call_function("graft_might_contain", lit(bf), col("h")))
       case _ => tr0
     }
     tr.join(ev, Seq("h"))
@@ -487,8 +490,8 @@ object Dedup {
   /** Decontamination with a Bloom-filter runtime pre-filter — the 100 TB
     * refinement of `q_decontaminate`. The eval side's shingle hashes are
     * aggregated into a fixed-size Bloom filter (`graft_bloom`: bitset-OR
-    * mergeable, a few hundred KB regardless of corpus size) via an
-    * uncorrelated scalar subquery; the TRAINING side — the 100 TB relation —
+    * mergeable, a few hundred KB regardless of corpus size), materialized
+    * once and inlined as a literal; the TRAINING side — the 100 TB relation —
     * is probed with `graft_might_contain` inside its scan filter, so the
     * overwhelming non-contaminated majority is cut BEFORE the shuffle the
     * exact equi-join needs. No false negatives + exact verify join ⇒

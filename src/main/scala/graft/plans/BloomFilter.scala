@@ -193,12 +193,17 @@ case class MightContain(left: Expression, right: Expression) extends BinaryExpre
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_might_contain"
 
-  @transient private var cached: (AnyRef, Bloom.Filter) = _
+  @transient private var cached: (Array[Byte], Bloom.Filter) = _
 
-  /** Probe with a per-reference decode cache; races just re-decode. */
+  /** Probe with a decode cache; races just re-decode. Identity hit is the
+    * constant-filter fast path (one decode per task); the content-equality
+    * fallback defends against callers that route the filter through a row
+    * (accessors copy binary values per row — a memcmp beats re-decoding,
+    * though such plans should inline the filter as a literal instead).
+    */
   def test(bytes: Array[Byte], v: Long): Boolean = {
     var c = cached
-    if (c == null || !(c._1 eq bytes)) {
+    if (c == null || !((c._1 eq bytes) || java.util.Arrays.equals(c._1, bytes))) {
       c = (bytes, Bloom.deserialize(bytes))
       cached = c
     }

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * decontamination pipeline.
   *
   * Scale shape: the filter is a fixed few-hundred-KB bitset independent of
-  * both corpus and stream size, carried to every task by a stream-static
-  * broadcast join of the 1-row aggregate; the probe is a stateless per-row
-  * predicate, so the stream needs NO watermark and NO state store, and the
-  * overwhelming non-contaminated majority is dropped inside the ingest
-  * micro-batch. Survivors (doc_id, shingle hash) feed the exact batch verify
-  * join downstream — same no-false-negatives + exact-verify contract as the
+  * both corpus and stream size, built DISTRIBUTED over the eval set
+  * (mergeable bitset-OR aggregate), materialized once at stream start and
+  * inlined as a literal — each task decodes it once and probes it for the
+  * stream's lifetime. The probe is a stateless per-row predicate, so the
+  * stream needs NO watermark and NO state store, and the overwhelming
+  * non-contaminated majority is dropped inside the ingest micro-batch.
+  * Survivors (doc_id, shingle hash) feed the exact batch verify join
+  * downstream — same no-false-negatives + exact-verify contract as the
   * batch query (`q_decontaminate_bloom`).
   */
 object StreamDecontaminate {
@@ -29,12 +31,9 @@ object StreamDecontaminate {
     def hashes(df: DataFrame) =
       df.select(col("doc_id"),
         explode(expr(s"graft_shingle_hashes(split(text, ' '), $n)")).as("h"))
-    val bloom = hashes(eval)
+    val bf = hashes(eval)
       .agg(expr(s"graft_bloom(h, $capacity, CAST(0.01 AS DOUBLE))").as("bf"))
-      .withColumn("k", lit(1))
-    hashes(docs).withColumn("k", lit(1))
-      .join(broadcast(bloom), Seq("k"))
-      .filter(expr("graft_might_contain(bf, h)"))
-      .select("doc_id", "h")
+      .head().getAs[Array[Byte]](0)
+    hashes(docs).filter(call_function("graft_might_contain", lit(bf), col("h")))
   }
 }

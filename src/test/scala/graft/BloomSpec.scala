@@ -57,17 +57,16 @@ class BloomSpec extends SparkSpec {
       "bloom prefilter must be result-invariant (no false negatives + exact verify join)")
   }
 
-  test("the registered query's plan probes the broadcast-built filter before the verify join") {
+  test("the registered query's plan probes the filter as a literal, not a per-row column") {
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("graft_might_contain") || plan.contains("MightContain"),
       s"expected the might_contain probe in the physical plan:\n$plan")
-    // the 1-row graft_bloom aggregate reaches the train side through a
-    // broadcast (the DataFrame rendering of an uncorrelated scalar subquery)
-    assert(plan.contains("Broadcast"),
-      s"expected the bloom aggregate broadcast to the train-side probe:\n$plan")
-    assert(plan.contains("graft_bloom"),
-      s"expected the bloom build aggregate in the plan:\n$plan")
+    // the filter value must be INLINED (decoded once per task); routing it
+    // through a join column would copy + decode the bitset per row — row
+    // accessors copy binary values (measured 100× at sf0.1)
+    assert(!plan.contains("graft_bloom"),
+      s"bloom build must be materialized before the probe plan, not joined into it:\n$plan")
   }
 
   test("type errors are rejected at analysis, not in executors") {
