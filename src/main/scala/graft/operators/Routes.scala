@@ -220,5 +220,38 @@ object Routes {
       Seq("p_partkey"), 5)
   )
 
-  val all: Seq[Q] = Seq(derivedLen, lineage, typedSchema, wktRoundtrip, wktMulti, osGridRef, reproject)
+  /** Z-order spatial clustering: Morton-encode every route start point
+    * (16-bit quantized easting/northing) and summarize occupancy + bounding
+    * box per coarse Z cell. The code itself is the LAYOUT primitive — at
+    * scale the table is range-partitioned/sorted by `z` so a bbox scan
+    * prunes files by parquet min/max stats (ZOrderSpec measures the per-file
+    * extent shrinkage); this query is the audit view of that clustering
+    * (every cell's extent is bounded by the cell size — locality by
+    * construction). Pure codegen'd bit math + one grouped aggregate.
+    */
+  val zorder = Q(
+    "q_zorder",
+    (s, d) => {
+      import graft.functions.ZOrder
+      val z = ZOrder.morton(expr("e div 16"), expr("n div 16"))
+      Tables.lineitem(s, d)
+        .select(Geom.e1.as("e"), Geom.n1.as("n"))
+        .select(col("e"), col("n"), z.as("z"))
+        .groupBy(expr("z div 65536").as("zcell"))
+        .agg(count(lit(1)).as("n_routes"),
+          min(col("e")).as("min_e"), max(col("e")).as("max_e"),
+          min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+        .orderBy("zcell")
+    },
+    s"""WITH pts AS (SELECT ${Geom.e1Sql} AS e, ${Geom.n1Sql} AS n FROM lineitem),
+       |zs AS (SELECT e, n,
+       |  ${graft.functions.ZOrder.mortonSql("(e // 16)", "(n // 16)")} AS z FROM pts)
+       |SELECT CAST(z // 65536 AS BIGINT) AS zcell, CAST(count(*) AS BIGINT) AS n_routes,
+       |       CAST(min(e) AS BIGINT) AS min_e, CAST(max(e) AS BIGINT) AS max_e,
+       |       CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
+       |FROM zs GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(derivedLen, lineage, typedSchema, wktRoundtrip, wktMulti, osGridRef,
+    reproject, zorder)
 }
