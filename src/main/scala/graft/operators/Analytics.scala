@@ -306,6 +306,41 @@ object Analytics {
       |FROM firstk GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
+  /** Range join WITHOUT an equi key — "count events inside each time
+    * interval" — by the bin-and-verify pattern: expand every interval to the
+    * hour buckets it covers (≤3 here, bounded by the max interval length),
+    * bucket every event once, equi-join on the bucket, then refine with the
+    * exact range predicate. A naive `t BETWEEN ws AND we` theta-join plans
+    * as a nested-loop/cartesian — quadratic at scale; the bucketed form is a
+    * plain shuffled equi-join, linear in events + interval-bucket fanout
+    * (the general recipe for any range/interval/spatial join: pick a bucket
+    * ≥ the max object extent). All arithmetic in raw int64 nanos — exact on
+    * both engines, no timestamp-precision seams.
+    */
+  val rangeJoin = Q(
+    "q_range_join",
+    (s, d) => {
+      val HourNs = 3600L * 1000000000L
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val iv = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("iv_id"), col("ts").as("ws"),
+          (col("ts") + ((col("event_id") % 72) + 1) * lit(60000000000L)).as("we"))
+      val ivB = iv.select(col("iv_id"), col("ws"), col("we"),
+        explode(expr(s"sequence(ws div $HourNs, we div $HourNs)")).as("bkt"))
+      val evB = ev.select(col("ts"), expr(s"ts div $HourNs").as("bkt"))
+      ivB.join(evB, Seq("bkt"))
+        .filter(col("ts") >= col("ws") && col("ts") < col("we"))
+        .groupBy("iv_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("iv_id")
+    },
+    """WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts FROM events),
+      |iv AS (SELECT event_id AS iv_id, ts AS ws, ts + ((event_id % 72) + 1) * 60000000000 AS we
+      |       FROM ev WHERE event_id % 97 = 0)
+      |SELECT iv_id, CAST(count(*) AS BIGINT) AS n_events
+      |FROM iv JOIN ev e ON e.ts >= iv.ws AND e.ts < iv.we
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
-    asofTolerance, sessionize, topKAgg, eventSequences)
+    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin)
 }
