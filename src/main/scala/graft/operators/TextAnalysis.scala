@@ -554,14 +554,15 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), explode(TextFns.tokens(col("text"))).as("w"))
         .select(col("doc_id"), col("source"),
           (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % nB).as("b"))
-      val tgt = tok.filter(col("source") === "src0").groupBy("b").agg(count(lit(1)).as("tc"))
-      val src = tok.filter(col("source") =!= "src0").groupBy("b").agg(count(lit(1)).as("sc"))
-      val tots = tok.agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tgt_tot"),
-        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("src_tot"))
+      // BOTH count models in one conditional aggregate — a single pass over
+      // the corpus and a single ≤4096-row broadcast, instead of one
+      // shuffle + join per model
+      val counts = tok.groupBy("b").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("sc"))
+      val tots = counts.agg(sum(col("tc")).as("tgt_tot"), sum(col("sc")).as("src_tot"))
       val contrib = tok.filter(col("source") =!= "src0")
-        .join(broadcast(tgt), Seq("b"), "left")
-        .join(broadcast(src), Seq("b"), "left")
+        .join(broadcast(counts), Seq("b"), "left")
         .crossJoin(broadcast(tots))
         .select(col("doc_id"),
           round(
