@@ -341,6 +341,40 @@ object Analytics {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** TPC-H Q3 (shipping-priority) shape: selective filters on all three
+    * relations, the classic fact-fact equi-join (lineitem ⋈ orders — both
+    * corpus-sized, a shuffled hash join at scale), the filtered customer dim
+    * broadcast, revenue as a decimal-exact sum, top-10 by revenue. The
+    * canonical "filters push to every scan, dims broadcast, facts shuffle
+    * once" benchmark plan.
+    */
+  val tpchQ3 = Q(
+    "q_tpch_q3",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(round(col("revenue"), 6).desc, col("l_orderkey"))
+        .limit(10)
+    },
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY 1, 3, 4
+      |ORDER BY round(revenue, 6) DESC, l_orderkey LIMIT 10""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
-    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin)
+    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3)
 }

@@ -226,6 +226,55 @@ object Relational {
       |ORDER BY k""".stripMargin
   )
 
+  /** Data profiling in ONE pass: per-column non-null count, exact distinct
+    * count, and min/max (rendered to strings so mixed types share one output
+    * schema) — the `ANALYZE`-style audit every ingest pipeline runs before
+    * trusting a new table. All 4×4 statistics come from a single aggregate
+    * over one scan (Spark plans the multi-distinct via one Expand — still
+    * one pass over the data, partial-aggregable), then `stack` pivots the
+    * 1-row result into the per-column report; nothing here grows with table
+    * size except the scan itself.
+    */
+  val profile = Q(
+    "q_profile",
+    (s, d) => {
+      val specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+        ("o_orderkey", col("o_orderkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+        ("o_orderpriority", col("o_orderpriority"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+        ("o_orderstatus", col("o_orderstatus"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+        ("o_totalprice", col("o_totalprice"), (c: org.apache.spark.sql.Column) => round(c, 6).cast("string")))
+      val aggs = count(lit(1)).as("n") +: specs.flatMap { case (name, c, fmt) => Seq(
+        count(c).as(s"nn_$name"), countDistinct(c).as(s"nd_$name"),
+        fmt(min(c)).as(s"mn_$name"), fmt(max(c)).as(s"mx_$name")) }
+      val stackArgs = specs.map { case (name, _, _) =>
+        s"'$name', nn_$name, nd_$name, mn_$name, mx_$name" }.mkString(", ")
+      Tables.orders(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n"), expr(s"stack(${specs.size}, $stackArgs) " +
+          "as (col, non_null, n_distinct, min_v, max_v)"))
+        .select("col", "n", "non_null", "n_distinct", "min_v", "max_v")
+        .orderBy("col")
+    },
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+      |      CAST(min(o_orderkey) AS VARCHAR) AS mn_k, CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+      |    count(o_orderpriority) AS nn_pr, count(DISTINCT o_orderpriority) AS nd_pr,
+      |      CAST(min(o_orderpriority) AS VARCHAR) AS mn_pr, CAST(max(o_orderpriority) AS VARCHAR) AS mx_pr,
+      |    count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+      |      CAST(min(o_orderstatus) AS VARCHAR) AS mn_st, CAST(max(o_orderstatus) AS VARCHAR) AS mx_st,
+      |    count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+      |      CAST(round(min(o_totalprice), 6) AS VARCHAR) AS mn_tp, CAST(round(max(o_totalprice), 6) AS VARCHAR) AS mx_tp
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col, n, CAST(nn_k AS BIGINT) AS non_null,
+      |         CAST(nd_k AS BIGINT) AS n_distinct, mn_k AS min_v, mx_k AS max_v FROM s
+      |  UNION ALL SELECT 'o_orderpriority', n, CAST(nn_pr AS BIGINT), CAST(nd_pr AS BIGINT), mn_pr, mx_pr FROM s
+      |  UNION ALL SELECT 'o_orderstatus', n, CAST(nn_st AS BIGINT), CAST(nd_st AS BIGINT), mn_st, mx_st FROM s
+      |  UNION ALL SELECT 'o_totalprice', n, CAST(nn_tp AS BIGINT), CAST(nd_tp AS BIGINT), mn_tp, mx_tp FROM s
+      |) ORDER BY col""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
-    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter)
+    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile)
 }
