@@ -103,4 +103,19 @@ class ContractSpec extends SparkSpec {
     val plan = SparkEntry.queries("q_join_broadcast")(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("every query is partitioning-invariant (4 vs 32 shuffle partitions)") {
+    // the permanent gate behind the oracle-parity rules: decimal sums,
+    // pre-rounded sort keys and deterministic ORDER BYs must make every
+    // registered result independent of physical parallelism — a raw
+    // double sum or unordered limit shows up here as a diff
+    val d = sf()
+    val s32 = spark.newSession()
+    s32.conf.set("spark.sql.shuffle.partitions", "32")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, d).collect().map(_.toString).toSeq
+      val b = fn(s32, d).collect().map(_.toString).toSeq
+      assert(a == b, s"$name differs between 4 and 32 shuffle partitions")
+    }
+  }
 }
