@@ -50,7 +50,13 @@ object Bench {
     // code — the min of two spaced samples discards such spikes).
     val warm1 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     val warm2 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
-    val warm = names.map(n => n -> math.min(warm1(n), warm2(n))).toMap
+    // min over the SUCCESSFUL samples: -1.0 marks a failed execution, and a
+    // query that failed one pass but succeeded the other must report the
+    // valid measurement, not the sentinel
+    val warm = names.map { n =>
+      val ok = Seq(warm1(n), warm2(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
 
     val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * anti-joined against the corpus (AQE broadcasts them — the corpus is
   * never shuffled for a drop); packing is a per-shard window. Nothing in
   * the chain materializes driver-side state that grows with the corpus.
+  * Each stage output is `localCheckpoint`ed, so every stage COMPUTES
+  * exactly once — the per-stage counts and every downstream consumer read
+  * the materialized blocks instead of re-running the upstream chain — and
+  * the MinHash signature cache is released as soon as the drop list is
+  * materialized. (Checkpoint blocks live until the returned DataFrame is
+  * garbage-collected, the usual localCheckpoint lifetime.)
   */
 object CorpusPipeline {
 
@@ -52,20 +58,25 @@ object CorpusPipeline {
     val nQuality = quality.count()
 
     // 2. exact dedup, keep-first per content digest (q_dedup_exact policy);
-    //    the window partitions by digest — bounded groups, never global
+    //    the window partitions by digest — bounded groups, never global.
+    //    localCheckpoint: stage 2's output feeds its count, the signature
+    //    build, the anti-join AND stage 4 — materialize once
     val deduped = quality
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(trim(lower(col("text"))))).orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
     val nExact = deduped.count()
 
     // 3. near-dup removal — drop the higher id of every MinHash pair
     //    (q_dedup_keep policy); the drop list is tiny → AQE broadcasts the
     //    anti-join, the corpus is never shuffled
-    val nearDrop = Dedup.minhashNearDups(deduped, shingleN, numPerms, rowsPerBand,
-        jaccardThreshold)
-      .select(col("d2").as("doc_id")).distinct()
+    val (pairs, releaseSigCache) = Dedup.minhashNearDupsWithCache(
+      deduped, shingleN, numPerms, rowsPerBand, jaccardThreshold)
+    val nearDrop = pairs.select(col("d2").as("doc_id")).distinct()
     val nearDeduped = deduped.join(nearDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    releaseSigCache() // the checkpoint above consumed the pairs
     val nNear = nearDeduped.count()
 
     // 4. decontamination — drop training docs sharing >= minShared shingle
@@ -74,6 +85,7 @@ object CorpusPipeline {
         shingleN, decontaminateMinShared)
       .select(col("train_doc").as("doc_id"))
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val nClean = clean.count()
 
     // 5. sequence packing — start-offset bins per source shard
@@ -85,9 +97,11 @@ object CorpusPipeline {
       .withColumn("bin_id", expr(s"off div $packBudget"))
       .drop("off")
     val (bins, packedTokens) = {
+      // coalesce: sum over an empty corpus is null, and a fully-filtered
+      // input must report zeros, not NPE
       val r = packed.agg(
         countDistinct(col("source"), col("bin_id")).as("bins"),
-        sum(col("n_tok")).as("toks")).head()
+        coalesce(sum(col("n_tok")), lit(0L)).as("toks")).head()
       (r.getLong(0), r.getLong(1))
     }
 

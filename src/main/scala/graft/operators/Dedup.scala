@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.Bridge
 
 /** Deduplication family for a training-data pipeline.
   *
@@ -105,14 +106,26 @@ object Dedup {
     * verify join; per candidate pair the work is one array_intersect.
     */
   def minhashNearDups(documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double): DataFrame =
+    minhashNearDupsWithCache(documents, n, numPerms, rowsPerBand, threshold)._1
+
+  /** [[minhashNearDups]] plus a release handle for its internal signature
+    * cache — for callers that materialize the pairs mid-pipeline and should
+    * drop the cache immediately instead of waiting for a session-level
+    * clearCache (CorpusPipeline); call the handle only AFTER an action has
+    * consumed the returned pairs.
+    */
+  private[graft] def minhashNearDupsWithCache(
+      documents: DataFrame, n: Int, numPerms: Int, rowsPerBand: Int,
+      threshold: Double): (DataFrame, () => Unit) = {
     // the signature relation feeds the band generator AND both verify joins —
     // persist (columnar cache) rather than localCheckpoint: the band join
     // reads only (doc_id, sig) and the verify joins only (doc_id, hs), and
     // the cache serves each consumer PRUNED columns, where a checkpointed
     // row RDD would deserialize the wide hs arrays for every consumer
     // (measured 2.0 s vs 1.2 s at sf0.1). Cache lifetime is owned by the
-    // caller (Bench/Verify clearCache() between queries).
+    // caller (Bench/Verify clearCache() between queries; CorpusPipeline the
+    // release handle).
     val sig = minhashSignatures(documents, n, numPerms).persist()
     val bands = lshBands(sig, numPerms, rowsPerBand)
     val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
@@ -127,7 +140,7 @@ object Dedup {
       .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2")), Seq("d2"))
       .filter(jac >= threshold)
       .select(col("d1"), col("d2"), shared.as("shared_shingles"), round(jac, 6).as("jaccard"))
-      .orderBy("d1", "d2")
+      .orderBy("d1", "d2") -> (() => { sig.unpersist(); () })
   }
 
   /** Registered instance: bigram shingles, 32 perms, 8 bands × 4 rows, J ≥ 0.5.
@@ -444,17 +457,18 @@ object Dedup {
     val tr0 = hashes(train, "train_doc")
     val tr = bloomCapacity match {
       case Some(cap) if s.catalog.functionExists("graft_bloom") =>
-        // build the filter DISTRIBUTED (mergeable bitset-OR aggregate), then
-        // materialize the single capacity-bounded value (a few hundred KB —
-        // the same driver-side materialization Spark's InjectRuntimeFilter
-        // performs for its bloom subquery) and inline it as a LITERAL: the
-        // probe then decodes the filter once per task. Feeding the bytes
-        // through a join column instead would copy + decode the filter PER
-        // ROW (row accessors copy binary values) — measured as a 100×
-        // slowdown at sf0.1.
-        val bf = ev.agg(expr(s"graft_bloom(h, $cap, CAST(0.01 AS DOUBLE))").as("bf"))
-          .head().getAs[Array[Byte]](0)
-        tr0.filter(call_function("graft_might_contain", lit(bf), col("h")))
+        // the filter is built DISTRIBUTED (mergeable bitset-OR aggregate) and
+        // reaches the probe as an uncorrelated SCALAR SUBQUERY — evaluated
+        // once per execution and fed in as a constant, so the probe decodes
+        // the capacity-bounded bitset once per task (Spark's own
+        // InjectRuntimeFilter architecture), and building this DataFrame
+        // stays LAZY (no job until an action). Feeding the bytes through a
+        // join column instead would copy + decode the filter PER ROW (row
+        // accessors copy binary values) — measured as a 100× slowdown.
+        val bloom = Bridge.scalarSubquery(
+          ev.agg(expr(s"graft_bloom(h, $cap, CAST(0.01 AS DOUBLE))").as("bf")))
+        tr0.filter(Bridge.columnOf(graft.plans.MightContain(
+          bloom, org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("h"))))
       case _ => tr0
     }
     tr.join(ev, Seq("h"))

@@ -29,4 +29,16 @@ object Bridge {
   def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Wrap a raw catalyst expression as a user-facing Column. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** An uncorrelated scalar subquery over a DataFrame's plan — evaluated
+    * ONCE per query execution and fed to the enclosing expression as a
+    * constant (lazily, at execution time — no job at plan-construction).
+    */
+  def scalarSubquery(df: DataFrame): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(analyzed(df))
 }

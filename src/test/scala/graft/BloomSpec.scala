@@ -57,16 +57,15 @@ class BloomSpec extends SparkSpec {
       "bloom prefilter must be result-invariant (no false negatives + exact verify join)")
   }
 
-  test("the registered query's plan probes the filter as a literal, not a per-row column") {
+  test("the registered query's plan probes the filter via a scalar subquery, not a per-row column") {
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_might_contain") || plan.contains("MightContain"),
-      s"expected the might_contain probe in the physical plan:\n$plan")
-    // the filter value must be INLINED (decoded once per task); routing it
-    // through a join column would copy + decode the bitset per row — row
-    // accessors copy binary values (measured 100× at sf0.1)
-    assert(!plan.contains("graft_bloom"),
-      s"bloom build must be materialized before the probe plan, not joined into it:\n$plan")
+    // the filter value must reach the probe as a once-evaluated CONSTANT
+    // (scalar subquery → one decode per task); routing it through a join
+    // column would copy + decode the bitset per row — row accessors copy
+    // binary values (measured 100× at sf0.1)
+    assert(plan.contains("graft_might_contain(Subquery subquery"),
+      s"expected the probe to take the bloom as a scalar subquery:\n$plan")
   }
 
   test("type errors are rejected at analysis, not in executors") {

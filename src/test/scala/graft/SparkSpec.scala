@@ -17,6 +17,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // a Janino compile failure in generated code must FAIL the suite, not
+      // silently fall back to the interpreted path — otherwise a broken
+      // doGenCode/doConsume ships while every plan-string assertion stays
+      // green against the fallback execution
+      .config("spark.sql.codegen.fallback", "false")
       .appName("graft-test")
       .getOrCreate())
 }

@@ -4,9 +4,11 @@
 Usage: python3 tools/oracle_bench.py <sf_dir> <oracle_sql.json from Verify>
 Prints one JSON line: {"total": s, "queries": {name: s, ...}}
 
-Protocol mirrors graft.Bench: threads=32, one warmup execution per query,
-then one timed execution (DuckDB has no codegen warmup, so one warm pass
-suffices); fetchall() forces full materialization.
+Protocol mirrors graft.Bench exactly: threads=32, one warmup execution per
+query, then TWO timed executions reported as their MIN — the same
+contention-spike rejection the Spark side uses, so neither engine's total
+absorbs a shared-host load spike the other discards. fetchall() forces full
+materialization.
 """
 import json
 import sys
@@ -32,9 +34,12 @@ def main() -> None:
         sql = oracles[name]
         try:
             con.execute(sql).fetchall()  # warmup
-            t0 = time.monotonic()
-            con.execute(sql).fetchall()
-            times[name] = round(time.monotonic() - t0, 4)
+            samples = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()
+                samples.append(time.monotonic() - t0)
+            times[name] = round(min(samples), 4)
         except Exception as e:  # noqa: BLE001 - record and continue
             times[name] = -1.0
             print(f"ERR {name}: {e}", file=sys.stderr)
