@@ -78,6 +78,23 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MightContain(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_morton"),
+      new ExpressionInfo("graft.functions.ZOrder", "graft_morton"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // the ZOrder.spread/morton bit math as a raw catalyst tree (the
+        // Column wrapper types are not analyzable from a function builder);
+        // codegen's subexpression elimination collapses the duplicated
+        // subtrees the magic-number construction repeats
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Literal, ShiftLeft}
+        import org.apache.spark.sql.catalyst.expressions.{Expression => E}
+        def spread(v: E): E = {
+          def step(a: E, s: Int, mask: Long): E =
+            BitwiseAnd(BitwiseOr(a, ShiftLeft(a, Literal(s))), Literal(mask))
+          step(step(step(step(v, 8, 16711935L), 4, 252645135L), 2, 858993459L), 1, 1431655765L)
+        }
+        BitwiseOr(spread(children.head), ShiftLeft(spread(children(1)), Literal(1)))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_osgb"),
       new ExpressionInfo(classOf[OsgbToWgs84].getName, "graft_osgb"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -35,6 +35,11 @@ object Bridge {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The catalyst expression behind a Column (inverse of [[columnOf]]). */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** An uncorrelated scalar subquery over a DataFrame's plan — evaluated
     * ONCE per query execution and fed to the enclosing expression as a
     * constant (lazily, at execution time — no job at plan-construction).

@@ -20,6 +20,13 @@ class ZOrderSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 1431655765L, 2863311530L, 39L))
   }
 
+  test("graft_morton SQL function matches the Column composition") {
+    val r = spark.sql(
+      "SELECT graft_morton(3L, 5L), graft_morton(65535L, 0L), graft_morton(0L, 65535L)")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((39L, 1431655765L, 2863311530L)))
+  }
+
   test("z-sorted layout shrinks per-file spatial extent vs key order") {
     val pts = Tables.lineitem(spark, sf("sf0.01"))
       .select(Geom.e1.as("e"), Geom.n1.as("n"))
