@@ -375,6 +375,60 @@ object Analytics {
       |ORDER BY round(revenue, 6) DESC, l_orderkey LIMIT 10""".stripMargin
   )
 
+  /** ORDERED conversion funnel: users reaching view → click → purchase where
+    * each stage happens STRICTLY AFTER the previous one (greedy first-match,
+    * ≡ the recursive min-time definition) — the product-analytics staple
+    * where the ordering constraint is the whole point (the unordered counts
+    * differ: 25 vs 39 at stage 2 on the sf0.01 fixture). One shuffle total:
+    * events group per user, the time-sorted event array folds through a
+    * 3-state machine with a higher-order `aggregate` — vs the oracle's
+    * three user-keyed join+agg rounds (same result, three shuffles; both
+    * correct, ours is the 100 TB shape). Event stream thinned by a
+    * deterministic id sample so the fixture actually exercises drop-off.
+    */
+  val eventFunnel = Q(
+    "q_event_funnel",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .filter(col("event_id") % 19 === 0 &&
+          col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts").as("t"),
+          col("event_type").as("ty")))).as("evs"))
+        .select(expr(
+          """aggregate(evs,
+            |  named_struct('stage', 0, 'tp', CAST(-1 AS BIGINT)),
+            |  (acc, e) -> CASE
+            |    WHEN acc.stage = 0 AND e.ty = 'view'
+            |      THEN named_struct('stage', 1, 'tp', e.t)
+            |    WHEN acc.stage = 1 AND e.ty = 'click' AND e.t > acc.tp
+            |      THEN named_struct('stage', 2, 'tp', e.t)
+            |    WHEN acc.stage = 2 AND e.ty = 'purchase' AND e.t > acc.tp
+            |      THEN named_struct('stage', 3, 'tp', e.t)
+            |    ELSE acc END,
+            |  acc -> acc.stage)""".stripMargin).as("stage"))
+      perUser.agg(
+          sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("s2"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("s3"))
+        .select(expr("stack(3, 'a_view', s1, 'b_click', s2, 'c_purchase', s3) " +
+          "as (stage, users)"))
+        .orderBy("stage")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events WHERE event_id % 19 = 0),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 'a_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+      |  UNION ALL SELECT 'b_click', count(*) FROM s2
+      |  UNION ALL SELECT 'c_purchase', count(*) FROM s3
+      |) ORDER BY stage""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
-    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3)
+    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel)
 }
