@@ -53,7 +53,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
       operators.Analytics.all ++ operators.Skew.all ++ operators.Aggregates.all ++
-      operators.Sampling.all
+      operators.Sampling.all ++ operators.Behavior.all ++ operators.Graph.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -105,5 +105,29 @@ object Aggregates {
     groupingSetsSql
   )
 
-  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets)
+  /** Fixed-width histogram of l_extendedprice: the bucket key is pure row-local
+    * arithmetic (no data-dependent bounds, no global min/max pre-pass), so the
+    * whole query is one partial-aggregated shuffle over ~21 keys — the shape
+    * that turns a 100 TB scan into a KB-sized result. Data-dependent bounds
+    * would add only a one-row scalar pre-aggregate (same posture as
+    * q_anomaly_zscore's model).
+    */
+  val histogram = Q(
+    "q_histogram",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double").as("price_sum"))
+        .withColumn("bucket_lo", (col("bucket") * 5000L).cast("double"))
+        .select("bucket", "bucket_lo", "n", "price_sum")
+        .orderBy("bucket"),
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |CAST(CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000 AS DOUBLE) AS bucket_lo,
+      |count(*) AS n,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram)
 }

@@ -429,6 +429,42 @@ object Analytics {
       |) ORDER BY stage""".stripMargin
   )
 
+  /** TPC-H Q18 (large-volume customers): the HAVING-over-aggregate-feeds-join
+    * shape. lineitem aggregates once on l_orderkey (one shuffle); the filtered
+    * "big order" set then joins orders on the SAME key — at cluster scale the
+    * aggregate's partitioning is reusable, so the orders join adds no lineitem
+    * re-shuffle — and the customer lookup is an equi-join on custkey. The
+    * final top-100 is TakeOrderedAndProject (per-partition heaps, no global
+    * sort).
+    */
+  val tpchQ18 = Q(
+    "q_tpch_q18",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("qty_sum"))
+        .filter(col("qty_sum") > 300.0)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("qty_sum"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+      |  FROM lineitem GROUP BY 1)
+      |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, qty_sum
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE qty_sum > 300.0
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
-    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel)
+    asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
+    tpchQ18)
 }

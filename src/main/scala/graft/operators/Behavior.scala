@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Behavioral analytics over the events stream: cohort retention, sliding
+  * time-range aggregates, and statistical anomaly flagging. Each query is a
+  * single-shuffle-per-key plan (window partitioned by user, or one grouped
+  * aggregate) — no global windows, no inequality joins, so every shape holds
+  * at cluster scale. Reference scope: the reference's per-entity derived
+  * metrics (process_cycle_networks.py) generalized to event streams.
+  */
+object Behavior {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  /** Cohort retention matrix: users bucketed by their first-active week, then
+    * distinct-user counts per (cohort week, active week). Plan: one shuffle on
+    * user_id for the min-week window, then a standard two-phase distinct
+    * aggregate — both partitioned, both skew-free (cohort keys are weeks).
+    * `ts` is epoch nanos (SparkEntry.tune).
+    */
+  val cohortRetention = Q(
+    "q_cohort_retention",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", timestamp_micros(expr("ts DIV 1000"))).as("wk"))
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("cohort_week", min(col("wk")).over(w))
+        .groupBy(col("cohort_week"), col("wk").as("active_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .withColumn("week_no", expr("datediff(active_week, cohort_week) DIV 7"))
+        .select("cohort_week", "active_week", "week_no", "n_users")
+        .orderBy("cohort_week", "active_week")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |coh AS (
+      |  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM ev)
+      |SELECT cohort_week, wk AS active_week,
+      |       CAST(datediff('day', cohort_week, wk) AS BIGINT) // 7 AS week_no,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM coh GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+  )
+
+  /** Per-user 7-day sliding average of event value: a RANGE window over epoch
+    * seconds — one shuffle on user_id, then a linear frame scan. The running
+    * sum is DECIMAL so the result is order-independent (a double running sum
+    * would depend on the frame's internal add order); the average is derived
+    * from (exact sum, count) at the end.
+    */
+  val movingAvg = Q(
+    "q_moving_avg",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts DIV 1000000000").as("tsec"))
+      val w = Window.partitionBy("user_id").orderBy("tsec")
+        .rangeBetween(-604800L, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("tsec"),
+          sum(dec(col("value"))).over(w).as("sum_dec"),
+          count(lit(1)).over(w).as("n_7d"))
+        .select(col("event_id"), col("user_id"), col("tsec"), col("n_7d"),
+          (col("sum_dec").cast("double") / col("n_7d")).as("avg_7d"))
+        .orderBy("event_id")
+    },
+    """WITH ev AS (
+      |  SELECT event_id, user_id, value, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, tsec,
+      |    sum(CAST(value AS DECIMAL(18,6))) OVER
+      |      (PARTITION BY user_id ORDER BY tsec RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS sum_dec,
+      |    count(*) OVER
+      |      (PARTITION BY user_id ORDER BY tsec RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_7d
+      |  FROM ev)
+      |SELECT event_id, user_id, tsec, n_7d, CAST(sum_dec AS DOUBLE) / n_7d AS avg_7d
+      |FROM w ORDER BY event_id""".stripMargin
+  )
+
+  /** Z-score anomaly flagging: per-event-type mean/stddev from exact decimal
+    * moment sums (sum, sum-of-squares — order-independent), then each event
+    * scored against its type's distribution. The per-type model is a handful
+    * of rows → broadcast joined back to the stream; the fact table is never
+    * shuffled. z is rounded to 6 dp on both sides (the engines' decimal→double
+    * casts can differ in the last ulp) and the threshold filter runs on the
+    * ROUNDED score so row membership agrees at the boundary.
+    */
+  val anomalyZscore = Q(
+    "q_anomaly_zscore",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean"),
+          sqrt(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("std"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+        .filter(col("std") > 0 && abs(col("z")) > lit(2.0))
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    },
+    """WITH stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(18,6))) AS s1,
+      |         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT event_type,
+      |         CAST(s1 AS DOUBLE) / n AS mean,
+      |         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+      |  FROM stats)
+      |SELECT event_id, e.event_type, value, round((value - mean) / std, 6) AS z
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |WHERE std > 0 AND abs(round((value - mean) / std, 6)) > 2.0
+      |ORDER BY event_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore)
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,4 +44,39 @@ object Graph {
     }
     ranks
   }
+
+  /** Distributed triangle count over the co-purchase graph (parts appearing in
+    * the same order). Edge construction is a self-join on l_orderkey — bounded
+    * fan-out (TPC-H orders have ≤ 7 lines), so it is linear, never cartesian.
+    * Triangles are counted with the oriented node-iterator join: every edge is
+    * stored once as u < v, and a triangle (u < v < w) is found exactly once as
+    * e1=(u,v) ⋈ e2=(v,w) ⋈ e3=(u,w) — three equi-joins, no inequality join in
+    * the probe. At cluster scale the orientation key would be (degree, id)
+    * instead of raw id so high-degree hubs don't own O(deg²) wedges; id-order
+    * keeps the oracle expressible and the plan shape identical.
+    */
+  val triangles = Q(
+    "q_triangles",
+    (s, d) => {
+      val pl = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = pl.as("a").join(pl.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e2.v") === col("e3.v") && col("e1.u") === col("e3.u"))
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+    """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
+      |SELECT count(*) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |JOIN e e3 ON e2.v = e3.v AND e1.u = e3.u""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(triangles)
 }

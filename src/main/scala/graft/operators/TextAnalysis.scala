@@ -293,25 +293,31 @@ object TextAnalysis {
     * join + one aggregate, and the log-prob sums go through pre-rounded
     * DECIMALs so group sums are exact at any parallelism.
     */
+  /** Per-doc unigram-LM scores (n_tokens, mean logprob, perplexity) — the
+    * shared relation behind q_lm_score and q_perplexity_buckets. The vocab is
+    * joined (not broadcast-hinted): at 100 TB the vocabulary itself is large,
+    * so the corpus-sized side must be allowed to shuffle-join.
+    */
+  private def docPpl(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val lp = round(log(col("c").cast("double") / col("total").cast("double")), 9)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    val meanLp = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+    toks
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), meanLp.as("mean_logprob"),
+        round(exp(-meanLp), 6).as("ppl"))
+  }
+
   val lmScore = Q(
     "q_lm_score",
-    (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val total = toks.agg(count(lit(1)).as("total"))
-      val lp = round(log(col("c").cast("double") / col("total").cast("double")), 9)
-        .cast(org.apache.spark.sql.types.DecimalType(28, 9))
-      val meanLp = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-      toks
-        .join(vocab, Seq("tok"))
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"), lp.as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), meanLp.as("mean_logprob"),
-          round(exp(-meanLp), 6).as("ppl"))
-        .orderBy("doc_id")
-    },
+    (s, d) => docPpl(s, d).orderBy("doc_id"),
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
       |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
@@ -324,6 +330,53 @@ object TextAnalysis {
       |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
       |  round(exp(-(round(CAST(sum(lp) AS DOUBLE) / count(*), 6))), 6) AS ppl
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
+  /** CCNet-style quality tiers: docs split into head/middle/tail by unigram
+    * perplexity tertiles. The threshold model is ONE row (two exact
+    * interpolated percentiles — Spark `percentile` and DuckDB `quantile_cont`
+    * share the definition, both rounded to 6 dp before comparison) broadcast
+    * back over the doc scores; the corpus is never globally sorted and no
+    * unpartitioned window appears. At 100 TB the exact percentile swaps for
+    * approx_percentile — the plan shape (tiny model ⋈ corpus) is unchanged.
+    */
+  val perplexityBuckets = Q(
+    "q_perplexity_buckets",
+    (s, d) => {
+      val ppl = docPpl(s, d)
+      val th = ppl.agg(
+        round(expr("percentile(ppl, 1.0/3)"), 6).as("t1"),
+        round(expr("percentile(ppl, 2.0/3)"), 6).as("t2"))
+      ppl.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ppl").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("ppl_sum"))
+        .orderBy("bucket")
+    },
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS total FROM toks),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(CAST(v.c AS DOUBLE) / CAST((SELECT total FROM n) AS DOUBLE)), 9) AS DECIMAL(28,9)) AS lp
+      |  FROM toks t JOIN vocab v ON v.tok = t.tok),
+      |ppl AS (
+      |  SELECT doc_id,
+      |    round(exp(-(round(CAST(sum(lp) AS DOUBLE) / count(*), 6))), 6) AS ppl
+      |  FROM scored GROUP BY doc_id),
+      |th AS (
+      |  SELECT round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+      |         round(quantile_cont(ppl, 2.0/3), 6) AS t2 FROM ppl)
+      |SELECT CASE WHEN ppl <= t1 THEN 'head' WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS ppl_sum
+      |FROM ppl CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Repetition-based quality signals (the Gopher-style repetition filters):
@@ -655,5 +708,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
-    bm25, importanceWeights, lmBigram)
+    bm25, importanceWeights, lmBigram, perplexityBuckets)
 }
