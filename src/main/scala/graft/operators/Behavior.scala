@@ -88,23 +88,36 @@ object Behavior {
     * casts can differ in the last ulp) and the threshold filter runs on the
     * ROUNDED score so row membership agrees at the boundary.
     */
+  /** Per-type (n, mean, std) model from the exact decimal moment sums —
+    * trained batch, applied batch or streaming.
+    */
+  def typeStats(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("value"))).as("s1"),
+      sum(dec(col("value")) * dec(col("value"))).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt(col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("std"))
+
+  /** The stateless scorer: broadcast model join + rounded z + threshold.
+    * Works unchanged on a batch relation or a structured stream (stream ⋈
+    * static broadcast, no watermark, no state store) — StreamAnomalySpec
+    * pins the parity.
+    */
+  def scoreAnomalies(ev: org.apache.spark.sql.DataFrame,
+                     model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.join(broadcast(model), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+      .filter(col("std") > 0 && abs(col("z")) > lit(2.0))
+      .select("event_id", "event_type", "value", "z")
+
   val anomalyZscore = Q(
     "q_anomaly_zscore",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val stats = ev.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(dec(col("value"))).as("s1"),
-        sum(dec(col("value")) * dec(col("value"))).as("s2"))
-        .select(col("event_type"), col("n"),
-          (col("s1").cast("double") / col("n")).as("mean"),
-          sqrt(col("s2").cast("double") / col("n") -
-            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("std"))
-      ev.join(broadcast(stats), Seq("event_type"))
-        .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
-        .filter(col("std") > 0 && abs(col("z")) > lit(2.0))
-        .select("event_id", "event_type", "value", "z")
-        .orderBy("event_id")
+      scoreAnomalies(ev, typeStats(ev)).orderBy("event_id")
     },
     """WITH stats AS (
       |  SELECT event_type, count(*) AS n,

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-scale path for similarity search.
+  *
+  * A 64-dim fp32 embedding (256 B) is split into M=8 subspaces of 8 dims;
+  * each subspace gets its own 16-centroid codebook (k-means), and a vector is
+  * stored as 8 four-bit codes = 8 bytes — 32× compression. 100 TB of raw
+  * embeddings become ~3 TB of codes: the difference between "spills to disk
+  * per query" and "the whole index lives in cluster RAM". Search is ADC
+  * (asymmetric distance computation): per query, an M×16 table of partial
+  * squared distances to every sub-centroid is computed ONCE (driver-side —
+  * it is 128 doubles), broadcast, and each corpus row's approximate distance
+  * is M table lookups — no per-pair float math at scan time. The top-R ADC
+  * candidates are then re-ranked with exact cosine; R is the recall knob
+  * (PqRecallSpec measures the curve, and R = corpus reproduces the exact
+  * ranking bit-for-bit, proving the machinery loses nothing).
+  *
+  * Scale shape: training is `iters` fused jobs (assignment + recompute for
+  * ALL M subspaces in one mapPartitions pass — only M×16×8 integer-quantized
+  * sums per partition cross the wire, the lloydStep discipline from
+  * [[Similarity]]); encoding is one map-side pass with the codebooks
+  * broadcast; search scans codes map-side and shuffles only ≤R rows per
+  * query for the re-rank join. Vectors are L2-normalized before training and
+  * encoding so squared-L2 ADC order agrees with cosine order (‖a−b‖² =
+  * 2−2·cos for unit vectors).
+  *
+  * Determinism: assignment ranks by (round(d²,6) asc, centroid id asc);
+  * centroid recomputation sums integer micro-units — both order-free, so the
+  * build is partitioning-invariant like the IVF build.
+  */
+object Pq {
+
+  val M = 8        // subspaces
+  val SubDim = 8   // dims per subspace (M * SubDim = 64)
+  val Kc = 16      // centroids per subspace → 4-bit codes
+  private val Dims = M * SubDim
+  private val NQ = 5 // query vectors: vec_id < NQ (same protocol as annCosine)
+
+  /** codebooks(m)(c) = sub-centroid c of subspace m, SubDim doubles */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def sparkRound(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def normalize(vec: Array[Float]): Array[Double] = {
+    var n2 = 0d; var i = 0
+    while (i < vec.length) { val x = vec(i).toDouble; n2 += x * x; i += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    Array.tabulate(vec.length)(j => vec(j).toDouble * inv)
+  }
+
+  /** Corpus as (vec_id, unit vector) — queries excluded, like annCosine. */
+  private def corpusRdd(emb: DataFrame) =
+    emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id"), col("embedding"))
+      .rdd.map { r =>
+        (r.getLong(0), normalize(r.getSeq[Float](1).toArray))
+      }
+
+  private def sqDist(v: Array[Double], off: Int, c: Array[Double]): Double = {
+    var d2 = 0d; var i = 0
+    while (i < SubDim) { val t = v(off + i) - c(i); d2 += t * t; i += 1 }
+    d2
+  }
+
+  /** Nearest sub-centroid by (round(d²,6), id) — the deterministic ranking. */
+  private def assign(v: Array[Double], m: Int, cb: Array[Array[Double]]): Int = {
+    val off = m * SubDim
+    var best = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cb.length) {
+      val d = sparkRound(sqDist(v, off, cb(c)), 6)
+      if (d < bestD) { best = c; bestD = d }
+      c += 1
+    }
+    best
+  }
+
+  /** Train all M codebooks: seeds are the sub-vectors of vec_id 100..115
+    * (the IVF build's seed policy), then `iters` fused Lloyd iterations —
+    * ONE job per iteration covering every subspace.
+    */
+  def train(emb: DataFrame, iters: Int = 2): Codebooks = {
+    val seeds = emb.filter(col("vec_id") >= 100 && col("vec_id") < (100 + Kc))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => normalize(r.getSeq[Float](1).toArray))
+    require(seeds.length == Kc, s"need $Kc seed vectors, got ${seeds.length}")
+    var cb: Codebooks = Array.tabulate(M, Kc) { (m, c) =>
+      java.util.Arrays.copyOfRange(seeds(c), m * SubDim, (m + 1) * SubDim)
+    }
+    val vecs = corpusRdd(emb)
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val bc = vecs.sparkContext.broadcast(cb)
+        val (sums, counts) = vecs.mapPartitions { rows =>
+          val books = bc.value
+          val sum = Array.fill(M, Kc)(new Array[Long](SubDim))
+          val cnt = Array.fill(M)(new Array[Long](Kc))
+          rows.foreach { case (_, v) =>
+            var m = 0
+            while (m < M) {
+              val c = assign(v, m, books(m))
+              val acc = sum(m)(c)
+              var i = 0
+              while (i < SubDim) {
+                acc(i) += sparkRound(v(m * SubDim + i) * 1000000d, 0).toLong
+                i += 1
+              }
+              cnt(m)(c) += 1
+              m += 1
+            }
+          }
+          Iterator.single((sum, cnt))
+        }.reduce { case ((s1, c1), (s2, c2)) =>
+          var m = 0
+          while (m < M) {
+            var c = 0
+            while (c < Kc) {
+              var i = 0
+              while (i < SubDim) { s1(m)(c)(i) += s2(m)(c)(i); i += 1 }
+              c1(m)(c) += c2(m)(c)
+              c += 1
+            }
+            m += 1
+          }
+          (s1, c1)
+        }
+        bc.unpersist()
+        cb = Array.tabulate(M, Kc) { (m, c) =>
+          val n = counts(m)(c)
+          if (n == 0) cb(m)(c) // empty cell keeps its centroid, as in lloydStep
+          else Array.tabulate(SubDim)(i =>
+            sparkRound(sums(m)(c)(i).toDouble / (n.toDouble * 1000000.0d), 9))
+        }
+        it += 1
+      }
+      cb
+    } finally { vecs.unpersist(blocking = false); () }
+  }
+
+  /** Encode the corpus: (vec_id, 8 one-byte codes). Map-side only. */
+  def encode(emb: DataFrame, cb: Codebooks): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cb)
+    corpusRdd(emb).map { case (id, v) =>
+      val books = bc.value
+      val codes = new Array[Byte](M)
+      var m = 0
+      while (m < M) { codes(m) = assign(v, m, books(m)).toByte; m += 1 }
+      (id, codes)
+    }.toDF("vec_id", "codes")
+  }
+
+  /** ADC search: approximate top-`rerank` by code-table lookups (map-side
+    * over the encoded corpus), then exact cosine re-rank of those candidates
+    * to final top-`k`. Output matches cosineTopK's (q_id, c_id, score, rank)
+    * so recall is directly comparable.
+    */
+  def adcTopK(emb: DataFrame, cb: Codebooks, k: Int, rerank: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    // queries: tiny (NQ unit vectors) — their M×Kc distance tables are
+    // driver-computed (128 doubles each) and ride into the scan closure
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), normalize(r.getSeq[Float](1).toArray)))
+    val tables: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(M, Kc)((m, c) => sqDist(qv, m * SubDim, cb(m)(c))))
+    }
+    val bc = s.sparkContext.broadcast(tables)
+    val codes = encode(emb, cb)
+    // per-partition top-R heaps per query, merged by one final per-query
+    // window over ≤ R×partitions rows — the corpus itself never shuffles
+    val cand = codes.rdd.map { r => (r.getLong(0), r.getAs[Array[Byte]](1)) }
+      .mapPartitions { rows =>
+        val ts = bc.value
+        rows.flatMap { case (cid, cs) =>
+          ts.iterator.map { case (qid, t) =>
+            var d = 0d; var m = 0
+            while (m < M) { d += t(m)(cs(m) & 0xf); m += 1 }
+            (qid, cid, sparkRound(d, 6))
+          }
+        }
+      }.toDF("q_id", "c_id", "adc_dist")
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = cand
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_dist"), col("c_id"))))
+      .filter(col("r") <= rerank)
+      .drop("r", "adc_dist")
+    // exact re-rank: candidates join back to their full vectors (≤ R rows
+    // per query), scored with the SAME rounded cosine + tie rules as
+    // cosineTopK so full-depth re-rank reproduces it bit-for-bit
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        sqrt(graft.functions.VecFns.sqNorm(col("embedding"))).as("cnorm"))
+    shortlist
+      .join(c, Seq("c_id"))
+      .join(broadcast(q.withColumn("qnorm", sqrt(graft.functions.VecFns.sqNorm(col("qe"))))), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(graft.functions.VecFns.dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Bytes per vector after encoding (codes only) vs raw fp32 — the
+    * compression contract asserted by PqRecallSpec.
+    */
+  def compressionRatio: Double = (Dims * 4).toDouble / M
+}
