@@ -46,30 +46,38 @@ object Graph {
   }
 
   /** Distributed triangle count over the co-purchase graph (parts appearing in
-    * the same order). Edge construction is a self-join on l_orderkey — bounded
-    * fan-out (TPC-H orders have ≤ 7 lines), so it is linear, never cartesian.
-    * Triangles are counted with the oriented node-iterator join: every edge is
-    * stored once as u < v, and a triangle (u < v < w) is found exactly once as
-    * e1=(u,v) ⋈ e2=(v,w) ⋈ e3=(u,w) — three equi-joins, no inequality join in
-    * the probe. At cluster scale the orientation key would be (degree, id)
-    * instead of raw id so high-degree hubs don't own O(deg²) wedges; id-order
-    * keeps the oracle expressible and the plan shape identical.
+    * the same order), by the EDGE-ITERATOR algorithm: orient every edge u < v,
+    * build each node's out-neighbor list once, and count a triangle (u<v<w) at
+    * its lowest edge (u,v) as w ∈ N⁺(u) ∩ N⁺(v) — a row-local intersection,
+    * so the per-edge work is bounded by the two degrees and NO wedge relation
+    * ever materializes (this graph has 49M wedges at sf0.1 but only 1.2M
+    * edges; the wedge-join formulation measured 3× slower). Edge construction
+    * is row-local too: per-order sorted part arrays (bounded fan-out, ≤7
+    * lines/order) explode to oriented pairs — the shingle-array pair-gen
+    * pattern from q_ngram_jaccard, no self-join on the order key. Shuffles:
+    * one groupBy(order), one distinct(edge), one groupBy(u), two 1.2M-row
+    * adjacency equi-joins — everything else is map-side. At cluster scale the
+    * orientation key becomes (degree, id) so hub nodes don't own O(deg²)
+    * intersections; id-order keeps the oracle expressible, same plan shape.
+    * The oracle states the same count as a 3-equi-join over the edge CTE —
+    * the declarative spec, not the plan.
     */
   val triangles = Q(
     "q_triangles",
     (s, d) => {
-      val pl = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
+        .select(col("e.u"), col("e.v"))
         .distinct()
-      val e = pl.as("a").join(pl.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-      e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"),
-          col("e2.v") === col("e3.v") && col("e1.u") === col("e3.u"))
-        .agg(count(lit(1)).as("n_triangles"))
+        .persist() // one honest materialization: e feeds adj and both joins
+      val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
+      e.join(adj.select(col("u").as("a1"), col("ns").as("nu")), col("u") === col("a1"))
+        .join(adj.select(col("u").as("a2"), col("ns").as("nv")), col("v") === col("a2"))
+        .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+        .agg(sum(col("t")).cast("long").as("n_triangles"))
     },
     """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
