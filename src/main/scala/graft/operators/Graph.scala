@@ -77,7 +77,9 @@ object Graph {
       e.join(adj.select(col("u").as("a1"), col("ns").as("nu")), col("u") === col("a1"))
         .join(adj.select(col("u").as("a2"), col("ns").as("nv")), col("v") === col("a2"))
         .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-        .agg(sum(col("t")).cast("long").as("n_triangles"))
+        // coalesce: an edgeless graph must report 0 like the oracle's
+        // count(*), not sum()'s NULL
+        .agg(coalesce(sum(col("t")), lit(0L)).cast("long").as("n_triangles"))
     },
     """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)

@@ -223,4 +223,32 @@ object Pq {
     * compression contract asserted by PqRecallSpec.
     */
   def compressionRatio: Double = (Dims * 4).toDouble / M
+
+  /** Smallest re-rank depth on a doubling ladder whose measured recall@k vs
+    * the exact brute-force ranking meets `targetRecall` — the PQ twin of
+    * [[Similarity.autoNprobe]]. The ladder tops out at the corpus size,
+    * where full-depth re-rank ≡ exact (PqRecallSpec's invariant), so a
+    * reachable target always terminates; an unreachable one (> 1.0 recall)
+    * is rejected up front.
+    */
+  def autoRerank(emb: DataFrame, cb: Codebooks, k: Int,
+                 targetRecall: Double): (Int, Double) = {
+    require(targetRecall <= 1.0, s"targetRecall must be <= 1.0: $targetRecall")
+    def topsOf(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = emb.filter(col("vec_id") >= NQ).count().toInt
+    val exact = topsOf(Similarity.cosineTopK(emb, k))
+    val ladder = Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
+    val walked = ladder.iterator.map { depth =>
+      val got = topsOf(adcTopK(emb, cb, k, depth))
+      val rs = exact.toSeq.map { case (q, top) =>
+        got.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }
+      (depth, rs.sum / rs.size)
+    }
+    walked.find(_._2 >= targetRecall).getOrElse(
+      throw new IllegalStateException("full-depth re-rank did not reach target " +
+        "recall — the full-depth-equals-exact invariant is violated"))
+  }
 }

@@ -49,6 +49,34 @@ class PqRecallSpec extends SparkSpec {
     assert(curve.last._2 > 0.0, "depth-200 must find some exact neighbours")
   }
 
+  test("autoRerank picks the smallest ladder depth meeting the recall target") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cb = Pq.train(emb, iters = 2)
+    val target = 0.9
+    val (depth, recall) = Pq.autoRerank(emb, cb, k = 3, targetRecall = target)
+    info(f"chosen rerank depth=$depth recall@3=$recall%.3f for target $target")
+    assert(recall >= target, s"chosen depth $depth missed the target: $recall")
+    // minimality on the ladder: the step below (if any) must miss the target
+    val n = emb.filter("vec_id >= 5").count().toInt
+    val ladder = Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
+    val idx = ladder.indexOf(depth)
+    assert(idx >= 0, s"chosen depth $depth must sit on the ladder $ladder")
+    if (idx > 0) {
+      val below = ladder(idx - 1)
+      val got = Pq.adcTopK(emb, cb, k = 3, rerank = below).collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = SparkEntry.queries("q_ann_cosine")(spark, sf("sf0.001"))
+        .filter("rank <= 3").collect()
+        .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.toSeq.map { case (q, top) =>
+        got.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }
+      assert(rs.sum / rs.size < target, s"depth $below should have missed the target")
+    }
+  }
+
   test("training is deterministic and codes deliver 32x compression") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val cb1 = Pq.train(emb, iters = 2)
