@@ -80,16 +80,12 @@ object Behavior {
       |FROM w ORDER BY event_id""".stripMargin
   )
 
-  /** Z-score anomaly flagging: per-event-type mean/stddev from exact decimal
-    * moment sums (sum, sum-of-squares — order-independent), then each event
-    * scored against its type's distribution. The per-type model is a handful
-    * of rows → broadcast joined back to the stream; the fact table is never
-    * shuffled. z is rounded to 6 dp on both sides (the engines' decimal→double
-    * casts can differ in the last ulp) and the threshold filter runs on the
-    * ROUNDED score so row membership agrees at the boundary.
-    */
   /** Per-type (n, mean, std) model from the exact decimal moment sums —
-    * trained batch, applied batch or streaming.
+    * trained batch, applied batch or streaming. The variance is clamped to 0
+    * with greatest() before sqrt on BOTH engines: a zero-variance type can
+    * compute a few ulps negative in doubles, and while Spark's sqrt would
+    * quietly return NaN, DuckDB's RAISES — the clamp keeps the engines
+    * row-identical (std = 0 → filtered by the scorer) instead of one erroring.
     */
   def typeStats(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy("event_type").agg(
@@ -98,8 +94,9 @@ object Behavior {
       sum(dec(col("value")) * dec(col("value"))).as("s2"))
       .select(col("event_type"), col("n"),
         (col("s1").cast("double") / col("n")).as("mean"),
-        sqrt(col("s2").cast("double") / col("n") -
-          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))).as("std"))
+        sqrt(greatest(col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+          lit(0.0))).as("std"))
 
   /** The stateless scorer: broadcast model join + rounded z + threshold.
     * Works unchanged on a batch relation or a structured stream (stream ⋈
@@ -113,6 +110,14 @@ object Behavior {
       .filter(col("std") > 0 && abs(col("z")) > lit(2.0))
       .select("event_id", "event_type", "value", "z")
 
+  /** Z-score anomaly flagging: per-event-type mean/stddev from exact decimal
+    * moment sums (sum, sum-of-squares — order-independent), then each event
+    * scored against its type's distribution. The per-type model is a handful
+    * of rows → broadcast joined back to the stream; the fact table is never
+    * shuffled. z is rounded to 6 dp on both sides (the engines' decimal→double
+    * casts can differ in the last ulp) and the threshold filter runs on the
+    * ROUNDED score so row membership agrees at the boundary.
+    */
   val anomalyZscore = Q(
     "q_anomaly_zscore",
     (s, d) => {
@@ -127,7 +132,7 @@ object Behavior {
       |m AS (
       |  SELECT event_type,
       |         CAST(s1 AS DOUBLE) / n AS mean,
-      |         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+      |         sqrt(greatest(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS std
       |  FROM stats)
       |SELECT event_id, e.event_type, value, round((value - mean) / std, 6) AS z
       |FROM events e JOIN m ON e.event_type = m.event_type

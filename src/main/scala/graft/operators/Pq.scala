@@ -42,10 +42,9 @@ object Pq {
   /** codebooks(m)(c) = sub-centroid c of subspace m, SubDim doubles */
   type Codebooks = Array[Array[Array[Double]]]
 
+  // single home of the engines-agree rounding contract
   private def sparkRound(d: Double, scale: Int): Double =
-    if (d.isNaN || d.isInfinite) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    graft.functions.Rounding.sparkRound(d, scale)
 
   private def normalize(vec: Array[Float]): Array[Double] = {
     var n2 = 0d; var i = 0
@@ -161,16 +160,15 @@ object Pq {
     }.toDF("vec_id", "codes")
   }
 
-  /** ADC search: approximate top-`rerank` by code-table lookups (map-side
-    * over the encoded corpus), then exact cosine re-rank of those candidates
-    * to final top-`k`. Output matches cosineTopK's (q_id, c_id, score, rank)
-    * so recall is directly comparable.
+  /** Depth-INDEPENDENT ADC candidate relation (q_id, c_id, adc_dist): the
+    * per-query M×Kc distance tables are driver-computed (128 doubles each —
+    * queries are the tiny side) and broadcast into one map-side pass over
+    * the encoded corpus. Built once per index; every re-rank depth is just
+    * a filter over it (autoRerank persists it across the ladder walk).
     */
-  def adcTopK(emb: DataFrame, cb: Codebooks, k: Int, rerank: Int): DataFrame = {
+  private def adcCandidates(emb: DataFrame, cb: Codebooks): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    // queries: tiny (NQ unit vectors) — their M×Kc distance tables are
-    // driver-computed (128 doubles each) and ride into the scan closure
     val queries = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
@@ -179,10 +177,7 @@ object Pq {
       (qid, Array.tabulate(M, Kc)((m, c) => sqDist(qv, m * SubDim, cb(m)(c))))
     }
     val bc = s.sparkContext.broadcast(tables)
-    val codes = encode(emb, cb)
-    // per-partition top-R heaps per query, merged by one final per-query
-    // window over ≤ R×partitions rows — the corpus itself never shuffles
-    val cand = codes.rdd.map { r => (r.getLong(0), r.getAs[Array[Byte]](1)) }
+    encode(emb, cb).rdd.map { r => (r.getLong(0), r.getAs[Array[Byte]](1)) }
       .mapPartitions { rows =>
         val ts = bc.value
         rows.flatMap { case (cid, cs) =>
@@ -193,15 +188,20 @@ object Pq {
           }
         }
       }.toDF("q_id", "c_id", "adc_dist")
+  }
+
+  /** Exact re-rank of the top-`rerank` ADC candidates to final top-`k`,
+    * scored with the SAME rounded cosine + tie rules as cosineTopK so
+    * full-depth re-rank reproduces it bit-for-bit. Only ≤rerank rows per
+    * query move — the corpus never shuffles.
+    */
+  private def rerankTop(emb: DataFrame, cand: DataFrame, k: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shortlist = cand
       .withColumn("r", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adc_dist"), col("c_id"))))
       .filter(col("r") <= rerank)
       .drop("r", "adc_dist")
-    // exact re-rank: candidates join back to their full vectors (≤ R rows
-    // per query), scored with the SAME rounded cosine + tie rules as
-    // cosineTopK so full-depth re-rank reproduces it bit-for-bit
     val q = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val c = emb.filter(col("vec_id") >= NQ)
@@ -218,6 +218,14 @@ object Pq {
       .filter(col("rank") <= k)
       .orderBy("q_id", "rank")
   }
+
+  /** ADC search: approximate top-`rerank` by code-table lookups (map-side
+    * over the encoded corpus), then exact cosine re-rank of those candidates
+    * to final top-`k`. Output matches cosineTopK's (q_id, c_id, score, rank)
+    * so recall is directly comparable.
+    */
+  def adcTopK(emb: DataFrame, cb: Codebooks, k: Int, rerank: Int): DataFrame =
+    rerankTop(emb, adcCandidates(emb, cb), k, rerank)
 
   /** Bytes per vector after encoding (codes only) vs raw fp32 — the
     * compression contract asserted by PqRecallSpec.
@@ -239,16 +247,21 @@ object Pq {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val n = emb.filter(col("vec_id") >= NQ).count().toInt
     val exact = topsOf(Similarity.cosineTopK(emb, k))
-    val ladder = Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
-    val walked = ladder.iterator.map { depth =>
-      val got = topsOf(adcTopK(emb, cb, k, depth))
-      val rs = exact.toSeq.map { case (q, top) =>
-        got.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+    // encode + score ONCE: the candidate relation is depth-independent,
+    // so the ladder walk re-filters it instead of re-running the index
+    val cand = adcCandidates(emb, cb).persist()
+    try {
+      val ladder = Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
+      val walked = ladder.iterator.map { depth =>
+        val got = topsOf(rerankTop(emb, cand, k, depth))
+        val rs = exact.toSeq.map { case (q, top) =>
+          got.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+        }
+        (depth, rs.sum / rs.size)
       }
-      (depth, rs.sum / rs.size)
-    }
-    walked.find(_._2 >= targetRecall).getOrElse(
-      throw new IllegalStateException("full-depth re-rank did not reach target " +
-        "recall — the full-depth-equals-exact invariant is violated"))
+      walked.find(_._2 >= targetRecall).getOrElse(
+        throw new IllegalStateException("full-depth re-rank did not reach target " +
+          "recall — the full-depth-equals-exact invariant is violated"))
+    } finally { cand.unpersist(blocking = false); () }
   }
 }

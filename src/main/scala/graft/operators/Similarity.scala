@@ -241,10 +241,9 @@ object Similarity {
     * through — so driver-side build math stays bit-for-bit compatible with
     * the column-expression and DuckDB forms.
     */
+  // single home of the engines-agree rounding contract
   private def sparkRound(d: Double, scale: Int): Double =
-    if (d.isNaN || d.isInfinite) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    graft.functions.Rounding.sparkRound(d, scale)
 
   /** One fused Lloyd iteration: assignment AND centroid recomputation in a
     * single `mapPartitions` pass + one tiny reduce — ONE Spark job, zero

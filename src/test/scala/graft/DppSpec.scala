@@ -51,11 +51,25 @@ class DppSpec extends SparkSpec {
       assert(optimized.contains("dynamicpruning"),
         s"expected a dynamicpruning predicate on the partitioned scan:\n$optimized")
 
-      // and the executed scan must have read strictly fewer partitions than
-      // exist on disk (25 nations written, 1 selected)
-      val scans = joined.queryExecution.executedPlan.collectLeaves()
-        .map(_.toString).filter(_.contains("orders_by_nation"))
-      assert(scans.nonEmpty, "expected a parquet scan of the partitioned fact")
+      // and the EXECUTED scan must have read strictly fewer partitions than
+      // exist on disk (25 nations written, 1 selected) — this is the runtime
+      // behavior the spec exists to pin; the plan-string check above alone
+      // would stay green if pruning degraded to a no-op predicate
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            leaves(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            leaves(q.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        }.flatten
+      val factScans = leaves(joined.queryExecution.executedPlan)
+        .filter(_.toString.contains("orders_by_nation"))
+      assert(factScans.nonEmpty, "expected a parquet scan of the partitioned fact")
+      val partsRead = factScans.map(s =>
+        s.metrics.get("numPartitions").map(_.value).getOrElse(-1L)).max
+      assert(partsRead == 1L,
+        s"DPP must prune the scan to the 1 selected partition of 25, read $partsRead")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
