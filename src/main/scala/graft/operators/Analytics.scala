@@ -464,7 +464,76 @@ object Analytics {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
 
+  /** HOPPING (sliding) event-time windows: `window(t, '1 hour', '15 min')` —
+    * every event lands in exactly 4 overlapping windows. The fan-out is a
+    * row-local Expand (bounded by length/slide), then one partial-aggregated
+    * shuffle on (window, type) — the same scale shape as the tumbling twin,
+    * ×4 constant. Window starts are epoch-aligned multiples of the slide, so
+    * the oracle reproduces them with integer arithmetic on truncated epoch
+    * seconds (floor composes: floor(t_us/900e6) = floor(tsec/900)).
+    */
+  val hopWindow = Q(
+    "q_hop_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("value_sum"))
+        .orderBy("window_start_us", "event_type"),
+    """WITH ev AS (
+      |  SELECT event_type, value, epoch_ns(ts) // 1000000000 AS tsec FROM events),
+      |hop AS (
+      |  SELECT event_type, value,
+      |         ((tsec // 900) * 900 - 900 * k) * 1000000 AS window_start_us
+      |  FROM ev CROSS JOIN unnest([0, 1, 2, 3]) AS t(k))
+      |SELECT window_start_us, event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM hop GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
+  /** Spark-native SESSION windows: `session_window(t, '30 minutes')` — the
+    * engine's own gap-merge operator (the one that also runs streaming with
+    * state), oracle-checked against the explicit lag-flag-cumsum
+    * formulation. Boundary rule mirrored exactly: Spark merges two events
+    * iff their gap is STRICTLY under the 30-min gap (windows are
+    * half-open), so the oracle starts a new session at diff >= gap. Session
+    * end = last event + gap by definition on both sides. Same single
+    * shuffle on the session key as q_sessionize.
+    */
+  val sessionWindow = Q(
+    "q_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("value_sum"))
+        .orderBy("user_id", "session_start_us"),
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, value, tus,
+      |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |              >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, value, tus,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(tus) AS session_start_us,
+      |       max(tus) + 1800000000 AS session_end_us,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18)
+    tpchQ18, hopWindow, sessionWindow)
 }
