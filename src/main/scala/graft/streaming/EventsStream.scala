@@ -26,4 +26,18 @@ object EventsStream {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+
+  /** HOPPING-window twin of the oracle-checked batch `q_hop_window`: 1-hour
+    * windows sliding every 15 minutes, so each event feeds exactly 4 window
+    * states. Same watermark-bounded state discipline as [[hourlyAgg]] — the
+    * overlap multiplies live state ×(length/slide), not unboundedly.
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
 }

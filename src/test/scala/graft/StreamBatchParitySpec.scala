@@ -40,4 +40,32 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(got == want, "streaming result diverges from the oracle-checked batch rows")
     } finally q.stop()
   }
+
+  test("file-source streaming HOPPING agg equals the oracle-checked batch result") {
+    val dir = sf("sf0.01")
+    val staged = Files.createTempDirectory("events-hop-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+    val q = streaming.EventsStream.hoppingAgg(stream)
+      .writeStream.format("memory").queryName("hopping_file").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // stream emits window_start as timestamp; the oracle-checked batch
+      // query reports epoch micros — compare in millis (starts are
+      // 15-min-aligned, so nothing is lost)
+      val got = spark.table("hopping_file").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = SparkEntry.queries("q_hop_window")(spark, dir).collect()
+        .map(r => (r.getLong(0) / 1000L, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(want.nonEmpty && got.size == want.size,
+        s"row counts differ: stream ${got.size} vs batch ${want.size}")
+      assert(got == want, "streaming hopping result diverges from the oracle-checked batch rows")
+    } finally q.stop()
+  }
 }
