@@ -379,6 +379,56 @@ object TextAnalysis {
       |FROM ppl CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** Boilerplate detection (C4/RefinedWeb-style template cleaning): a word
+    * trigram is boilerplate WITHIN a source when it appears in ≥ 4% of that
+    * source's shingled docs (and ≥ 2 of them — the floor that makes the rate
+    * meaningful on small sources); each doc reports the fraction
+    * of its distinct shingles that are boilerplate — high fractions mark
+    * templated/navigation text. Shapes: the shared shingle relation (one
+    * distinct shuffle), one (source, shingle) document-frequency aggregate,
+    * a per-source doc-count model small enough to broadcast, and un-hinted
+    * equi-joins back over the corpus — every step linear, the 4% threshold
+    * compared in integer math (df*25 ≥ nd) so both engines agree exactly.
+    */
+  val boilerplate = Q(
+    "q_boilerplate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = TextFns.shingles(docs, 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      val shs = sh.join(src, Seq("doc_id"))
+      val nd = shs.groupBy("source").agg(countDistinct(col("doc_id")).as("nd"))
+      val dfRel = shs.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+      val boiler = dfRel.join(broadcast(nd), Seq("source"))
+        .filter(col("df") >= 2 && col("df") * 25 >= col("nd"))
+        .select("source", "sh")
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val nb = shs.join(boiler, Seq("source", "sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      tot.join(nb, Seq("doc_id"), "left")
+        .join(src, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_sh"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_sh"), 6)
+            .as("boiler_frac"))
+        .orderBy("doc_id")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(3)}),
+       |src AS (SELECT doc_id, source FROM documents),
+       |shs AS (SELECT s.doc_id, src.source, s.sh FROM sh s JOIN src ON src.doc_id = s.doc_id),
+       |nd AS (SELECT source, count(DISTINCT doc_id) AS nd FROM shs GROUP BY 1),
+       |df AS (SELECT source, sh, count(*) AS df FROM shs GROUP BY 1, 2),
+       |boiler AS (SELECT source, sh FROM df JOIN nd USING(source) WHERE df >= 2 AND df*25 >= nd),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |nb AS (SELECT shs.doc_id, count(*) AS n_boiler FROM shs JOIN boiler USING(source, sh) GROUP BY 1)
+       |SELECT t.doc_id, src.source, t.n_sh,
+       |       coalesce(nb.n_boiler, 0) AS n_boiler,
+       |       round(CAST(coalesce(nb.n_boiler, 0) AS DOUBLE) / t.n_sh, 6) AS boiler_frac
+       |FROM tot t LEFT JOIN nb ON nb.doc_id = t.doc_id
+       |JOIN src ON src.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  )
+
   /** Repetition-based quality signals (the Gopher-style repetition filters):
     * per doc, the fraction of bigram occurrences belonging to a repeated
     * bigram and the share of the single most frequent bigram. Shape: bigrams
@@ -708,5 +758,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
-    bm25, importanceWeights, lmBigram, perplexityBuckets)
+    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate)
 }
