@@ -496,9 +496,11 @@ object Analytics {
   /** Spark-native SESSION windows: `session_window(t, '30 minutes')` — the
     * engine's own gap-merge operator (the one that also runs streaming with
     * state), oracle-checked against the explicit lag-flag-cumsum
-    * formulation. Boundary rule mirrored exactly: Spark merges two events
-    * iff their gap is STRICTLY under the 30-min gap (windows are
-    * half-open), so the oracle starts a new session at diff >= gap. Session
+    * formulation. Boundary rule mirrored exactly: Spark's session merge
+    * (MergingSessionsIterator) starts a new session only when the next
+    * event's start is STRICTLY past the current session end, so two events
+    * exactly gap-apart MERGE — the oracle therefore splits at diff > gap,
+    * not >= (SessionBoundarySpec pins both sides of the boundary). Session
     * end = last event + gap by definition on both sides. Same single
     * shuffle on the session key as q_sessionize.
     */
@@ -519,7 +521,7 @@ object Analytics {
       |flagged AS (
       |  SELECT user_id, event_id, value, tus,
       |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
-      |              >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |              > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM ev),
       |sess AS (
       |  SELECT user_id, value, tus,

@@ -14,18 +14,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventsStream {
 
+  /** One watermarked windowed aggregate body serves both window shapes —
+    * the decimal-sum cast, watermark bound, and output projection must stay
+    * identical for both parity specs, so they live once.
+    */
+  private def windowedAgg(events: DataFrame,
+                          win: org.apache.spark.sql.Column): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(win, col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+
   /** Hourly tumbling-window counts + decimal-stable sums per event_type.
     * Works on both a batch DataFrame and a streaming one (watermark is a
     * no-op in batch).
     */
   def hourlyAgg(events: DataFrame): DataFrame =
-    events
-      .withWatermark("t", "2 hours")
-      .groupBy(window(col("t"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+    windowedAgg(events, window(col("t"), "1 hour"))
 
   /** HOPPING-window twin of the oracle-checked batch `q_hop_window`: 1-hour
     * windows sliding every 15 minutes, so each event feeds exactly 4 window
@@ -33,11 +41,5 @@ object EventsStream {
     * overlap multiplies live state ×(length/slide), not unboundedly.
     */
   def hoppingAgg(events: DataFrame): DataFrame =
-    events
-      .withWatermark("t", "2 hours")
-      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+    windowedAgg(events, window(col("t"), "1 hour", "15 minutes"))
 }
