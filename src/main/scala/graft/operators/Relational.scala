@@ -167,6 +167,35 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
   )
 
+  /** SQL set operators over two derived key sets: customers with an urgent
+    * order vs customers with a high-value order — INTERSECT (both), EXCEPT
+    * (urgent-only), UNION (either), tagged and stacked. Spark plans all
+    * three as aggregate-deduped joins on the key (hash-partitioned, skew-free
+    * keys) — a distinct surface from the EXISTS/NOT EXISTS semi/anti pair.
+    */
+  val setOps = Q(
+    "q_set_ops",
+    (s, d) => {
+      def keys(f: org.apache.spark.sql.Column) =
+        Tables.orders(s, d).filter(f).select(col("o_custkey")).distinct()
+      val urgent = keys(col("o_orderpriority") === "1-URGENT")
+      val big    = keys(col("o_totalprice") > 250000.0d)
+      val both       = urgent.intersect(big).select(col("o_custkey"), lit("both").as("set_tag"))
+      val urgentOnly = urgent.except(big).select(col("o_custkey"), lit("urgent_only").as("set_tag"))
+      val either     = urgent.union(big).distinct().select(col("o_custkey"), lit("either").as("set_tag"))
+      both.unionByName(urgentOnly).unionByName(either).orderBy("set_tag", "o_custkey")
+    },
+    """WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+      |SELECT o_custkey, set_tag FROM (
+      |  SELECT o_custkey, 'both' AS set_tag FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM big)
+      |  UNION ALL
+      |  SELECT o_custkey, 'urgent_only' FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM big)
+      |  UNION ALL
+      |  SELECT o_custkey, 'either' FROM (SELECT o_custkey FROM urgent UNION SELECT o_custkey FROM big)
+      |) ORDER BY set_tag, o_custkey""".stripMargin
+  )
+
   /** Exact distinct-count per group (expand + 2-phase agg in Spark). The
     * approximate swap at 100 TB is approx_count_distinct — not oracle-
     * comparable across engines, so the registered query is the exact form.
@@ -276,5 +305,5 @@ object Relational {
   )
 
   val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
-    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile)
+    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile, setOps)
 }
