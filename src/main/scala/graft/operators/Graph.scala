@@ -62,16 +62,24 @@ object Graph {
     * The oracle states the same count as a 3-equi-join over the edge CTE —
     * the declarative spec, not the plan.
     */
+  /** Oriented (u < v), distinct co-purchase edges: parts appearing in the
+    * same order. Row-local pair generation from per-order sorted part arrays
+    * (bounded fan-out, ≤7 lines/order) — the shingle-array pair-gen pattern
+    * from q_ngram_jaccard, no self-join on the order key.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+
   val triangles = Q(
     "q_triangles",
     (s, d) => {
-      val e = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
-        .select(col("e.u"), col("e.v"))
-        .distinct()
+      val e = copurchaseEdges(s, d)
         .persist() // one honest materialization: e feeds adj and both joins
       val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
       e.join(adj.select(col("u").as("a1"), col("ns").as("nu")), col("u") === col("a1"))
@@ -88,5 +96,45 @@ object Graph {
       |JOIN e e3 ON e2.v = e3.v AND e1.u = e3.u""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(triangles)
+  /** PageRank over the co-purchase graph — 5 damped power iterations via
+    * [[pageRank]] (every round one shuffle join + one aggregate, lineage
+    * truncated per round), top-20 hubs. The training-pipeline use is crawl
+    * quality weighting: rank pages by link centrality and weight sampling by
+    * it. Ranks are rounded to 10 decimals (~6 significant digits at the
+    * 1/n ≈ 5e-5 magnitude) so double summation order — across engines AND
+    * across partitionings — can't flip the hash; ORDER BY uses the rounded
+    * value so the top-20 cut is deterministic too. The oracle states the
+    * same five iterations as chained CTEs — the declarative spec of the
+    * fixed-point step, not the plan.
+    */
+  val pagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val e = copurchaseEdges(s, d)
+      val ranks = pageRank(e.select(col("u").as("d1"), col("v").as("d2")), iters = 5)
+      ranks
+        .select(col("v"), round(col("rank"), 10).as("rank_r"))
+        .orderBy(col("rank_r").desc, col("v"))
+        .limit(20)
+    }, {
+      // one fixed-point step: rK(v) = 0.15/n + 0.85 * Σ_{(u,v)∈e} rK-1(u)/deg(u)
+      def step(k: Int): String =
+        s"""r$k AS (SELECT deg.u AS v, 0.15 / nn.c + 0.85 * coalesce(s.m, 0) AS rank
+           |  FROM deg CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.v, sum(r.rank / d.deg) AS m
+           |             FROM e JOIN r${k - 1} r ON e.u = r.v JOIN deg d ON e.u = d.u
+           |             GROUP BY e.v) s ON deg.u = s.v)""".stripMargin
+      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+         |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |nn AS (SELECT count(*) AS c FROM deg),
+         |r0 AS (SELECT u AS v, 1.0 / nn.c AS rank FROM deg CROSS JOIN nn),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT v, round(rank, 10) AS rank_r FROM r5
+         |ORDER BY rank_r DESC, v LIMIT 20""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(triangles, pagerank)
 }

@@ -75,6 +75,31 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("binary keys match by value on both physical paths, not by reference") {
+    // Array[Byte] equals/hashCode are identity-based, so a boxed-key index
+    // would silently match nothing on the broadcast path; the UnsafeRow-keyed
+    // index must compare key BYTES. Key both sides by md5 digest of user_id.
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    val le = events.withColumn("k", expr("unhex(md5(cast(user_id AS string)))"))
+    val re = orders.withColumn("rk", expr("unhex(md5(cast(o_custkey AS string)))"))
+      .drop("o_custkey")
+    def run(): DataFrame = AsOfJoin(le, re, "k", "rk", "t", "ot")
+      .select("event_id", "o_orderkey")
+    val bPlan = run().queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastAsOfJoin"), s"expected broadcast as-of in:\n$bPlan")
+    val bRows = run().orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(bRows.exists(_(1) != null), "binary-keyed broadcast probe matched nothing")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val mRows = run().orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(bRows.map(_.toList) == mRows.map(_.toList),
+        "binary-keyed broadcast and merge paths disagree")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("null right-side times are skipped, not allowed to stall the merge") {
     import spark.implicits._
     val left = Seq((1L, Some(20L), "e1"), (1L, Some(30L), "e2"), (2L, Some(5L), "e3"),
