@@ -22,25 +22,34 @@ object Graph {
   def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    // out-degree rides with each edge so the per-round contribution is one
-    // join + one aggregate; materialized once
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesWithDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    val nodes = edgesWithDeg.select(col("src").as("v")).distinct().localCheckpoint()
-    val n = nodes.count() // ONE scalar to the driver
+    // adjacency-list form: one row per VERTEX (not per edge), degree is the
+    // list size — so the per-round join touches |V| rows, not |E|, and no
+    // separate degree join exists. Persisted LAZILY — the n count below is
+    // the one materialization, no extra eager checkpoint job. Skew note: a
+    // hub's list is its degree; at cluster scale cap it by splitting hub
+    // vertices (salt + merge), same treatment the triangle adjacency needs.
+    val adj = edges.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("ns")).persist()
+    val n = adj.count() // ONE scalar to the driver
     require(n > 0, "pageRank: empty graph")
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = adj.select(col("src").as("v"), lit(1.0 / n).as("rank"))
     var i = 0
     while (i < iters) {
-      val contribs = edgesWithDeg
-        .join(ranks, edgesWithDeg("src") === ranks("v"))
-        .select(col("dst").as("v"), (col("rank") / col("deg")).as("c"))
-        .groupBy("v").agg(sum(col("c")).as("in"))
-      ranks = nodes.join(contribs, Seq("v"), "left")
-        .select(col("v"),
-          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // after symmetrization every vertex has deg >= 1, so every vertex
+      // receives at least one contribution: no dangling-mass re-join against
+      // the node set is needed — the contribution aggregate IS the next rank
+      // relation. Explode fans the tiny joined relation back to |E| rows
+      // map-side; partial aggregation collapses them before the shuffle.
+      ranks = adj
+        .join(ranks, adj("src") === ranks("v"))
+        .select(explode(col("ns")).as("v"), (col("rank") / size(col("ns"))).as("c"))
+        .groupBy("v").agg(
+          (lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
       i += 1
+      // truncate lineage every 3rd round so plan analysis stays O(1) per
+      // round on long runs, without paying an eager materialization job per
+      // iteration (the q_ann_ivf job-storm lesson)
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
