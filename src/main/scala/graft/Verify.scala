@@ -10,6 +10,14 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [q_a,q_b,...]")
+        sys.exit(2)
+    }
+    // a typo'd filter must fail loudly, not leave stale dumps looking green
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(",")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

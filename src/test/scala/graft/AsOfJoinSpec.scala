@@ -94,6 +94,9 @@ class AsOfJoinSpec extends SparkSpec {
     val saved = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
+      val mPlan = run().queryExecution.executedPlan.toString
+      assert(!mPlan.contains("BroadcastAsOfJoin"),
+        s"threshold -1 must fall back to the shuffled merge:\n$mPlan")
       val mRows = run().orderBy("event_id").collect().map(_.toSeq).toSeq
       assert(bRows.map(_.toList) == mRows.map(_.toList),
         "binary-keyed broadcast and merge paths disagree")
