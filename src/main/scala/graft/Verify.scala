@@ -38,8 +38,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any blocks a query persist()ed so cached data never accumulates
-      // across the 40+ queries in one session
+      // across the 80+ queries in one session; localCheckpoint blocks are NOT
+      // in the cache manager, so unpersist every persistent RDD too (same
+      // guard as Bench.time — iterative queries otherwise pin blocks until
+      // late queries pay GC instead of compute)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
