@@ -97,6 +97,30 @@ class BpeSpec extends SparkSpec {
     assert(out("hugs").size < "hugs".length)
   }
 
+  test("property: encode round-trips arbitrary unicode words incl. astral plane") {
+    // the documented invariant: concatenating a word's tokens reproduces the
+    // word — which requires code-POINT seeding (UTF-16 code-unit seeding
+    // splits surrogate pairs, and UTF8String.fromString then mangles the
+    // lone surrogates). Generated words mix ASCII, accented Latin, CJK, and
+    // astral-plane emoji (all surrogate pairs in UTF-16).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val merges = Bpe.train(corpusDf, 8, minPairCount = 2L)
+    val table = graft.plans.BpeTable(merges)
+    val glyph: Gen[String] = Gen.oneOf(
+      ("hugspunb".map(_.toString) ++ Seq("é", "ß", "中", "日", "🤗",
+        "😀", "🧪")): Seq[String])
+    val word: Gen[String] = for {
+      n  <- Gen.choose(1, 8)
+      gs <- Gen.listOfN(n, glyph)
+    } yield gs.mkString
+    val prop = Prop.forAll(word) { w =>
+      val toks = table.encode(w)
+      toks.mkString == w && toks.forall(_.nonEmpty)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"round-trip property failed: ${res.status}")
+  }
+
   test("multi-word text flattens word encodings in order; empty runs drop") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, 8, minPairCount = 2L)
