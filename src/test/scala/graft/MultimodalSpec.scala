@@ -27,6 +27,27 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parseBytes("not an image".getBytes("UTF-8"))._1 === "unknown")
   }
 
+  test("property: header dims round-trip for random sizes in each container") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def be32(v: Long) = f"$v%08X"
+    def le32(v: Long) = be32(v).grouped(2).toSeq.reverse.mkString
+    def le16(v: Long) = f"$v%04X".grouped(2).toSeq.reverse.mkString
+    val pngDim = Gen.choose(1L, Int.MaxValue.toLong)
+    val gifDim = Gen.choose(1L, 65535L)
+    val cases: Gen[(String, Long, Long, Array[Byte])] = Gen.oneOf(
+      for { w <- pngDim; h <- pngDim } yield ("png", w, h, hexBytes(
+        "89504E470D0A1A0A0000000D49484452" + be32(w) + be32(h) + "0806000000")),
+      for { w <- gifDim; h <- gifDim } yield ("gif", w, h, hexBytes(
+        "474946383961" + le16(w) + le16(h) + "F70000")),
+      for { w <- pngDim; h <- pngDim } yield ("bmp", w, h, hexBytes(
+        "424D00000000000000003600000028000000" + le32(w) + le32(h))))
+    val prop = Prop.forAll(cases) { case (fmt, w, h, bytes) =>
+      MediaHeader.parseBytes(bytes) == ((fmt, w, h))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"header round-trip property failed: ${res.status}")
+  }
+
   test("decodeMedia Dataset path parses headers partition-parallel") {
     import spark.implicits._
     val blobs = Seq(
