@@ -10,6 +10,11 @@ class OsGridSpec extends SparkSpec {
     assert(OsGrid.gridRefScala(325940, 673060, 10) == "NT 25940 73060")
     assert(OsGrid.gridRefScala(325940, 673060, 8) == "NT 2594 7306")
     assert(OsGrid.gridRefScala(325940, 673060, 6) == "NT259730")
+    // Ordnance Survey's own worked example (A Guide to Coordinate Systems in
+    // Great Britain): E 651409 N 313177 → TG 51409 13177
+    assert(OsGrid.gridRefScala(651409, 313177, 10) == "TG 51409 13177")
+    // Ben Nevis summit, E 216600 N 771200 → NN1667 7120 area
+    assert(OsGrid.gridRefScala(216600, 771200, 6) == "NN166712")
     // out-of-range → empty, as in the reference
     assert(OsGrid.gridRefScala(800000, 0, 10) == "")
     assert(OsGrid.gridRefScala(-1, 0, 10) == "")
