@@ -103,5 +103,6 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // strategy + sort-merge physical operator)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoin.PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => AsOfJoin.PruneColumnsThroughAsOfJoin)
   }
 }
