@@ -193,6 +193,24 @@ class AsOfJoinSpec extends SparkSpec {
       SparkEntry.queries("q_asof_join")(spark, dir).filter(col("user_id") < 100L).count())
   }
 
+  test("column pruning pushes through the join: scans read only needed columns") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    // project 2 output columns; the pruning rule must keep only
+    // (referenced ∪ key ∪ time) per side and the scans must shrink
+    val df = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .select("event_id", "o_orderkey")
+    val physical = df.queryExecution.executedPlan.toString
+    // events scan: event_id, user_id (key), ts (time source) — never
+    // event_type/value/props; orders scan: no o_totalprice
+    assert(!physical.contains("event_type"), s"events scan not pruned:\n$physical")
+    assert(!physical.contains("o_totalprice"), s"orders scan not pruned:\n$physical")
+    // pruned plan still matches the composition's projection
+    val want = SparkEntry.queries("q_asof_join")(spark, dir)
+      .select("event_id", "o_orderkey").orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq == want)
+  }
+
   test("broadcast as-of probe runs inside whole-stage codegen, fused with the scan") {
     val dir = sf("sf0.001")
     val (events, orders) = sides(dir)
