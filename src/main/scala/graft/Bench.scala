@@ -50,20 +50,34 @@ object Bench {
     // code — the min of two spaced samples discards such spikes).
     val warm1 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     val warm2 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    def passTotal(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
+    // Variance guard: BASELINE.md's acceptance band is ≤15% between warm
+    // passes; when the two disagree by >25% one of them hit a host-contention
+    // window, so take a THIRD warm pass and report it alongside — min-of-N
+    // then discards the contaminated sample with a clean one present, and
+    // the recorded pass totals show exactly which samples were used.
+    val disagree = {
+      val (a, b) = (passTotal(warm1), passTotal(warm2))
+      a > 0 && b > 0 && math.abs(a - b) / math.min(a, b) > 0.25
+    }
+    val warm3 =
+      if (disagree) Some(names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap)
+      else None
+    val passes = Seq(warm1, warm2) ++ warm3
     // min over the SUCCESSFUL samples: -1.0 marks a failed execution, and a
     // query that failed one pass but succeeded the other must report the
     // valid measurement, not the sentinel
     val warm = names.map { n =>
-      val ok = Seq(warm1(n), warm2(n)).filter(_ >= 0)
+      val ok = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }.toMap
 
     val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    val w1Total = warm1.values.filter(_ >= 0).sum
-    val w2Total = warm2.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":[$w1Total,$w2Total],"mode":"warm-min-of-2","sf":"$sfDir"}""")
+    val passTotals = passes.map(passTotal).mkString("[", ",", "]")
+    val mode = s"warm-min-of-${passes.length}"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"third_pass_taken":$disagree,"mode":"$mode","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -535,7 +535,47 @@ object Analytics {
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
   )
 
+  /** TPC-H Q17 shape (small-quantity orders): the classic CORRELATED-SUBQUERY
+    * DECORRELATION test — `l_quantity < 0.2 * avg(l_quantity) per partkey` is
+    * stated by the oracle as a per-row correlated subquery, and the engine
+    * must execute it as ONE aggregate plus ONE join, never re-running the
+    * subquery per row. Plan shape: filter `part` by brand (broadcast — the
+    * 1-of-N-brands dim), semi-restrict lineitem through that broadcast, ONE
+    * hash aggregate on l_partkey for the per-part average over the restricted
+    * fact (the avg over the brand's parts equals the avg over all parts for
+    * those keys — the filter is on the grouping key itself), then ONE
+    * broadcast join of the tiny per-part averages back to the restricted
+    * fact. The fact table is never shuffled: both joins are broadcast and
+    * the aggregate's partial (map-side) combine collapses each partition to
+    * its distinct brand-partkeys before the one small exchange.
+    */
+  val tpchQ17 = Q(
+    "q_tpch_q17",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#4").select("p_partkey")
+      val restricted = li
+        .join(broadcast(brandParts), li("l_partkey") === col("p_partkey"))
+      // decimal-exact sum / exact count, divided once in double — both
+      // engines compute the identical avg bit-for-bit (the dsum contract)
+      val avgQ = restricted
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      restricted
+        .join(broadcast(avgQ), col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+    },
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4'
+      |  AND l.l_quantity < (
+      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18, hopWindow, sessionWindow)
+    tpchQ18, hopWindow, sessionWindow, tpchQ17)
 }

@@ -86,18 +86,32 @@ object AsOfJoin {
     * standard rules collapse them into the file scans (`ReadSchema` shrinks).
     */
   object PruneColumnsThroughAsOfJoin extends Rule[LogicalPlan] {
+    private def neededFor(j: AsOfJoinPlan, parents: AttributeSet): AttributeSet =
+      AttributeSet(
+        parents ++ j.leftKey.references ++ j.rightKey.references ++
+          j.leftTime.references ++ j.rightTime.references ++
+          j.rightTiebreak.flatMap(_.references))
+
+    private def prune(j: AsOfJoinPlan, needed: AttributeSet): Option[AsOfJoinPlan] = {
+      val lKeep = j.left.output.filter(needed.contains)
+      val rKeep = j.right.output.filter(needed.contains)
+      if (lKeep.length == j.left.output.length &&
+          rKeep.length == j.right.output.length) None
+      else Some(j.copy(
+        left = Project(lKeep, j.left), right = Project(rKeep, j.right)))
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case p @ Project(_, j: AsOfJoinPlan) =>
-        val needed = AttributeSet(
-          p.references ++ j.leftKey.references ++ j.rightKey.references ++
-            j.leftTime.references ++ j.rightTime.references ++
-            j.rightTiebreak.flatMap(_.references))
-        val lKeep = j.left.output.filter(needed.contains)
-        val rKeep = j.right.output.filter(needed.contains)
-        if (lKeep.length == j.left.output.length &&
-            rKeep.length == j.right.output.length) p
-        else p.copy(child = j.copy(
-          left = Project(lKeep, j.left), right = Project(rKeep, j.right)))
+        prune(j, neededFor(j, p.references)).map(pj => p.copy(child = pj)).getOrElse(p)
+      // PushFilterThroughAsOfJoin deliberately keeps right-referencing
+      // predicates above the join, so Project(Filter(asof)) is a shape the
+      // optimizer produces routinely — prune through the retained Filter too
+      // (its condition's references join the needed set) or a filtered as-of
+      // join drags every child column through the exchange/sort/merge.
+      case p @ Project(_, f @ Filter(cond, j: AsOfJoinPlan)) =>
+        prune(j, neededFor(j, p.references ++ cond.references))
+          .map(pj => p.copy(child = f.copy(child = pj))).getOrElse(p)
     }
   }
 

@@ -211,6 +211,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq == want)
   }
 
+  test("column pruning still applies through a retained right-side filter") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    // a right-referencing predicate is deliberately NOT pushed below the join
+    // (a pre-time row may still be some later row's match), so the optimized
+    // shape is Project(Filter(asof)) — the pruning rule must see through the
+    // retained Filter or the scans read everything
+    val df = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .filter(col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("o_totalprice"), s"orders scan not pruned:\n$physical")
+    assert(!physical.contains("event_type"), s"events scan not pruned:\n$physical")
+    // pruned-through-filter plan still matches the composition's rows
+    val want = SparkEntry.queries("q_asof_join")(spark, dir)
+      .filter(col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey").orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq == want)
+  }
+
   test("broadcast as-of probe runs inside whole-stage codegen, fused with the scan") {
     val dir = sf("sf0.001")
     val (events, orders) = sides(dir)
