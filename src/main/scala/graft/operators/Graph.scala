@@ -11,11 +11,27 @@ import org.apache.spark.sql.functions._
   * lineage is truncated with localCheckpoint every few rounds so plan
   * analysis stays O(1) per iteration, and the only driver-side values are
   * scalars (the vertex count here — the "collect only the model" contract).
-  * Queries persist() shared subplans without unpersisting — the
-  * Bench/Verify harness clears cache and persistent RDDs between queries
-  * (the house convention; see Bench.time).
+  *
+  * HUB SKEW is handled structurally, not by hoping the data is nice: a
+  * power-law hub must never own an O(degree) array in a single row or an
+  * O(deg²) intersection in a single task. Triangle counting orients every
+  * edge by (degree, id) — out-degrees are then bounded by O(√E) regardless
+  * of hub size — and PageRank splits each vertex's adjacency into
+  * hash-salted chunks of at most `maxChunk` neighbors, merged back by the
+  * contribution aggregate (GraphSkewSpec pins both bounds on a 10k-spoke
+  * star). The public helpers clean up their persisted state once the result
+  * is materialized (`cleanup = true`); the registered queries pass
+  * `cleanup = false` and rely on the Bench/Verify harness clearing cache and
+  * persistent RDDs between queries, which keeps their returned plans lazy
+  * for the ContractSpec plan gates (the house convention; see Bench.time).
   */
 object Graph {
+
+  /** Per-chunk cap on the salted adjacency lists in [[pageRank]]. 1024 longs
+    * ≈ 8 KB per row — comfortably inside any row-size budget, while ordinary
+    * (non-hub) vertices stay in a single chunk.
+    */
+  val MaxAdjChunk = 1024
 
   /** Undirected PageRank by power iteration: `iters` fixed rounds at the
     * given damping. Returns (v, rank). Ranks over the undirected pair graph
@@ -23,31 +39,54 @@ object Graph {
     * near-dup cluster, a better keep-policy signal than min-id. Lineage is
     * truncated every 3rd round (NOT per round — an eager materialization per
     * iteration is a job storm); intermediate rounds stay lazy.
+    *
+    * Hub-split adjacency: degrees are counted FIRST (a plain count aggregate,
+    * no arrays), then each edge is salted by `hash(dst) mod ceil(deg/maxChunk)`
+    * so the per-(src, salt) collect_list is bounded by ~maxChunk whatever the
+    * hub's degree — the full neighbor list of a 10M-degree vertex never
+    * exists as one row. Each chunk row carries the TOTAL degree, so a chunk
+    * contributes `rank/deg` per neighbor exactly as the unsplit form did and
+    * the per-vertex contribution aggregate merges the chunks back; the rank
+    * values are bit-identical to the unsplit plan (GraphSkewSpec pins this).
     */
-  def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               maxChunk: Int = MaxAdjChunk, cleanup: Boolean = true): DataFrame = {
+    // the edge relation feeds TWO branches of the adjacency build (the degree
+    // aggregate and the salted join) — deliberately NOT persisted: an
+    // upstream that ends in an exchange (e.g. the co-purchase distinct) is
+    // shared across branches by Spark's ReusedExchange for free, and caching
+    // it measured ~20% slower than letting the exchange be reused
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    // adjacency-list form: one row per VERTEX (not per edge), degree is the
-    // list size — so the per-round join touches |V| rows, not |E|, and no
-    // separate degree join exists. Persisted LAZILY — the n count below is
-    // the one materialization, no extra eager checkpoint job. Skew note: a
-    // hub's list is its degree; at cluster scale cap it by splitting hub
-    // vertices (salt + merge), same treatment the triangle adjacency needs.
-    val adj = edges.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("ns")).persist()
-    val n = adj.count() // ONE scalar to the driver
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, Seq("src"))
+      .withColumn("salt", pmod(hash(col("dst")),
+        greatest(lit(1L), ceil(col("deg").cast("double") / maxChunk)).cast("int")))
+      .groupBy(col("src"), col("salt"))
+      .agg(collect_list(col("dst")).as("ns"), first(col("deg")).as("deg"))
+      // the chunked groupBy leaves the cache hash-partitioned on (src, salt),
+      // which the per-round join on src can't reuse — ONE re-partition on src
+      // here (|V|-scale rows, one-time) keeps every iteration's adj side
+      // exchange-free, as the unchunked form was
+      .repartition(col("src"))
+      .persist() // lazy — the n count below is the one materialization
+    // ONE scalar to the driver: |V|, read off the persisted chunk relation
+    val n = adj.select(col("src")).distinct().count()
     require(n > 0, "pageRank: empty graph")
-    var ranks = adj.select(col("src").as("v"), lit(1.0 / n).as("rank"))
+    var ranks = adj.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(1.0 / n).as("rank"))
     var i = 0
     while (i < iters) {
       // after symmetrization every vertex has deg >= 1, so every vertex
       // receives at least one contribution: no dangling-mass re-join against
       // the node set is needed — the contribution aggregate IS the next rank
-      // relation. Explode fans the tiny joined relation back to |E| rows
-      // map-side; partial aggregation collapses them before the shuffle.
+      // relation. Explode fans the joined chunk relation back to |E| rows
+      // map-side; partial aggregation collapses them before the shuffle. A
+      // hub's rank row joins once per chunk — bounded rows, never a bounded
+      // task doing unbounded work.
       ranks = adj
         .join(ranks, adj("src") === ranks("v"))
-        .select(explode(col("ns")).as("v"), (col("rank") / size(col("ns"))).as("c"))
+        .select(explode(col("ns")).as("v"), (col("rank") / col("deg")).as("c"))
         .groupBy("v").agg(
           (lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
       i += 1
@@ -56,7 +95,73 @@ object Graph {
       // iteration (the q_ann_ivf job-storm lesson)
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    if (cleanup) {
+      // materialize the (|V|-row) result, then release the adjacency blocks —
+      // the public API must not pin executor memory for the session
+      val out = ranks.localCheckpoint()
+      adj.unpersist(blocking = false)
+      out
+    } else ranks
+  }
+
+  /** Orient each undirected edge from its lower-(degree, id) endpoint to the
+    * higher one. Under this total order every vertex's OUT-degree is bounded
+    * by O(√E) — a classic arboricity bound: a vertex with out-degree k has k
+    * out-neighbors of degree ≥ its own, so out-deg² ≤ 2|E| — which is what
+    * makes the edge-iterator triangle count hub-proof: the star graph's hub
+    * receives all its edges and owns an EMPTY out-list. Degrees are a count
+    * aggregate over both endpoints; the two |E|-row equi-joins that attach
+    * them are plain hash joins (skewed hub keys mean more probe rows, never
+    * wider rows). The triangle COUNT is invariant under orientation choice,
+    * so the declarative oracle doesn't change.
+    */
+  def degreeOrientedEdges(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("u"), col("v"))
+    val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    e0.join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .select(col("s").as("u"), col("t").as("v"))
+  }
+
+  /** Distributed triangle count by the EDGE-ITERATOR algorithm over
+    * degree-ordered edges: orient via [[degreeOrientedEdges]], build each
+    * node's out-neighbor list once, and count a triangle at its lowest
+    * oriented edge (u,v) as w ∈ N⁺(u) ∩ N⁺(v) — a row-local intersection
+    * bounded by the O(√E) out-degree bound, so NO wedge relation ever
+    * materializes and no hub owns O(deg²) work. Shuffles: one degree agg,
+    * two degree joins, one groupBy(u), two |E|-row adjacency equi-joins —
+    * everything else is map-side.
+    */
+  def triangleCount(edges: DataFrame, cleanup: Boolean = true): DataFrame = {
+    // NOTE nothing here is persisted: every re-use of the oriented edge
+    // relation bottoms out in the input's final exchange (the co-purchase
+    // distinct), which Spark shares across all branches via ReusedExchange,
+    // and with no cache boundary AQE is free to convert the tiny degree
+    // attach joins to broadcasts at runtime (caching pins the plan:
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
+    // false, which kept the deg joins as sort-merge — measured slower than
+    // recomputing the cheap map-side orientation per use)
+    val e = degreeOrientedEdges(edges)
+    val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
+    // exploding the adjacency regenerates every oriented edge (u, v) WITH
+    // N⁺(u) already attached — a map-side fan-out that replaces what would
+    // otherwise be a whole e ⋈ adj shuffle join; only the second endpoint's
+    // list needs a join, and its probe payload (nu per row) is bounded by
+    // the orientation's O(√E) out-degree
+    val res = adj
+      .select(col("ns").as("nu"), explode(col("ns")).as("v"))
+      .join(adj.select(col("u").as("a2"), col("ns").as("nv")), col("v") === col("a2"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      // coalesce: an edgeless graph must report 0 like the oracle's
+      // count(*), not sum()'s NULL
+      .agg(coalesce(sum(col("t")), lit(0L)).cast("long").as("n_triangles"))
+    if (cleanup) res.localCheckpoint() // 1-row result, trivial to materialize
+    else res
   }
 
   /** Oriented (u < v), distinct co-purchase edges: parts appearing in the
@@ -73,34 +178,14 @@ object Graph {
       .select(col("e.u"), col("e.v"))
       .distinct()
 
-  /** Distributed triangle count over the co-purchase graph (parts appearing in
-    * the same order), by the EDGE-ITERATOR algorithm: orient every edge u < v,
-    * build each node's out-neighbor list once, and count a triangle (u<v<w) at
-    * its lowest edge (u,v) as w ∈ N⁺(u) ∩ N⁺(v) — a row-local intersection,
-    * so the per-edge work is bounded by the two degrees and NO wedge relation
-    * ever materializes (this graph has 49M wedges at sf0.1 but only 1.2M
-    * edges; the wedge-join formulation measured 3× slower). Edge construction
-    * is row-local (see [[copurchaseEdges]]). Shuffles:
-    * one groupBy(order), one distinct(edge), one groupBy(u), two 1.2M-row
-    * adjacency equi-joins — everything else is map-side. At cluster scale the
-    * orientation key becomes (degree, id) so hub nodes don't own O(deg²)
-    * intersections; id-order keeps the oracle expressible, same plan shape.
-    * The oracle states the same count as a 3-equi-join over the edge CTE —
-    * the declarative spec, not the plan.
+  /** Triangle count over the co-purchase graph (parts appearing in the same
+    * order) via [[triangleCount]]. The oracle states the same count as a
+    * 3-equi-join over the id-oriented edge CTE — the declarative spec, not
+    * the plan; the count is orientation-invariant.
     */
   val triangles = Q(
     "q_triangles",
-    (s, d) => {
-      val e = copurchaseEdges(s, d)
-        .persist() // one honest materialization: e feeds adj and both joins
-      val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
-      e.join(adj.select(col("u").as("a1"), col("ns").as("nu")), col("u") === col("a1"))
-        .join(adj.select(col("u").as("a2"), col("ns").as("nv")), col("v") === col("a2"))
-        .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-        // coalesce: an edgeless graph must report 0 like the oracle's
-        // count(*), not sum()'s NULL
-        .agg(coalesce(sum(col("t")), lit(0L)).cast("long").as("n_triangles"))
-    },
+    (s, d) => triangleCount(copurchaseEdges(s, d), cleanup = false),
     """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
       |SELECT count(*) AS n_triangles
@@ -109,7 +194,7 @@ object Graph {
   )
 
   /** PageRank over the co-purchase graph — 5 damped power iterations via
-    * [[pageRank]] (per round: one |V|-row join, a map-side explode to
+    * [[pageRank]] (per round: one chunk-relation join, a map-side explode to
     * contributions, one partial-aggregated shuffle; lineage truncated every
     * 3rd round), top-20 hubs. The training-pipeline use is crawl
     * quality weighting: rank pages by link centrality and weight sampling by
@@ -124,7 +209,8 @@ object Graph {
     "q_pagerank",
     (s, d) => {
       val e = copurchaseEdges(s, d)
-      val ranks = pageRank(e.select(col("u").as("d1"), col("v").as("d2")), iters = 5)
+      val ranks = pageRank(e.select(col("u").as("d1"), col("v").as("d2")),
+        iters = 5, cleanup = false)
       ranks
         .select(col("v"), round(col("rank"), 10).as("rank_r"))
         .orderBy(col("rank_r").desc, col("v"))
