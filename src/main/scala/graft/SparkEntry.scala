@@ -51,7 +51,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++ operators.Routes.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
-      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.Similarity.all ++ operators.Pq.all ++ operators.Multimodal.all ++
       operators.Analytics.all ++ operators.Skew.all ++ operators.Aggregates.all ++
       operators.Sampling.all ++ operators.Behavior.all ++ operators.Graph.all
 

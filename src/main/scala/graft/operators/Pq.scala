@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -245,6 +246,14 @@ object Pq {
     */
   def compressionRatio: Double = (Dims * 4).toDouble / M
 
+  /** The doubling re-rank ladder walked by [[autoRerank]]: 25, 50, 100, …
+    * capped at the corpus size `n`. ONE home for the ladder constant so the
+    * minimality assertions in PqRecallSpec test the real ladder instead of
+    * re-deriving it.
+    */
+  def ladder(n: Int): Seq[Int] =
+    Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
+
   /** Smallest re-rank depth on a doubling ladder whose measured recall@k vs
     * the exact brute-force ranking meets `targetRecall` — the PQ twin of
     * [[Similarity.autoNprobe]]. The ladder tops out at the corpus size,
@@ -264,8 +273,7 @@ object Pq {
     // so the ladder walk re-filters it instead of re-running the index
     val cand = adcCandidates(emb, cb).persist()
     try {
-      val ladder = Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
-      val walked = ladder.iterator.map { depth =>
+      val walked = ladder(n).iterator.map { depth =>
         val got = topsOf(rerankTop(emb, cand, k, depth))
         val rs = exact.toSeq.map { case (q, top) =>
           got.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
@@ -277,4 +285,113 @@ object Pq {
           "recall — the full-depth-equals-exact invariant is violated"))
     } finally { cand.unpersist(blocking = false); () }
   }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB twin of one assignment pass: nearest sub-centroid per (vector,
+    * subspace) by (round(d², 6) asc, centroid id asc) against codebook `b`,
+    * over the element-flattened normalized relation `v` (vid, m, i, nv).
+    */
+  private def assignSql(v: String, b: String, out: String): String =
+    s"""${out}_d AS (
+       |  SELECT v.vid, v.m, b.c, round(sum((v.nv - b.cd)*(v.nv - b.cd)), 6) AS d2
+       |  FROM $v v JOIN $b b ON v.m = b.m AND v.i = b.i
+       |  GROUP BY v.vid, v.m, b.c),
+       |$out AS (
+       |  SELECT vid, m, c FROM (
+       |    SELECT vid, m, c, row_number() OVER (PARTITION BY vid, m ORDER BY d2, c) AS rn
+       |    FROM ${out}_d) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of the fused recompute: per-cell integer-microunit means
+    * (round(nv·10⁶) summed as BIGINT, divided back, rounded to 9), with
+    * empty cells KEEPING their previous centroid — exactly [[train]]'s rule.
+    */
+  private def recomputeSql(a: String, prev: String, out: String): String =
+    s"""${out}_r AS (
+       |  SELECT a.m, a.c, v.i,
+       |    round(sum(CAST(round(v.nv*1000000) AS BIGINT)) / (count(*)*1000000.0), 9) AS cd
+       |  FROM $a a JOIN cvec v ON v.vid = a.vid AND v.m = a.m
+       |  GROUP BY a.m, a.c, v.i),
+       |$out AS (
+       |  SELECT m, c, i, cd FROM ${out}_r
+       |  UNION ALL
+       |  SELECT b.m, b.c, b.i, b.cd FROM $prev b
+       |  WHERE NOT EXISTS (SELECT 1 FROM $a a WHERE a.m = b.m AND a.c = b.c))""".stripMargin
+
+  /** Element-flattened, L2-NORMALIZED view of a vector table slice:
+    * (vid, m, i, nv) with m = subspace, i = within-subspace position.
+    */
+  private def normElemSql(src: String, out: String): String =
+    s"""${out}_e AS (SELECT vec_id AS vid, unnest(embedding) AS x, unnest(range($Dims)) AS k FROM $src),
+       |${out}_n AS (SELECT vid, sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nrm
+       |             FROM ${out}_e GROUP BY vid),
+       |$out AS (
+       |  SELECT e.vid, CAST(e.k // $SubDim AS INTEGER) AS m, CAST(e.k % $SubDim AS INTEGER) AS i,
+       |         CASE WHEN n.nrm > 0 THEN CAST(e.x AS DOUBLE)/n.nrm ELSE 0.0 END AS nv
+       |  FROM ${out}_e e JOIN ${out}_n n ON e.vid = n.vid)""".stripMargin
+
+  /** DuckDB twin of the whole PQ pipeline: normalize → seed codebooks from
+    * vec_id 100..115 → two integer-quantized Lloyd iterations per subspace →
+    * encode → per-query ADC tables summed by code lookup → top-32 shortlist
+    * by (adc asc, id asc) → exact cosine re-rank of the shortlist to top-3 —
+    * every rounding point (d² to 6, micro-units, means to 9, ADC totals to
+    * 6, scores to 6) mirrors the Scala build, the same declarative-spec
+    * discipline as [[Similarity]]'s q_ann_ivf oracle.
+    */
+  private lazy val annPqSql: String = {
+    val R = 32
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NQ),
+       |qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQ),
+       |${normElemSql("corpus", "cvec")},
+       |${normElemSql("qv", "qvec")},
+       |cb0 AS (SELECT m, CAST(vid - 100 AS INTEGER) AS c, i, nv AS cd
+       |        FROM cvec WHERE vid >= 100 AND vid < ${100 + Kc}),
+       |${assignSql("cvec", "cb0", "a0")},
+       |${recomputeSql("a0", "cb0", "cb1")},
+       |${assignSql("cvec", "cb1", "a1")},
+       |${recomputeSql("a1", "cb1", "cb2")},
+       |${assignSql("cvec", "cb2", "enc")},
+       |tbl AS (
+       |  SELECT q.vid AS q_id, q.m, b.c, sum((q.nv - b.cd)*(q.nv - b.cd)) AS pd
+       |  FROM qvec q JOIN cb2 b ON q.m = b.m AND q.i = b.i
+       |  GROUP BY q.vid, q.m, b.c),
+       |adc AS (
+       |  SELECT t.q_id, e.vid AS c_id, round(sum(t.pd), 6) AS adc_dist
+       |  FROM enc e JOIN tbl t ON t.m = e.m AND t.c = e.c
+       |  GROUP BY t.q_id, e.vid),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rn
+       |    FROM adc) WHERE rn <= $R),
+       |rs AS (
+       |  SELECT q_id, c_id,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn2
+       |  FROM (SELECT s.q_id, s.c_id, unnest(q.embedding) AS qx, unnest(c.embedding) AS cx
+       |        FROM short s JOIN qv q ON q.vec_id = s.q_id JOIN corpus c ON c.vec_id = s.c_id)
+       |  GROUP BY q_id, c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, round(dot/(sqrt(qn)*sqrt(cn2)), 6) AS score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY round(dot/(sqrt(qn)*sqrt(cn2)), 6) DESC, c_id) AS rank
+       |  FROM rs)
+       |SELECT q_id, c_id, score, CAST(rank AS BIGINT) AS rank FROM ranked
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** PQ ADC search as an oracle-checked query: deterministic 2-iteration
+    * codebook build, 8-byte encode, ADC shortlist at depth 32, exact
+    * re-rank to top-3 — the full memory-scale ANN path under the same
+    * hash-compare gate as the IVF and brute-force variants.
+    */
+  val annPq = Q(
+    "q_ann_pq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      adcTopK(emb, train(emb, iters = 2), k = 3, rerank = 32)
+    },
+    annPqSql
+  )
+
+  val all: Seq[Q] = Seq(annPq)
 }

@@ -58,7 +58,7 @@ class PqRecallSpec extends SparkSpec {
     assert(recall >= target, s"chosen depth $depth missed the target: $recall")
     // minimality on the ladder: the step below (if any) must miss the target
     val n = emb.filter("vec_id >= 5").count().toInt
-    val ladder = Iterator.iterate(25)(_ * 2).takeWhile(_ < n).toSeq :+ n
+    val ladder = Pq.ladder(n) // the REAL ladder, not a re-derivation
     val idx = ladder.indexOf(depth)
     assert(idx >= 0, s"chosen depth $depth must sit on the ladder $ladder")
     if (idx > 0) {
