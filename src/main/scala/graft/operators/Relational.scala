@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Geom
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -264,26 +265,44 @@ object Relational {
     * 1-row result into the per-column report; nothing here grows with table
     * size except the scan itself.
     */
+  /** The profile aggregate over arbitrary (name, column, min/max formatter)
+    * specs. `approx = false` computes EXACT distinct counts — Spark plans
+    * the multi-distinct via one Expand (fan-out = #distinct-aggs + 1), still
+    * a single scan and the oracle-checkable form. `approx = true` swaps each
+    * exact distinct for an HLL++ sketch (2% rsd, the 22h machinery): the
+    * Expand disappears entirely — every statistic becomes a plain partial
+    * aggregate, so per-partition state is 4 sketches + 12 scalars no matter
+    * the table size, the form you'd run first against an unknown 100 TB
+    * table (ProfileApproxSpec pins the no-Expand plan and the error bound).
+    */
+  def profileTable(df: DataFrame,
+                   specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+                   approx: Boolean = false): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: specs.flatMap { case (name, c, fmt) => Seq(
+      count(c).as(s"nn_$name"),
+      (if (approx) approx_count_distinct(c, 0.02) else countDistinct(c)).as(s"nd_$name"),
+      fmt(min(c)).as(s"mn_$name"), fmt(max(c)).as(s"mx_$name")) }
+    val stackArgs = specs.map { case (name, _, _) =>
+      s"'$name', nn_$name, nd_$name, mn_$name, mx_$name" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), expr(s"stack(${specs.size}, $stackArgs) " +
+        "as (col, non_null, n_distinct, min_v, max_v)"))
+      .select("col", "n", "non_null", "n_distinct", "min_v", "max_v")
+      .orderBy("col")
+  }
+
+  /** The orders-table profile spec shared by the exact (oracle-checked) and
+    * approx (sketch) variants.
+    */
+  def ordersProfileSpecs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+    ("o_orderkey", col("o_orderkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+    ("o_orderpriority", col("o_orderpriority"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+    ("o_orderstatus", col("o_orderstatus"), (c: org.apache.spark.sql.Column) => c.cast("string")),
+    ("o_totalprice", col("o_totalprice"), (c: org.apache.spark.sql.Column) => round(c, 6).cast("string")))
+
   val profile = Q(
     "q_profile",
-    (s, d) => {
-      val specs: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
-        ("o_orderkey", col("o_orderkey"), (c: org.apache.spark.sql.Column) => c.cast("string")),
-        ("o_orderpriority", col("o_orderpriority"), (c: org.apache.spark.sql.Column) => c.cast("string")),
-        ("o_orderstatus", col("o_orderstatus"), (c: org.apache.spark.sql.Column) => c.cast("string")),
-        ("o_totalprice", col("o_totalprice"), (c: org.apache.spark.sql.Column) => round(c, 6).cast("string")))
-      val aggs = count(lit(1)).as("n") +: specs.flatMap { case (name, c, fmt) => Seq(
-        count(c).as(s"nn_$name"), countDistinct(c).as(s"nd_$name"),
-        fmt(min(c)).as(s"mn_$name"), fmt(max(c)).as(s"mx_$name")) }
-      val stackArgs = specs.map { case (name, _, _) =>
-        s"'$name', nn_$name, nd_$name, mn_$name, mx_$name" }.mkString(", ")
-      Tables.orders(s, d)
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("n"), expr(s"stack(${specs.size}, $stackArgs) " +
-          "as (col, non_null, n_distinct, min_v, max_v)"))
-        .select("col", "n", "non_null", "n_distinct", "min_v", "max_v")
-        .orderBy("col")
-    },
+    (s, d) => profileTable(Tables.orders(s, d), ordersProfileSpecs),
     """WITH s AS (
       |  SELECT count(*) AS n,
       |    count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
