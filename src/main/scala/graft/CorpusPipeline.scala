@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * composed the way a production pipeline chains them —
   *
   *   quality filter → exact dedup → MinHash near-dup removal →
-  *   benchmark decontamination → sequence packing
+  *   benchmark decontamination → paragraph-level span scrub →
+  *   sequence packing
   *
   * Every stage is the SAME logic as its registered query (`q_filter_funnel`
   * predicates, `q_dedup_exact` keep-first policy, `q_dedup_keep` pairwise
-  * drop policy, `q_decontaminate` overlap report, `q_pack_sequences`
-  * start-offset packing), so the composition inherits their verified
-  * semantics; the spec cross-checks stage counts against the standalone
-  * operators.
+  * drop policy, `q_decontaminate` overlap report, `q_dedup_paragraph` span
+  * rule, `q_pack_sequences` start-offset packing), so the composition
+  * inherits their verified semantics; the spec cross-checks stage counts
+  * against the standalone operators.
   *
   * Scale shape: stages 1–2 are one scan + one digest-partitioned window;
   * stage 3's pair generation is the banded LSH equi-join (no self-join of
@@ -36,6 +37,7 @@ object CorpusPipeline {
   /** Per-stage survivor counts plus the packed-corpus summary. */
   final case class Report(input: Long, afterQuality: Long, afterExactDedup: Long,
                           afterNearDedup: Long, afterDecontamination: Long,
+                          afterParagraphScrub: Long,
                           bins: Long, packedTokens: Long)
 
   /** Curate `docs` (doc_id, text, lang, source) against the held-out `eval`
@@ -88,11 +90,25 @@ object CorpusPipeline {
       .localCheckpoint()
     val nClean = clean.count()
 
+    // 4b. paragraph-level scrub (q_dedup_paragraph policy) — exact-span
+    //    dedup runs AFTER the fuzzy stages on purpose (the RefinedWeb
+    //    ordering): scrubbing shared spans first would strip exactly the
+    //    shingles the MinHash and decontamination stages match on. Text is
+    //    REWRITTEN (repeated 20-word spans keep one corpus-wide copy), so
+    //    n_tok is recomputed; documents that were nothing but duplicated
+    //    spans vanish like any other dropped duplicate.
+    val scrubbed = clean.drop("text", "n_tok")
+      .join(Dedup.paragraphDedupedText(clean)
+        .select(col("doc_id"), col("text_kept").as("text")), Seq("doc_id"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .localCheckpoint()
+    val nScrub = scrubbed.count()
+
     // 5. sequence packing — start-offset bins per source shard
     //    (q_pack_sequences policy)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = clean
+    val packed = scrubbed
       .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin_id", expr(s"off div $packBudget"))
       .drop("off")
@@ -105,6 +121,6 @@ object CorpusPipeline {
       (r.getLong(0), r.getLong(1))
     }
 
-    (packed, Report(input, nQuality, nExact, nNear, nClean, bins, packedTokens))
+    (packed, Report(input, nQuality, nExact, nNear, nClean, nScrub, bins, packedTokens))
   }
 }

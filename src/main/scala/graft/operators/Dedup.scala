@@ -550,6 +550,60 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   )
 
+  /** Paragraph-level exact dedup — the C4/RefinedWeb span rule: a corpus
+    * repeating the same span across documents keeps ONE copy of it (the
+    * lowest (doc_id, position) occurrence) and every other document loses
+    * that span, with the surviving spans reassembled in order. "Paragraph"
+    * here is a fixed window of `wordsPerPara` consecutive words (the corpus
+    * has no structural delimiters), which keeps the rule deterministic and
+    * oracle-expressible.
+    *
+    * Scale shape, all bucketed: split/window is row-local; the span
+    * frequency table is ONE digest hash-aggregate; the keep decision is an
+    * equi-join on the digest (never a self-join of the corpus); reassembly
+    * groups by doc_id with per-doc bounded state (documents are bounded, so
+    * collect_list here is, too — this is the q_event_sequences discipline,
+    * not a global window). The keeper tiebreak packs (doc_id, position)
+    * into one BIGINT (positions are < 2^20 per doc by construction) so both
+    * engines take the same min without struct-ordering semantics.
+    * Documents whose every span was dropped (pure duplicates) disappear —
+    * the same contract as the doc-level keep policies.
+    */
+  def paragraphDedupedText(documents: DataFrame, wordsPerPara: Int = 20): DataFrame = {
+    val paras = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws)/${wordsPerPara}.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i*$wordsPerPara + 1, $wordsPerPara), ' '))")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("para"))
+    val spanKey = col("doc_id") * lit(1048576L) + col("p")
+    val dfreq = paras.groupBy(md5(col("para")).as("dg"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id") * lit(1048576L) + col("p")).as("keeper"))
+    paras.withColumn("dg", md5(col("para")))
+      .join(dfreq, Seq("dg"))
+      .filter(col("c") === 1L || spanKey === col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(p, para))), x -> x.para), ' ')")
+          .as("text_kept"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  val dedupParagraph = Q(
+    "q_dedup_paragraph",
+    (s, d) => paragraphDedupedText(Tables.documents(s, d)).orderBy("doc_id"),
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |paras AS (
+      |  SELECT doc_id, i AS p, array_to_string(w[i*20+1 : i*20+20], ' ') AS para
+      |  FROM ws, unnest(range(CAST(ceil(len(w)/20.0) AS BIGINT))) AS t(i)),
+      |df AS (SELECT md5(para) AS dg, count(*) AS c, min(doc_id * 1048576 + p) AS keeper
+      |       FROM paras GROUP BY 1),
+      |kept AS (SELECT p.doc_id, p.p, p.para FROM paras p JOIN df ON md5(p.para) = df.dg
+      |         WHERE df.c = 1 OR p.doc_id * 1048576 + p.p = df.keeper)
+      |SELECT doc_id, string_agg(para, ' ' ORDER BY p) AS text_kept, count(*) AS n_kept
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters,
-    decontaminate, decontaminateBloom, dedupKeep)
+    decontaminate, decontaminateBloom, dedupKeep, dedupParagraph)
 }

@@ -32,8 +32,17 @@ class CorpusPipelineSpec extends SparkSpec {
       "fixture contains planted near-dups — stage 3 must drop some")
     assert(report.afterDecontamination < report.afterNearDedup,
       "fixture contains contaminated docs — stage 4 must drop some")
+    assert(report.afterParagraphScrub <= report.afterDecontamination)
+    // stage 4b cross-check: the scrub keeps exactly the docs the standalone
+    // q_dedup_paragraph operator keeps on the same input, token-for-token
+    val clean = corpus // recompute stage-4 survivors independently
+      .join(packed.select("doc_id"), Seq("doc_id"), "left_semi")
+    val wantScrub = graft.operators.Dedup.paragraphDedupedText(clean)
+    assert(report.afterParagraphScrub == wantScrub.count())
+    assert(packed.agg(sum(size(split(col("text"), " ")))).head().getLong(0) ==
+      wantScrub.agg(sum(size(split(col("text_kept"), " ")))).head().getLong(0))
     // the packed corpus carries exactly the survivors, token-complete
-    assert(packed.count() == report.afterDecontamination)
+    assert(packed.count() == report.afterParagraphScrub)
     assert(report.packedTokens ==
       packed.agg(sum(size(split(col("text"), " ")))).head().getLong(0))
     // packing is dense: every (source, bin) holds consecutive offsets, so the
