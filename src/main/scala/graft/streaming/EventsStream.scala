@@ -42,4 +42,23 @@ object EventsStream {
     */
   def hoppingAgg(events: DataFrame): DataFrame =
     windowedAgg(events, window(col("t"), "1 hour", "15 minutes"))
+
+  /** SESSION-window twin of the oracle-checked batch `q_session_window`:
+    * per-user 30-minute-gap sessions through Spark's own gap-merge operator,
+    * which maintains MERGEABLE session state under a watermark in streaming
+    * (late events extend or fuse sessions until the watermark closes them).
+    * Identical aggregate body and decimal-sum cast as the batch query, so
+    * the parity spec compares exact micros, not a reformulation.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("t", "2 hours")
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
 }

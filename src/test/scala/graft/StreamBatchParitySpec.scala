@@ -68,4 +68,34 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(got == want, "streaming hopping result diverges from the oracle-checked batch rows")
     } finally q.stop()
   }
+
+  test("file-source streaming SESSION windows equal the oracle-checked batch result") {
+    val dir = sf("sf0.01")
+    val staged = Files.createTempDirectory("events-session-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventsStream.sessionAgg(stream)
+      .writeStream.format("memory").queryName("session_file").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // session boundaries are event times at MICROsecond precision —
+      // compare exact micros (millis would silently forgive drift)
+      val got = spark.table("session_file")
+        .select(col("user_id"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n_events"), col("value_sum"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val want = SparkEntry.queries("q_session_window")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(want.nonEmpty && got.size == want.size,
+        s"row counts differ: stream ${got.size} vs batch ${want.size}")
+      assert(got == want, "streaming session result diverges from the oracle-checked batch rows")
+    } finally q.stop()
+  }
 }
