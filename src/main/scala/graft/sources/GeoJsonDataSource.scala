@@ -121,13 +121,32 @@ class GeoJsonTable(options: CaseInsensitiveStringMap)
   */
 class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private var required: StructType = GeoJsonDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var fileKeep: Option[Set[String]] = None
   private var geomKeep: Option[Set[String]] = None
+  private var geomNonNull = false
+  private var countStar = false
+
+  /** COUNT(*) pushdown (Spark only offers an aggregate here when every
+    * filter was fully pushed, which this builder guarantees for the shapes
+    * it accepts): the scan then emits ONE pre-counted row per document —
+    * features are tallied during the parse and no feature row, geometry
+    * array or property map is ever materialized. Partial pushdown: Spark
+    * still sums the per-document counts, so multi-document reads stay
+    * parallel.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    countStar = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    countStar
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -139,6 +158,11 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
       case EqualTo("source_file", _: String) | EqualTo("geometry_type", _: String) => true
       case In("source_file", vs) => vs.forall(_.isInstanceOf[String])
       case In("geometry_type", vs) => vs.forall(_.isInstanceOf[String])
+      // Catalyst adds implied IsNotNull alongside every equality — accept
+      // them too (source_file is never null; geometry-null features are
+      // dropped in the reader), or the leftover residual Filter would block
+      // aggregate pushdown for filtered counts
+      case IsNotNull("source_file") | IsNotNull("geometry_type") => true
       case _ => false
     }
     accepted.foreach {
@@ -148,6 +172,7 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
       case EqualTo("geometry_type", v: String) => geomKeep = intersect(geomKeep, Set(v))
       case In("geometry_type", vs) =>
         geomKeep = intersect(geomKeep, vs.map(_.asInstanceOf[String]).toSet)
+      case IsNotNull("geometry_type") => geomNonNull = true
       case _ =>
     }
     pushed = accepted
@@ -155,13 +180,72 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, geomKeep)
+  // a bare IsNotNull(geometry_type) with no equality is enforced as
+  // "has a geometry at all" — matches() with an empty keep-set constraint
+  private def effectiveGeomKeep: (Option[Set[String]], Boolean) = (geomKeep, geomNonNull)
+
+  override def build(): Scan = {
+    val (gk, gnn) = effectiveGeomKeep
+    if (countStar)
+      new GeoJsonCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn)
+    else
+      new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, gk, gnn)
+  }
+}
+
+/** The COUNT(*)-pushed scan: same document pruning as the row scan, but each
+  * partition returns a single row holding the document's matching-feature
+  * count. The schema is the aggregation's output schema (one non-null LONG),
+  * which is what `SupportsPushDownAggregates` requires of a partial
+  * pushdown.
+  */
+class GeoJsonCountScan(paths: Seq[String], fileKeep: Option[Set[String]],
+                       geomKeep: Option[Set[String]],
+                       geomNonNull: Boolean = false) extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count(*)", LongType, nullable = false)
+  override def toBatch: Batch = this
+  private def prunedPaths: Seq[String] =
+    fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedPaths.map(GeoJsonInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonCountReaderFactory(geomKeep, geomNonNull)
+  override def description(): String =
+    s"GeoJsonCountScan docs=${prunedPaths.size}/${paths.size} pushed=COUNT(*)" +
+      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}")
+}
+
+class GeoJsonCountReaderFactory(geomKeep: Option[Set[String]],
+                                geomNonNull: Boolean = false)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonCountReader(partition.asInstanceOf[GeoJsonInputPartition].path,
+      geomKeep, geomNonNull)
+}
+
+/** Counts matching features in one document without building any row. */
+class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
+                         geomNonNull: Boolean = false)
+    extends PartitionReader[InternalRow] {
+  private var count = 0L
+  private var emitted = false
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      GeoJsonFeatures.iterate(path)
+        .foreach(f => if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) count += 1)
+      emitted = true
+      true
+    }
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
 }
 
 class GeoJsonScan(paths: Seq[String], required: StructType,
                   fileKeep: Option[Set[String]] = None,
-                  geomKeep: Option[Set[String]] = None) extends Scan with Batch {
+                  geomKeep: Option[Set[String]] = None,
+                  geomNonNull: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   /** Documents surviving the pushed source_file pruning. */
@@ -170,7 +254,7 @@ class GeoJsonScan(paths: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(required, geomKeep)
+    new GeoJsonReaderFactory(required, geomKeep, geomNonNull)
   override def description(): String =
     s"GeoJsonScan docs=${prunedPaths.size}/${paths.size}" +
       geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}")
@@ -357,11 +441,12 @@ class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, task
 }
 
 class GeoJsonReaderFactory(required: StructType,
-                           geomKeep: Option[Set[String]] = None)
+                           geomKeep: Option[Set[String]] = None,
+                           geomNonNull: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required,
-      geomKeep)
+      geomKeep, geomNonNull)
 }
 
 /** Parses one document and streams its features as InternalRows, building
@@ -369,24 +454,47 @@ class GeoJsonReaderFactory(required: StructType,
   * before any row is built (a feature with no geometry has a null type and
   * never matches, same as Spark's EqualTo null semantics).
   */
-class GeoJsonPartitionReader(path: String, required: StructType,
-                             geomKeep: Option[Set[String]] = None)
-    extends PartitionReader[InternalRow] {
-
-  private val fileName = path.split('/').last
-  private val features: Iterator[(JsonNode, Long)] = {
+/** Shared document → feature iteration and pushed-filter match, used by both
+  * the row reader and the count reader so the two paths can never disagree
+  * about what a feature is.
+  */
+private[sources] object GeoJsonFeatures {
+  /** A source document may be ONE value (FeatureCollection / Feature /
+    * array) or a newline-delimited stream of Features (the distributed
+    * write form) — readValues iterates every top-level value either way.
+    */
+  def iterate(path: String): Iterator[JsonNode] = {
     val mapper = new ObjectMapper()
-    // a source document may be ONE value (FeatureCollection / Feature /
-    // array) or a newline-delimited stream of Features (the distributed
-    // write form) — readValues iterates every top-level value either way
     val docs = mapper.readValues(
       mapper.createParser(GeoJsonFetch.fetch(path)), classOf[JsonNode]).asScala
     docs.flatMap { root =>
       if (root.isArray) root.elements().asScala
       else if (root.has("features")) root.get("features").elements().asScala
       else Iterator(root)
-    }.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+    }
   }
+
+  /** Pushed geometry_type filter semantics: a feature with no geometry has a
+    * null type and never matches an equality, same as Spark's EqualTo null
+    * semantics; `geomNonNull` enforces a pushed bare IsNotNull the same way.
+    */
+  def matches(f: JsonNode, geomKeep: Option[Set[String]],
+              geomNonNull: Boolean = false): Boolean = {
+    lazy val geomType = Option(f.get("geometry")).filterNot(_.isNull)
+      .map(_.get("type").asText())
+    (!geomNonNull || geomType.nonEmpty) &&
+      geomKeep.forall(g => geomType.exists(g.contains))
+  }
+}
+
+class GeoJsonPartitionReader(path: String, required: StructType,
+                             geomKeep: Option[Set[String]] = None,
+                             geomNonNull: Boolean = false)
+    extends PartitionReader[InternalRow] {
+
+  private val fileName = path.split('/').last
+  private val features: Iterator[(JsonNode, Long)] =
+    GeoJsonFeatures.iterate(path).zipWithIndex.map { case (n, i) => (n, i.toLong) }
   private var current: InternalRow = _
 
   /** Coordinates of any geometry type, normalized to parts→points→xy. */
@@ -436,15 +544,10 @@ class GeoJsonPartitionReader(path: String, required: StructType,
     new GenericInternalRow(values)
   }
 
-  private def keep(f: JsonNode): Boolean = geomKeep.forall { g =>
-    Option(f.get("geometry")).filterNot(_.isNull)
-      .exists(geom => g.contains(geom.get("type").asText()))
-  }
-
   override def next(): Boolean = {
     while (features.hasNext) {
       val (f, i) = features.next()
-      if (keep(f)) { current = toRow(f, i); return true }
+      if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) { current = toRow(f, i); return true }
     }
     false
   }

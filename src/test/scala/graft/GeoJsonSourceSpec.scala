@@ -167,6 +167,29 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(df.select("feature_idx").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
   }
 
+  test("COUNT(*) pushes into the scan: tallied during parse, no rows materialized") {
+    val a = tmpFile("c1.json", s"""{"type": "FeatureCollection", "features": [$feature, $feature]}""")
+    val b = tmpFile("c2.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
+    val df = spark.read.format("geojson").load(a, b).groupBy().count()
+    assert(df.head().getLong(0) == 3L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GeoJsonCountScan"), s"count not pushed:\n$plan")
+    // composes with the pushed geometry_type filter — the per-document
+    // tally honors it, still without building any feature row
+    val mixed = tmpFile("c3.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $pointFeature]}""")
+    val filtered = spark.read.format("geojson").load(mixed)
+      .filter(col("geometry_type") === "LineString").groupBy().count()
+    assert(filtered.head().getLong(0) == 1L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("GeoJsonCountScan"))
+    // and with document pruning — non-matching docs aren't even parsed
+    val pruned = spark.read.format("geojson").load(a, b)
+      .filter(col("source_file") === "c1.json").groupBy().count()
+    assert(pruned.head().getLong(0) == 2L)
+    assert(pruned.queryExecution.executedPlan.toString.contains("docs=1/2"),
+      s"document pruning lost under count pushdown")
+  }
+
   test("connector prunes columns and reads via a url option; http fails fast") {
     val fc = tmpFile("fc5.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
     val pruned = spark.read.format("geojson").load(fc).select("geometry_type")
