@@ -575,7 +575,41 @@ object Analytics {
       |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
   )
 
+  /** Latest record per key — CDC / changelog COMPACTION: collapse an event
+    * log to each key's most recent state. Executed as a partial-aggregable
+    * ARGMAX (`max_by` over a zero-padded "(time, id)" string key — portable
+    * total order with a deterministic tiebreak, no reliance on unique
+    * timestamps), NOT as the row_number window `q_window_topk` uses: the
+    * aggregate keeps ONE row per key per partition and never sorts, so at
+    * 100 TB compaction is a map-side combine + one small exchange instead of
+    * a full shuffle-and-sort of the log. The oracle states the same argmax
+    * with DuckDB's arg_max over the identical key.
+    */
+  val latestPerKey = Q(
+    "q_latest_per_key",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          expr("ts DIV 1000").as("tus"))
+        .withColumn("k", format_string("%020d-%020d", col("tus"), col("event_id")))
+      ev.groupBy("user_id").agg(
+          max_by(col("event_id"), col("k")).as("latest_event_id"),
+          max_by(col("event_type"), col("k")).as("latest_type"),
+          max_by(col("value"), col("k")).as("latest_value"),
+          max(col("tus")).as("latest_tus"))
+        .orderBy("user_id")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS tus,
+      |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k
+      |  FROM events)
+      |SELECT user_id, arg_max(event_id, k) AS latest_event_id,
+      |       arg_max(event_type, k) AS latest_type,
+      |       arg_max(value, k) AS latest_value, max(tus) AS latest_tus
+      |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18, hopWindow, sessionWindow, tpchQ17)
+    tpchQ18, hopWindow, sessionWindow, tpchQ17, latestPerKey)
 }

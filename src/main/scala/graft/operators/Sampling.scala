@@ -104,5 +104,38 @@ object Sampling {
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences)
+  /** Sliding token-window chunking — the context-length prep step every
+    * pretraining / RAG pipeline runs: split each document into windows of
+    * `Size` tokens advancing by `Stride` (overlap = Size − Stride), so long
+    * documents become model-sized pieces and no boundary sentence is lost to
+    * a hard cut. Entirely ROW-LOCAL (split + bounded transform + explode —
+    * fan-out ceil(n/stride), no shuffle until the final order), which makes
+    * it free at 100 TB: chunking is a map over the corpus scan. A short
+    * document yields exactly one (possibly short) chunk; chunk_id preserves
+    * in-document order for downstream packing.
+    */
+  val chunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, d) => {
+      val Size = 32
+      val Stride = 24
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest(cast(ceil((size(ws) - $Size) / $Stride.0) as int), 0)), " +
+            s"i -> array_join(slice(ws, i*$Stride + 1, $Size), ' '))")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          col("col").as("chunk"),
+          size(split(col("col"), " ")).cast("long").as("n_tok"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |SELECT doc_id, i AS chunk_id,
+      |       array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk,
+      |       CAST(len(w[i*24+1 : i*24+32]) AS BIGINT) AS n_tok
+      |FROM ws, unnest(range(CAST(greatest(ceil((len(w) - 32) / 24.0), 0) AS BIGINT) + 1)) AS t(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap)
 }
