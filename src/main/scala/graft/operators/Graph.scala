@@ -58,6 +58,15 @@ object Graph {
     // it measured ~20% slower than letting the exchange be reused
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // The degree aggregate joins back to the edge relation INSIDE one plan:
+    // both branches bottom out in the upstream's final exchange, which the
+    // single build job shares via ReusedExchange. Persisting deg (or
+    // pre-counting it for an explicit broadcast decision) splits the build
+    // into two jobs and recomputes that upstream — measured ~1 s slower
+    // here than eating the one sort-merge degree join. The SMJ is also the
+    // scale-safe default: inside the cached adjacency subtree AQE cannot
+    // broadcast-convert (canChangeCachedPlanOutputPartitioning=false), and
+    // |V| is unbounded at cluster scale.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = edges.join(deg, Seq("src"))
       .withColumn("salt", pmod(hash(col("dst")),
