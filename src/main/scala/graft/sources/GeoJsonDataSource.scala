@@ -245,9 +245,31 @@ class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
 class GeoJsonScan(paths: Seq[String], required: StructType,
                   fileKeep: Option[Set[String]] = None,
                   geomKeep: Option[Set[String]] = None,
-                  geomNonNull: Boolean = false) extends Scan with Batch {
+                  geomNonNull: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Report the PRUNED documents' byte size so Catalyst can plan joins
+    * against this source: without it a DSv2 scan defaults to "unknown =
+    * enormous" and a 2 KB GeoJSON dimension would never broadcast. Only
+    * local files are sized (the remote-fetch seam reports unknown rather
+    * than guessing), and document pruning shrinks the estimate the same way
+    * partition pruning shrinks a parquet scan's.
+    */
+  override def estimateStatistics(): Statistics = {
+    val sizes = prunedPaths.map { p =>
+      val f = new java.io.File(
+        if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+      if (f.isFile) f.length() else -1L
+    }
+    val total = if (sizes.exists(_ < 0)) java.util.OptionalLong.empty()
+                else java.util.OptionalLong.of(math.max(1L, sizes.sum))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = total
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
   /** Documents surviving the pushed source_file pruning. */
   def prunedPaths: Seq[String] =
     fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))

@@ -50,6 +50,19 @@ object EventsStream {
     * Identical aggregate body and decimal-sum cast as the batch query, so
     * the parity spec compares exact micros, not a reformulation.
     */
+  /** STREAM-STATIC enrichment — the production pattern of joining a live
+    * event stream against a slowly-changing dimension table: the static side
+    * is explicitly broadcast, so each micro-batch is a map-side hash probe
+    * with NO stream shuffle and no state store (an inner join against a
+    * static side needs neither watermark nor buffering). Works identically
+    * on a batch DataFrame, which is what the parity spec compares against.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_nationkey"), col("c_mktsegment"))
+
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("t", "2 hours")

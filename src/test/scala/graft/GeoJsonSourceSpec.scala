@@ -190,6 +190,30 @@ class GeoJsonSourceSpec extends SparkSpec {
       s"document pruning lost under count pushdown")
   }
 
+  test("connector reports pruned-size statistics so small geojson sides can broadcast") {
+    val a = tmpFile("s1.json", s"""{"type": "FeatureCollection", "features": [$feature, $feature]}""")
+    val b = tmpFile("s2.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
+    val df = spark.read.format("geojson").load(a, b)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan
+    }.get
+    val want = new java.io.File(a).length() + new java.io.File(b).length()
+    assert(scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().sizeInBytes().getAsLong == want)
+    // the logical plan inherits the estimate (vs the "unknown = enormous"
+    // DSv2 default that would bar a 2 KB dimension from broadcasting)...
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes < 100000,
+      s"stats not propagated: ${df.queryExecution.optimizedPlan.stats.sizeInBytes}")
+    // ...and document pruning shrinks it, like partition pruning would
+    val pruned = spark.read.format("geojson").load(a, b)
+      .filter(col("source_file") === "s2.json")
+    val prunedScan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan
+    }.get
+    assert(prunedScan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().sizeInBytes().getAsLong == new java.io.File(b).length())
+  }
+
   test("connector prunes columns and reads via a url option; http fails fast") {
     val fc = tmpFile("fc5.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
     val pruned = spark.read.format("geojson").load(fc).select("geometry_type")

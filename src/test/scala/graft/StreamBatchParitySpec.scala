@@ -98,4 +98,32 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(got == want, "streaming session result diverges from the oracle-checked batch rows")
     } finally q.stop()
   }
+
+  test("stream-static broadcast enrichment equals the batch join, row for row") {
+    val dir = sf("sf0.01")
+    val staged = Files.createTempDirectory("events-enrich-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    // inner join vs a STATIC broadcast side: append mode, no watermark, no
+    // state store — each micro-batch is a map-side probe
+    val q = EventsStream.enriched(stream, dim)
+      .writeStream.format("memory").queryName("enrich_file").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_file").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getInt(4), r.getString(5))).toSet
+      val want = EventsStream.enriched(spark.read.parquet(s"$dir/events.parquet"), dim)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getInt(4), r.getString(5))).toSet
+      assert(want.nonEmpty && got.size == want.size,
+        s"row counts differ: stream ${got.size} vs batch ${want.size}")
+      assert(got == want, "stream-static enrichment diverges from the batch join")
+    } finally q.stop()
+  }
 }
