@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, SortedIntersectCount, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -18,6 +18,11 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorCosine(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_isect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_isect"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),

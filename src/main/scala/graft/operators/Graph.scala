@@ -156,7 +156,18 @@ object Graph {
     // false, which kept the deg joins as sort-merge — measured slower than
     // recomputing the cheap map-side orientation per use)
     val e = degreeOrientedEdges(edges)
-    val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
+    // adjacency lists SORTED once per vertex (O(d log d), amortized over the
+    // deg⁺ intersections each list participates in) so the per-edge
+    // intersection is the codegen'd two-pointer merge below instead of a
+    // hash-set + output-array allocation per row
+    val adj = e.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("ns"))
+    // native allocation-free sorted intersect when the extensions are
+    // installed; array_intersect fallback is value-identical on the sorted
+    // distinct lists (SortedIntersectSpec pins the equivalence)
+    val isect =
+      if (edges.sparkSession.catalog.functionExists("graft_sorted_isect"))
+        expr("graft_sorted_isect(nu, nv)")
+      else size(array_intersect(col("nu"), col("nv")))
     // exploding the adjacency regenerates every oriented edge (u, v) WITH
     // N⁺(u) already attached — a map-side fan-out that replaces what would
     // otherwise be a whole e ⋈ adj shuffle join; only the second endpoint's
@@ -165,7 +176,7 @@ object Graph {
     val res = adj
       .select(col("ns").as("nu"), explode(col("ns")).as("v"))
       .join(adj.select(col("u").as("a2"), col("ns").as("nv")), col("v") === col("a2"))
-      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .select(isect.as("t"))
       // coalesce: an edgeless graph must report 0 like the oracle's
       // count(*), not sum()'s NULL
       .agg(coalesce(sum(col("t")), lit(0L)).cast("long").as("n_triangles"))
