@@ -609,7 +609,52 @@ object Analytics {
       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
+  /** Time-series RESAMPLE + FORWARD-FILL — the gap-fill operator of kdb/
+    * Timescale pipelines: build each key's hourly grid from the hour-floor
+    * of its first event to its last, then carry the most recent observation
+    * forward onto every grid point. The fill is the NATIVE as-of join
+    * (plans/AsOfJoin.scala) doing real work in a composition: grid ⋈asof
+    * events per user, right tiebreak on event_id so micro-second collisions
+    * resolve identically in both engines (the q_asof_native dedup contract).
+    * Scale shape: the grid is a per-key aggregate + row-local sequence
+    * explode (never a cartesian with a calendar table), and the as-of merge
+    * is the usual one exchange + sort per side, O(|grid| + |events|) per
+    * partition. Grid points before a key's first event forward-fill to NULL
+    * (LEFT semantics), exactly like DuckDB's ASOF LEFT JOIN.
+    */
+  val resample = Q(
+    "q_resample",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("e_uid"), expr("ts DIV 1000").as("e_tus"),
+          col("event_id"), col("value"))
+      val grid = ev.groupBy(col("e_uid").as("user_id"))
+        .agg(min(col("e_tus")).as("mn"), max(col("e_tus")).as("mx"))
+        .select(col("user_id"), explode(expr(
+          "sequence(mn - mn % 3600000000, mx, 3600000000)")).as("grid_tus"))
+      graft.plans.AsOfJoin(grid, ev, "user_id", "e_uid", "grid_tus", "e_tus",
+          rightTiebreak = Seq("event_id"))
+        .select(col("user_id"), col("grid_tus"),
+          col("event_id").as("last_event_id"), col("value").as("last_value"))
+        .orderBy("user_id", "grid_tus")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus FROM events),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, value, tus,
+      |           row_number() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |b AS (SELECT user_id, min(tus) AS mn, max(tus) AS mx FROM ev GROUP BY 1),
+      |grid AS (SELECT user_id, g AS grid_tus
+      |         FROM b, unnest(range(mn - mn % 3600000000, mx + 1, 3600000000)) AS t(g))
+      |SELECT g.user_id, g.grid_tus, e.event_id AS last_event_id, e.value AS last_value
+      |FROM grid g ASOF LEFT JOIN dedup e
+      |  ON g.user_id = e.user_id AND g.grid_tus >= e.tus
+      |ORDER BY g.user_id, g.grid_tus""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18, hopWindow, sessionWindow, tpchQ17, latestPerKey)
+    tpchQ18, hopWindow, sessionWindow, tpchQ17, latestPerKey, resample)
 }
