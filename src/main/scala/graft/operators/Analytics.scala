@@ -585,20 +585,24 @@ object Analytics {
     * a full shuffle-and-sort of the log. The oracle states the same argmax
     * with DuckDB's arg_max over the identical key.
     */
+  /** The compaction aggregate body, shared verbatim by the batch query and
+    * the streaming twin (streaming/EventsStream.latestState) so parity is
+    * structural: input must expose user_id, event_id, event_type, value, ts.
+    */
+  def latestState(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000").as("tus"))
+      .withColumn("k", format_string("%020d-%020d", col("tus"), col("event_id")))
+      .groupBy("user_id").agg(
+        max_by(col("event_id"), col("k")).as("latest_event_id"),
+        max_by(col("event_type"), col("k")).as("latest_type"),
+        max_by(col("value"), col("k")).as("latest_value"),
+        max(col("tus")).as("latest_tus"))
+
   val latestPerKey = Q(
     "q_latest_per_key",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
-          expr("ts DIV 1000").as("tus"))
-        .withColumn("k", format_string("%020d-%020d", col("tus"), col("event_id")))
-      ev.groupBy("user_id").agg(
-          max_by(col("event_id"), col("k")).as("latest_event_id"),
-          max_by(col("event_type"), col("k")).as("latest_type"),
-          max_by(col("value"), col("k")).as("latest_value"),
-          max(col("tus")).as("latest_tus"))
-        .orderBy("user_id")
-    },
+    (s, d) => latestState(Tables.events(s, d)).orderBy("user_id"),
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS tus,
       |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k

@@ -63,6 +63,16 @@ object EventsStream {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("c_nationkey"), col("c_mktsegment"))
 
+  /** Streaming CDC COMPACTION — the live materialized "latest state per
+    * key" table: the SAME partial-aggregable argmax body as the batch
+    * `q_latest_per_key` (operators/Analytics.latestState), run as a
+    * streaming aggregate. State is ONE small row per key — the compacted
+    * table itself — updated map-side per micro-batch; no watermark is
+    * needed because the state never grows past the key cardinality.
+    */
+  def latestState(events: DataFrame): DataFrame =
+    graft.operators.Analytics.latestState(events)
+
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("t", "2 hours")

@@ -99,6 +99,29 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction equals the oracle-checked latest-per-key rows") {
+    val dir = sf("sf0.01")
+    val staged = Files.createTempDirectory("events-latest-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val q = EventsStream.latestState(stream)
+      .writeStream.format("memory").queryName("latest_file").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("latest_file").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      val want = SparkEntry.queries("q_latest_per_key")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      assert(want.nonEmpty && got == want,
+        "streaming compacted state diverges from the oracle-checked batch rows")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment equals the batch join, row for row") {
     val dir = sf("sf0.01")
     val staged = Files.createTempDirectory("events-enrich-stream")
