@@ -117,5 +117,52 @@ object Multimodal {
        |FROM hx ORDER BY doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(meta, mediaDecode)
+  /** Feature-extract STAGE with a deterministic fake featurizer: per payload,
+    * an 8-dim vector f_i = md5(payload ‖ ':' ‖ i) mapped to [0,1) — the
+    * Spark-side plumbing (schema `array<double>`, row-local map over the
+    * scan, no shuffle until the output order) is exactly what a real encoder
+    * UDF slots into; only the hash-math inside the lambda is the stub, per
+    * the codec-free environment. The fake being md5-based keeps the whole
+    * stage oracle-checkable bit-for-bit, unlike a real model.
+    */
+  val mediaFeatures = Q(
+    "q_media_features",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        posexplode(expr("""transform(sequence(0, 7), i ->
+             round(cast(conv(substring(md5(concat(text, ':', i)), 1, 8), 16, 10) as bigint)
+                   / 4294967296.0, 6))""")))
+        .select(col("doc_id"), col("pos").cast("long").as("feature_idx"),
+          col("col").as("feature"))
+        .orderBy("doc_id", "feature_idx"),
+    """SELECT doc_id, i AS feature_idx,
+      |  round(CAST(('0x'||substr(md5(text || ':' || i), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS feature
+      |FROM documents, unnest(range(8)) AS t(i)
+      |ORDER BY doc_id, feature_idx""".stripMargin
+  )
+
+  /** FRAME-SAMPLE plumbing for a video-like payload: stride-sample fixed
+    * windows (37-byte stride, 16-byte frames) and fingerprint each — the
+    * row-local explode shape (bounded fan-out ⌈len/stride⌉) a real
+    * frame-decoder plugs into, with per-frame digests standing in for frame
+    * tensors. No shuffle until the output order; at 100 TB the sampler is a
+    * map over the payload scan like every other row-local stage here.
+    */
+  val frameSample = Q(
+    "q_frame_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, (length(text) - 1) div 37)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr("substring(text, cast(frame_idx * 37 + 1 as int), 16)")).as("frame_digest"))
+        .orderBy("doc_id", "frame_idx"),
+    """SELECT doc_id, i AS frame_idx,
+      |       md5(substr(text, CAST(i*37+1 AS BIGINT), 16)) AS frame_digest
+      |FROM documents, unnest(range((len(text)-1)//37 + 1)) AS t(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(meta, mediaDecode, mediaFeatures, frameSample)
 }
