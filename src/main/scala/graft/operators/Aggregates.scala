@@ -129,5 +129,45 @@ object Aggregates {
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram)
+  /** EQUI-DEPTH binning (decile buckets) the scale-right way: the 9
+    * boundaries are ONE aggregate row, broadcast back over the scan, and
+    * bin assignment is a row-local filter-count against that tiny model —
+    * never `ntile`, whose global ORDER BY window is a total sort of the
+    * table (the ContractSpec-banned shape). The boundary model here is the
+    * exact interpolated percentile (the 22a engines-agree contract, rounded
+    * to 4 so both engines bin against identical cuts); at 100 TB the same
+    * plan takes `approx_percentile` sketch boundaries (22h machinery)
+    * without touching the assignment side. Bin populations come out ~equal
+    * by construction — the property that makes equi-depth the right
+    * discretization for skewed features.
+    */
+  val equidepthBins = Q(
+    "q_equidepth_bins",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.agg(expr(
+        "transform(percentile(l_extendedprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, " +
+          "0.6D, 0.7D, 0.8D, 0.9D)), p -> round(p, 4))").as("bs"))
+      li.select(col("l_extendedprice").as("x"))
+        .crossJoin(broadcast(bounds)) // 1-row boundary model
+        .select(col("x"),
+          (lit(1) + expr("size(filter(bs, b -> x > b))")).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("x")), 4).as("lo"), round(max(col("x")), 4).as("hi"))
+        .orderBy("bin")
+    },
+    """WITH bl AS (
+      |  SELECT quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM lineitem),
+      |bs AS (SELECT round(q, 4) AS b FROM bl, unnest(qs) AS t(q)),
+      |assigned AS (
+      |  SELECT l_extendedprice AS x,
+      |         1 + (SELECT count(*) FROM bs WHERE b < l_extendedprice) AS bin
+      |  FROM lineitem)
+      |SELECT bin, count(*) AS n, round(min(x), 4) AS lo, round(max(x), 4) AS hi
+      |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram, equidepthBins)
 }
