@@ -137,5 +137,42 @@ object Sampling {
       |ORDER BY doc_id, chunk_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap)
+  /** WEIGHTED sampling without replacement per stratum — the
+    * Efraimidis–Spirakis priority trick made deterministic: each doc draws
+    * u ∈ (0,1) from its md5 hash (reproducible across runs AND engines, the
+    * stratified-sampler discipline) and is ranked by priority ln(u)/w with
+    * w = n_chars, so longer documents win proportionally more often;
+    * top-3 per source survive. The distributed shape is ONE keyed window
+    * (bounded per-source groups) — at 100 TB the per-key top-k goes through
+    * the graft_topk partial heap like q_window_topk's scale note; priorities
+    * are pre-rounded to 9 dp so the cut is engine-invariant (the
+    * rounded-sort-key house rule).
+    */
+  val weightedSample = Q(
+    "q_weighted_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 1048576L
+      val u = ((TextFns.hash32(col("text")) % M).cast("double") + 0.5) / M.toDouble
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          round(log(u) / col("n_chars"), 9).as("priority"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("priority").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .orderBy("source", "rank")
+    },
+    s"""WITH pr AS (
+       |  SELECT source, doc_id, n_chars,
+       |    round(ln(((${TextFns.hash32Sql("text")} % 1048576) + 0.5) / 1048576.0) / n_chars, 9) AS priority
+       |  FROM documents),
+       |rk AS (SELECT source, doc_id, n_chars, priority,
+       |         row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rank
+       |       FROM pr)
+       |SELECT source, doc_id, n_chars, priority, CAST(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap,
+    weightedSample)
 }
