@@ -76,11 +76,18 @@ object GeoJsonDataSource {
   * GetFeature url); this environment has no egress, so it fails fast.
   */
 object GeoJsonFetch {
+  /** Documents fetched since process start — the connector's cheapest
+    * observability metric, and what the pruning specs assert on: a pruned
+    * document must never be FETCHED, not merely dropped post-parse.
+    */
+  val fetches = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def fetch(url: String): String = {
     if (url.startsWith("http://") || url.startsWith("https://"))
       throw new UnsupportedOperationException(
         s"geojson: no network egress in this environment, cannot fetch $url " +
           "(use a file: url or a local path)")
+    fetches.incrementAndGet()
     val path = if (url.startsWith("file:")) new java.net.URI(url).getPath else url
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
   }
@@ -246,9 +253,30 @@ class GeoJsonScan(paths: Seq[String], required: StructType,
                   fileKeep: Option[Set[String]] = None,
                   geomKeep: Option[Set[String]] = None,
                   geomNonNull: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME document pruning (the connector's dynamic partition pruning):
+    * when this scan sits under a join on `source_file`, Spark collects the
+    * build side's values at execution and calls [[filter]] before
+    * [[planInputPartitions]] — non-matching documents are dropped from the
+    * plan without ever being fetched or parsed, exactly like the static
+    * pushdown path but driven by ANOTHER table's rows.
+    */
+  private var runtimeKeep: Option[Set[String]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("source_file"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.foreach {
+      case In("source_file", vs) =>
+        runtimeKeep = Some(vs.collect { case s: String => s }.toSet)
+      case EqualTo("source_file", v: String) => runtimeKeep = Some(Set(v))
+      case _ => // unsupported runtime filter shapes are advisory — ignore
+    }
+  }
 
   /** Report the PRUNED documents' byte size so Catalyst can plan joins
     * against this source: without it a DSv2 scan defaults to "unknown =
@@ -270,9 +298,13 @@ class GeoJsonScan(paths: Seq[String], required: StructType,
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   }
-  /** Documents surviving the pushed source_file pruning. */
-  def prunedPaths: Seq[String] =
-    fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+  /** Documents surviving the pushed source_file pruning AND any runtime
+    * (join-driven) pruning delivered through [[filter]].
+    */
+  def prunedPaths: Seq[String] = {
+    val static = fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+    runtimeKeep.fold(static)(keep => static.filter(p => keep.contains(p.split('/').last)))
+  }
   override def planInputPartitions(): Array[InputPartition] =
     prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.GeoJson
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import java.nio.file.Files
 
 class GeoJsonSourceSpec extends SparkSpec {
@@ -212,6 +212,35 @@ class GeoJsonSourceSpec extends SparkSpec {
     }.get
     assert(prunedScan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
       .estimateStatistics().sizeInBytes().getAsLong == new java.io.File(b).length())
+  }
+
+  test("runtime (join-driven) filtering prunes documents before they are fetched") {
+    import spark.implicits._
+    // documents must be big enough that the planner's pruning-benefit
+    // heuristic fires (it correctly skips DPP on byte-sized tables — the
+    // size it reasons with comes from the connector's own statistics)
+    val fat = feature.replace(""""route_id": "R1"""",
+      s""""route_id": "R1", "pad": "${"x" * 200000}"""")
+    val a = tmpFile("r1.json", s"""{"type": "FeatureCollection", "features": [$fat, $fat]}""")
+    val b = tmpFile("r2.json", s"""{"type": "FeatureCollection", "features": [$fat]}""")
+    val geo = spark.read.format("geojson").load(a, b)
+    // build side: a real source with a SELECTIVE filter — the planner only
+    // injects runtime pruning when the other side filters meaningfully (a
+    // LocalRelation constant-folds its filter away and never qualifies)
+    val dimPath = Files.createTempDirectory("geojson-dim").resolve("dim.parquet").toString
+    Seq(("r1.json", "keep"), ("r2.json", "drop")).toDF("file_name", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = geo.join(broadcast(dim), geo("source_file") === dim("file_name"))
+    val before = graft.sources.GeoJsonFetch.fetches.get()
+    assert(joined.count() == 2)
+    val fetched = graft.sources.GeoJsonFetch.fetches.get() - before
+    // the r2.json document must never be FETCHED: the broadcast side's value
+    // reaches GeoJsonScan.filter at runtime and drops its partition
+    assert(fetched == 1L, s"runtime pruning failed: $fetched documents fetched")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters") && !plan.contains("RuntimeFilters: []"),
+      s"no runtime filter attached to the scan:\n$plan")
   }
 
   test("connector prunes columns and reads via a url option; http fails fast") {
