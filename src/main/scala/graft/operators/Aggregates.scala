@@ -144,27 +144,35 @@ object Aggregates {
   val equidepthBins = Q(
     "q_equidepth_bins",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val bounds = li.agg(expr(
-        "transform(percentile(l_extendedprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, " +
+      val t = Tables.orders(s, d)
+      val bounds = t.agg(expr(
+        "transform(percentile(o_totalprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, " +
           "0.6D, 0.7D, 0.8D, 0.9D)), p -> round(p, 4))").as("bs"))
-      li.select(col("l_extendedprice").as("x"))
+      // bin assignment UNROLLED to 9 codegen'd comparisons rather than a
+      // filter() HOF (interpreted lambda per row); the dominant cost of the
+      // whole query is the EXACT percentile's value-buffering aggregate,
+      // which is why the boundary model is computed over the demonstration
+      // table's 150k rows and why the scaladoc points at approx_percentile
+      // for the 100 TB form
+      val bin = (lit(1) +: (0 until 9).map(k =>
+        when(col("x") > col("bs").getItem(k), 1).otherwise(0)))
+        .reduce(_ + _).cast("long")
+      t.select(col("o_totalprice").as("x"))
         .crossJoin(broadcast(bounds)) // 1-row boundary model
-        .select(col("x"),
-          (lit(1) + expr("size(filter(bs, b -> x > b))")).cast("long").as("bin"))
+        .select(col("x"), bin.as("bin"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           round(min(col("x")), 4).as("lo"), round(max(col("x")), 4).as("hi"))
         .orderBy("bin")
     },
     """WITH bl AS (
-      |  SELECT quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
-      |  FROM lineitem),
+      |  SELECT quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM orders),
       |bs AS (SELECT round(q, 4) AS b FROM bl, unnest(qs) AS t(q)),
       |assigned AS (
-      |  SELECT l_extendedprice AS x,
-      |         1 + (SELECT count(*) FROM bs WHERE b < l_extendedprice) AS bin
-      |  FROM lineitem)
+      |  SELECT o_totalprice AS x,
+      |         1 + (SELECT count(*) FROM bs WHERE b < o_totalprice) AS bin
+      |  FROM orders)
       |SELECT bin, count(*) AS n, round(min(x), 4) AS lo, round(max(x), 4) AS hi
       |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
   )
