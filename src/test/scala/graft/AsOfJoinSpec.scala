@@ -231,6 +231,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq == want)
   }
 
+  test("q_resample's forward-fill executes through the native as-of operator") {
+    val df = SparkEntry.queries("q_resample")(spark, sf("sf0.001"))
+    val n = df.collect().length
+    assert(n > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native as-of missing from the resample plan:\n$plan")
+    // every grid row appears exactly once (LEFT semantics: no fan-out, no loss)
+    val grid = df.selectExpr("user_id", "grid_tus").distinct().count()
+    assert(grid.toInt == n, s"as-of fill changed grid cardinality: $grid vs $n")
+  }
+
   test("broadcast as-of probe runs inside whole-stage codegen, fused with the scan") {
     val dir = sf("sf0.001")
     val (events, orders) = sides(dir)
