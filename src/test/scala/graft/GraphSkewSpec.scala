@@ -67,6 +67,29 @@ class GraphSkewSpec extends SparkSpec {
     assert(math.abs(split.values.sum - 1.0) < 1e-9)
   }
 
+  test("property: degree orientation bounds out-degree by sqrt(2E) on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // the arboricity argument: a vertex with out-degree k has k out-neighbors
+    // of degree >= its own, so k(k+1)/2 <= E  =>  k <= sqrt(2E). Check it on
+    // arbitrary random edge sets — including heavy-tailed ones.
+    val edgeList = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))))
+    val prop = Prop.forAll(edgeList) { raw =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      edges.isEmpty || {
+        val e = edges.toDF("u", "v")
+        val maxOut = Graph.degreeOrientedEdges(e)
+          .groupBy("u").agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+        maxOut <= math.sqrt(2.0 * edges.size).toLong + 1
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pagerank adjacency: no chunk row ever holds more than the cap") {
     // pin the physical bound the salted build promises: the hub's 10k
     // neighbors land in ceil(10000/256)=40 hash-balanced chunks — assert
