@@ -604,6 +604,49 @@ object Dedup {
       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
+  /** DATASET OVERLAP MATRIX — pairwise shingle-Jaccard between corpus
+    * SOURCES (shards): the leakage diagnostic run before mixing shards into
+    * a training corpus (high overlap between a train shard and a benchmark
+    * shard is contamination; between two train shards, wasted epochs).
+    * Scale shape: per-source shingle SETS are one distinct aggregate; the
+    * intersection counts come from the bounded per-shingle source-array
+    * pattern (sources per shingle ≤ #shards, a SMALL constant — no
+    * shingle-level self-join in the plan, though the oracle states one);
+    * union sizes are |A|+|B|−|A∩B| from the per-source counts.
+    */
+  val sourceOverlap = Q(
+    "q_source_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ss = TextFns.shingles(docs, 2)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("sh")).distinct()
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = ss.groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(explode(expr(
+          "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS s1, y AS s2))))")).as("p"))
+        .select(col("p.s1"), col("p.s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("n").as("na")), Seq("s1"))
+        .join(sizes.select(col("source").as("s2"), col("n").as("nb")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_shared"),
+          round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+        .orderBy("s1", "s2")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+       |ss AS (SELECT DISTINCT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+       |          FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT s1, s2, n_shared,
+       |       round(n_shared / (n1.n + n2.n - n_shared), 6) AS jaccard
+       |FROM inter JOIN sizes n1 ON n1.source = s1 JOIN sizes n2 ON n2.source = s2
+       |ORDER BY s1, s2""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters,
-    decontaminate, decontaminateBloom, dedupKeep, dedupParagraph)
+    decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
 }
