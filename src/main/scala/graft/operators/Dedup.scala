@@ -614,27 +614,32 @@ object Dedup {
     * shingle-level self-join in the plan, though the oracle states one);
     * union sizes are |A|+|B|−|A∩B| from the per-source counts.
     */
+  /** The overlap matrix over any (doc_id, text, source) corpus — the body of
+    * `q_source_overlap`, reusable on arbitrary shard layouts (and driven on
+    * an engineered-overlap corpus by SourceOverlapSpec).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 2): DataFrame = {
+    val ss = TextFns.shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("sh")).distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS s1, y AS s2))))")).as("p"))
+      .select(col("p.s1"), col("p.s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("s1"), col("n").as("na")), Seq("s1"))
+      .join(sizes.select(col("source").as("s2"), col("n").as("nb")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   val sourceOverlap = Q(
     "q_source_overlap",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val ss = TextFns.shingles(docs, 2)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("source"), col("sh")).distinct()
-      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val inter = ss.groupBy(col("sh"))
-        .agg(sort_array(collect_set(col("source"))).as("srcs"))
-        .select(explode(expr(
-          "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS s1, y AS s2))))")).as("p"))
-        .select(col("p.s1"), col("p.s2"))
-        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
-      inter
-        .join(sizes.select(col("source").as("s1"), col("n").as("na")), Seq("s1"))
-        .join(sizes.select(col("source").as("s2"), col("n").as("nb")), Seq("s2"))
-        .select(col("s1"), col("s2"), col("n_shared"),
-          round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
-        .orderBy("s1", "s2")
-    },
+    (s, d) => sourceOverlapMatrix(Tables.documents(s, d)),
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
        |ss AS (SELECT DISTINCT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)),
        |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
