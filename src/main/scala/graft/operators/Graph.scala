@@ -73,10 +73,14 @@ object Graph {
         greatest(lit(1L), ceil(col("deg").cast("double") / maxChunk)).cast("int")))
       .groupBy(col("src"), col("salt"))
       .agg(collect_list(col("dst")).as("ns"), first(col("deg")).as("deg"))
-      // the chunked groupBy leaves the cache hash-partitioned on (src, salt),
-      // which the per-round join on src can't reuse — ONE re-partition on src
-      // here (|V|-scale rows, one-time) keeps every iteration's adj side
-      // exchange-free, as the unchunked form was
+      // pin the CACHE's partitioning to hash(src) explicitly: the degree
+      // join's physical form varies with stats (broadcast when the planner
+      // can see deg is small, sort-merge otherwise), so the chunk
+      // aggregate's output partitioning is hash(src, salt) in the broadcast
+      // case — which the per-round join on src can NOT reuse, re-exchanging
+      // the cached adjacency every iteration. One |V|-scale repartition
+      // here buys exchange-free adj sides for every iteration regardless
+      // of how the build was planned.
       .repartition(col("src"))
       .persist() // lazy — the n count below is the one materialization
     // ONE scalar to the driver: |V|, read off the persisted chunk relation
