@@ -114,21 +114,24 @@ object Sampling {
     * document yields exactly one (possibly short) chunk; chunk_id preserves
     * in-document order for downstream packing.
     */
+  /** The chunker over any (doc_id, text) frame — the body of
+    * `q_chunk_overlap`, parameterized so ChunkOverlapSpec can property-test
+    * coverage/reconstruction at arbitrary sizes and strides.
+    */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame,
+                   size: Int, stride: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil((size(ws) - $size) / $stride.0) as int), 0)), " +
+          s"i -> array_join(slice(ws, i*$stride + 1, $size), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"),
+        org.apache.spark.sql.functions.size(split(col("col"), " ")).cast("long").as("n_tok"))
+
   val chunkOverlap = Q(
     "q_chunk_overlap",
-    (s, d) => {
-      val Size = 32
-      val Stride = 24
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, greatest(cast(ceil((size(ws) - $Size) / $Stride.0) as int), 0)), " +
-            s"i -> array_join(slice(ws, i*$Stride + 1, $Size), ' '))")))
-        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-          col("col").as("chunk"),
-          size(split(col("col"), " ")).cast("long").as("n_tok"))
-        .orderBy("doc_id", "chunk_id")
-    },
+    (s, d) => chunkWindows(Tables.documents(s, d), 32, 24).orderBy("doc_id", "chunk_id"),
     """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |SELECT doc_id, i AS chunk_id,
       |       array_to_string(w[i*24+1 : i*24+32], ' ') AS chunk,
