@@ -214,6 +214,20 @@ class GeoJsonSourceSpec extends SparkSpec {
       .estimateStatistics().sizeInBytes().getAsLong == new java.io.File(b).length())
   }
 
+  test("count under a NON-pushable filter falls back to the row scan, correctly") {
+    val mixed = tmpFile("np.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $pointFeature, $feature]}""")
+    // feature_idx is not a pushable column: the residual Filter must block
+    // aggregate pushdown and the plain row scan must serve the count
+    val df = spark.read.format("geojson").load(mixed)
+      .filter(col("feature_idx") >= 1).groupBy().count()
+    assert(df.head().getLong(0) == 2L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GeoJsonCountScan"),
+      s"aggregate must not push past a residual filter:\n$plan")
+    assert(plan.contains("GeoJsonScan"), s"row scan missing:\n$plan")
+  }
+
   test("runtime (join-driven) filtering prunes documents before they are fetched") {
     import spark.implicits._
     // documents must be big enough that the planner's pruning-benefit
