@@ -119,7 +119,12 @@ object Sampling {
     * coverage/reconstruction at arbitrary sizes and strides.
     */
   def chunkWindows(docs: org.apache.spark.sql.DataFrame,
-                   size: Int, stride: Int): org.apache.spark.sql.DataFrame =
+                   size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    // stride > size would leave UNCOVERED gaps between windows — reject at
+    // build time (the coverage property ChunkOverlapSpec proves holds only
+    // for stride <= size)
+    require(stride >= 1 && stride <= size,
+      s"chunkWindows: need 1 <= stride <= size, got size=$size stride=$stride")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(expr(
@@ -128,6 +133,7 @@ object Sampling {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col").as("chunk"),
         org.apache.spark.sql.functions.size(split(col("col"), " ")).cast("long").as("n_tok"))
+  }
 
   val chunkOverlap = Q(
     "q_chunk_overlap",
