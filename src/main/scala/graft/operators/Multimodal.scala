@@ -164,5 +164,40 @@ object Multimodal {
       |ORDER BY doc_id, frame_idx""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(meta, mediaDecode, mediaFeatures, frameSample)
+  /** RESIZE planning — aspect-preserving box-fit to 224 px (the standard
+    * vision-model input): compute each image's target dims from the decoded
+    * width/height, downscale-only, in EXACT integer arithmetic
+    * (round(w·224/m) = (448w + m) div 2m — no float in either engine, so
+    * the oracle matches without a rounding contract). The pixel resample
+    * itself is the codec-bound stub, as with decode; the dims plan is what
+    * the pipeline schedules work and allocates tensors by.
+    */
+  val mediaResize = Q(
+    "q_media_resize",
+    (s, d) => {
+      val h32 = TextFns.hash32(col("text"))
+      val w = lit(64L) + h32 % 1024L
+      val ht = lit(64L) + floor(h32 / 1024.0d).cast("long") % 1024L
+      def fit(dim: String) =
+        s"CASE WHEN greatest(width, height) <= 224 THEN $dim " +
+          s"ELSE ($dim*448 + greatest(width, height)) div (2*greatest(width, height)) END"
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("width"), ht.as("height"))
+        .selectExpr("doc_id", "width", "height",
+          s"${fit("width")} AS out_w", s"${fit("height")} AS out_h")
+        .orderBy("doc_id")
+    },
+    s"""WITH dims AS (
+       |  SELECT doc_id, 64 + ${TextFns.hash32Sql("text")} % 1024 AS w,
+       |         64 + CAST(floor(${TextFns.hash32Sql("text")}/1024.0) AS BIGINT) % 1024 AS h
+       |  FROM documents)
+       |SELECT doc_id, w AS width, h AS height,
+       |  CASE WHEN greatest(w, h) <= 224 THEN w
+       |       ELSE (w*448 + greatest(w, h)) // (2*greatest(w, h)) END AS out_w,
+       |  CASE WHEN greatest(w, h) <= 224 THEN h
+       |       ELSE (h*448 + greatest(w, h)) // (2*greatest(w, h)) END AS out_h
+       |FROM dims ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(meta, mediaDecode, mediaFeatures, frameSample, mediaResize)
 }
