@@ -51,22 +51,20 @@ object Graph {
     */
   def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85,
                maxChunk: Int = MaxAdjChunk, cleanup: Boolean = true): DataFrame = {
-    // the edge relation feeds TWO branches of the adjacency build (the degree
-    // aggregate and the salted join) — deliberately NOT persisted: an
-    // upstream that ends in an exchange (e.g. the co-purchase distinct) is
-    // shared across branches by Spark's ReusedExchange for free, and caching
-    // it measured ~20% slower than letting the exchange be reused
+    // The edge relation feeds TWO branches of the adjacency build (the degree
+    // aggregate and the salted join), and the symmetrizing union means the
+    // caller's pair relation appears FOUR times in that plan. Measured
+    // (round 8, same lesson as the triangle probe): exchange reuse does NOT
+    // collapse those branches here — the upstream distinct re-derived per
+    // copy — so one persist of the O(2|E|) 2-column relation saves the
+    // recomputes (~1 s at sf0.1) AND lets AQE broadcast-convert the degree
+    // attach at runtime (the join now sits ABOVE the cache boundary instead
+    // of inside the to-be-cached adjacency subtree, where
+    // canChangeCachedPlanOutputPartitioning=false pins it to sort-merge).
+    // The blocks are released as soon as the adjacency is materialized.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    // The degree aggregate joins back to the edge relation INSIDE one plan:
-    // both branches bottom out in the upstream's final exchange, which the
-    // single build job shares via ReusedExchange. Persisting deg (or
-    // pre-counting it for an explicit broadcast decision) splits the build
-    // into two jobs and recomputes that upstream — measured ~1 s slower
-    // here than eating the one sort-merge degree join. The SMJ is also the
-    // scale-safe default: inside the cached adjacency subtree AQE cannot
-    // broadcast-convert (canChangeCachedPlanOutputPartitioning=false), and
-    // |V| is unbounded at cluster scale.
+      .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = edges.join(deg, Seq("src"))
       .withColumn("salt", pmod(hash(col("dst")),
@@ -83,8 +81,11 @@ object Graph {
       // of how the build was planned.
       .repartition(col("src"))
       .persist() // lazy — the n count below is the one materialization
-    // ONE scalar to the driver: |V|, read off the persisted chunk relation
+    // ONE scalar to the driver: |V|, read off the persisted chunk relation.
+    // This count materializes adj, so the edge blocks can be released now —
+    // every later consumer reads the (smaller) chunked adjacency cache.
     val n = adj.select(col("src")).distinct().count()
+    edges.unpersist(blocking = false)
     require(n > 0, "pageRank: empty graph")
     var ranks = adj.select(col("src").as("v")).distinct()
       .select(col("v"), lit(1.0 / n).as("rank"))
