@@ -575,6 +575,122 @@ object Analytics {
       |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
   )
 
+  /** TPC-H Q5 shape (local-supplier volume): the cyclic 6-table join —
+    * lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    * non-hierarchical edge `c_nationkey = s_nationkey` closing the cycle.
+    * Plan: the fact shuffles ONCE (the orders equi-join); customer+nation+
+    * region pre-reduce to a region-filtered broadcast, and the supplier
+    * attach is a broadcast join whose condition carries the cycle edge
+    * (`l_suppkey = s_suppkey AND s_nationkey = c_nationkey`) — so the cycle
+    * costs a residual predicate on a broadcast probe, never a second fact
+    * shuffle. Date range cuts ~half the orders before their join.
+    */
+  val tpchQ5 = Q(
+    "q_tpch_q5",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") &&
+            sup("s_nationkey") === dim("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(round(col("revenue"), 6).desc, col("n_name"))
+    },
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY round(revenue, 6) DESC, n_name""".stripMargin
+  )
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS +
+    * NOT EXISTS self-join decorrelation test. The oracle states both
+    * quantifiers as per-row correlated subqueries over lineitem; the engine
+    * must answer them with AGGREGATES, never a per-row re-scan. The synthetic
+    * schema has no receipt/commit dates, so the "problem line" predicate is
+    * `l_returnflag = 'R'` (returned lines) — the decorrelation structure is
+    * unchanged: for an 'F' order, count a supplier's returned lines when the
+    * order has ANOTHER supplier (EXISTS) but NO OTHER supplier with a
+    * returned line (NOT EXISTS).
+    *
+    * Plan shape: both quantifiers collapse into ONE per-order aggregate —
+    * first a map-side-combining dedup to (orderkey, suppkey, had_return)
+    * (each partition emits one row per pair, so the hot-order shuffle is
+    * bounded by distinct pairs, not line count), then per order
+    * `n_supp` / `n_return_supp`; EXISTS ⟺ n_supp > 1, NOT EXISTS ⟺
+    * n_return_supp = 1 (the probing line itself is returned, so its supplier
+    * is the one). The qualifying aggregate joins the returned lines and the
+    * 'F' orders on the SAME key its shuffle already produced, and the
+    * supplier name lookup broadcasts. DuckDB runs the literal correlated
+    * form — decorrelation tested against an engine that decorrelates too.
+    */
+  /** The Q21 decorrelated body, reusable on any (lineitem, orders, supplier)
+    * relations; see the Q's doc for the quantifier-to-aggregate argument.
+    */
+  def suppliersKeptWaiting(li: org.apache.spark.sql.DataFrame,
+                           orders: org.apache.spark.sql.DataFrame,
+                           supplier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // (order, supplier) grain with the "any returned line" flag — the
+    // partial aggregate dedupes map-side before the one shuffle
+    val perPair = li.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("had_r"))
+    val perOrder = perPair.groupBy(col("g_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("had_r")).as("n_r_supp"))
+      .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val fOrders = orders
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val sup = supplier.select(col("s_suppkey"), col("s_name"))
+    l1.join(perOrder, l1("l_orderkey") === perOrder("g_orderkey"))
+      .join(fOrders, l1("l_orderkey") === fOrders("o_orderkey"))
+      .join(broadcast(sup), l1("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val tpchQ21 = Q(
+    "q_tpch_q21",
+    (s, d) => suppliersKeptWaiting(Tables.lineitem(s, d), Tables.orders(s, d),
+      Tables.supplier(s, d)),
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+  )
+
   /** Latest record per key — CDC / changelog COMPACTION: collapse an event
     * log to each key's most recent state. Executed as a partial-aggregable
     * ARGMAX (`max_by` over a zero-padded "(time, id)" string key — portable
@@ -660,5 +776,5 @@ object Analytics {
 
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18, hopWindow, sessionWindow, tpchQ17, latestPerKey, resample)
+    tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, latestPerKey, resample)
 }

@@ -346,6 +346,52 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   )
 
+  /** Cross-document duplicated-shingle coverage: for every document, the
+    * fraction of its distinct bigram shingles that also occur in at least one
+    * OTHER document — the span-level contamination signal RefinedWeb/C4-style
+    * pipelines threshold on before dropping or trimming a page (a document
+    * can be no exact/near dup overall yet be 60% boilerplate shared with the
+    * rest of the crawl).
+    *
+    * Shape: the per-doc distinct shingle relation is materialized ONCE
+    * (localCheckpoint — it feeds the df aggregate AND the join probe, and,
+    * round-8 measured lesson, exchange reuse does not collapse such branches);
+    * shingle document frequency is one count aggregate keyed by shingle; the
+    * df attaches back by equi-join on the SAME shingle key (partitioning
+    * reused, no second wide shuffle), and the per-doc coverage is a final
+    * count/sum aggregate on doc_id. No doc lists are ever collected per
+    * shingle — a hot boilerplate shingle is one counter, never an array —
+    * so the plan has no per-key width hazard at any corpus size.
+    */
+  /** The coverage computation behind `q_dup_coverage`, reusable on any
+    * (doc_id, text) relation; see the Q's doc for the plan rationale.
+    */
+  def duplicatedShingleCoverage(documents: DataFrame): DataFrame = {
+    val sh = TextFns.shingles(documents, 2).localCheckpoint()
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dupCoverage = Q(
+    "q_dup_coverage",
+    (s, d) => duplicatedShingleCoverage(Tables.documents(s, d)),
+    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_frac
+       |FROM sh s JOIN df ON s.sh = df.sh
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+  )
+
   /** Connected components over a near-dup pair graph by iterative min-label
     * propagation (the Pregel/GraphX shape as plain DataFrame ops): every node
     * starts labelled with itself; each round takes the min of its own and its
@@ -652,6 +698,6 @@ object Dedup {
        |ORDER BY s1, s2""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, clusters,
-    decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
+  val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
+    clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
 }

@@ -127,6 +127,137 @@ object TextAnalysis {
       |  FROM documents) ORDER BY doc_id""".stripMargin
   )
 
+  /** MODEL-BASED quality filtering (the GPT-3/LLaMA pipeline stage: train a
+    * tiny classifier against a reference signal, then score the whole
+    * corpus): a LINEAR PROBE fit in CLOSED FORM by ridge-regularized least
+    * squares, distilling the [[langId]] marker heuristic (label =
+    * `m_common >= m_relational`) into dense weights over per-100-token
+    * marker rates. The learned boundary recovers the teacher rule
+    * (w1 ≈ −w2, accuracy 0.988 at sf0.01).
+    *
+    * Distributed discipline is the BPE/IVF "collect only the model"
+    * contract, and — unlike iterated gradient descent, which costs one full
+    * corpus scan PER step — the closed form needs exactly ONE aggregate
+    * over the feature relation: the 9 Gram-matrix/moment sums (X'X, X'y
+    * for bias + 2 features). The 3×3 normal equations are solved by
+    * Cramer's rule on the driver (9 scalars in, 3 weights out; the corpus
+    * never moves), and scoring is a map-side expression any 100 TB scan can
+    * run. More features ⟹ a (k+1)×(k+1) solve — still driver-side scalar
+    * work for any dense probe that fits a prompt, while the corpus-side
+    * plan stays this exact one-aggregate shape.
+    *
+    * Cross-engine parity by construction: features are pre-rounded to 6
+    * decimals, every moment is summed in exact DECIMAL (products of
+    * DECIMAL(18,6) casts — exact at scale 12, so summation order cannot
+    * matter), the Cramer expressions are written with IDENTICAL association
+    * on both engines over the same correctly-rounded double moments, the
+    * weights are rounded to 8 decimals, and the accuracy pass re-scores
+    * with those ROUNDED weights so the reported margin comparisons are a
+    * deterministic function of identical inputs. λ = 1e-6 on the diagonal
+    * pins invertibility without visibly biasing the fit.
+    *
+    * `markerProbe` is the reusable body (any (doc_id, text) relation);
+    * it returns the 4-row (param, value) model relation.
+    */
+  def markerProbe(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val s = documents.sparkSession
+      import org.apache.spark.sql.types.DecimalType
+      val d6 = DecimalType(18, 6)
+      val nTok = size(split(col("text"), " ")).cast("double")
+      def rate(re: String) =
+        round(regexp_count(col("text"), lit("\\b" + re + "\\b")).cast("double") * 100.0 / nTok, 6)
+      val mc = rate("(the|a|fast|slow|small|big)")
+      val mr = rate("(table|row|column|key|join|filter)")
+      val feats = documents.select(
+        when(mc >= mr, 1.0).otherwise(0.0).as("y"),
+        mc.as("x1"), mr.as("x2")
+      ).persist()
+      val x1 = col("x1").cast(d6); val x2 = col("x2").cast(d6); val y = col("y").cast(d6)
+      // ONE pass: the 9 exact-decimal moments of [1, x1, x2] against itself
+      // and against y
+      val r = feats.agg(
+        count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"),
+        sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+        sum(y).as("sy"), sum(y * x1).as("s1y"), sum(y * x2).as("s2y")
+      ).collect()(0)
+      val n = r.getLong(0).toDouble
+      val Seq(s1, s2, s11, s12, s22, sy, s1y, s2y) =
+        (1 to 8).map(i => r.getDecimal(i).doubleValue)
+      val lam = 1e-6
+      // Cramer's rule over A = X'X + λI, b = X'y — association mirrored
+      // EXACTLY by the oracle's SQL expressions
+      def det3(a: Double, b: Double, c: Double, dd: Double, e: Double, f: Double,
+               g: Double, h: Double, i: Double): Double =
+        a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+      val det = det3(n + lam, s1, s2, s1, s11 + lam, s12, s2, s12, s22 + lam)
+      def roundTo(v: Double, scale: Int): Double =
+        BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val w0 = roundTo(det3(sy, s1, s2, s1y, s11 + lam, s12, s2y, s12, s22 + lam) / det, 8)
+      val w1 = roundTo(det3(n + lam, sy, s2, s1, s1y, s12, s2, s2y, s22 + lam) / det, 8)
+      val w2 = roundTo(det3(n + lam, s1, sy, s1, s11 + lam, s1y, s2, s12, s2y) / det, 8)
+      // train accuracy at the regression threshold 0.5, scored with the
+      // ROUNDED weights — one more map-side pass over the cached features
+      val m = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")
+      val acc = feats.agg(round(avg(
+        when((m >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6))
+        .collect()(0).getDouble(0)
+      feats.unpersist(blocking = false)
+      import s.implicits._
+      Seq("accuracy" -> acc, "w0" -> w0, "w1" -> w1, "w2" -> w2)
+        .toDF("param", "value").orderBy("param")
+  }
+
+  val qualityClassifier = Q(
+    "q_quality_classifier",
+    (s, d) => markerProbe(Tables.documents(s, d)),
+    """WITH feat AS (
+      |  SELECT CASE WHEN x1 >= x2 THEN 1.0 ELSE 0.0 END AS y, x1, x2
+      |  FROM (SELECT
+      |    round(CAST(len(regexp_extract_all(text, '\b(the|a|fast|slow|small|big)\b')) AS DOUBLE)
+      |          * 100.0 / len(string_split(text, ' ')), 6) AS x1,
+      |    round(CAST(len(regexp_extract_all(text, '\b(table|row|column|key|join|filter)\b')) AS DOUBLE)
+      |          * 100.0 / len(string_split(text, ' ')), 6) AS x2
+      |  FROM documents)),
+      |mom AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+      |    CAST(sum(CAST(x1 AS DECIMAL(18,6)) * CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s11,
+      |    CAST(sum(CAST(x1 AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s12,
+      |    CAST(sum(CAST(x2 AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s22,
+      |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1y,
+      |    CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2y
+      |  FROM feat),
+      |solved AS (
+      |  SELECT
+      |    (n + 1e-6) * ((s11 + 1e-6) * (s22 + 1e-6) - s12 * s12)
+      |      - s1 * (s1 * (s22 + 1e-6) - s12 * s2)
+      |      + s2 * (s1 * s12 - (s11 + 1e-6) * s2) AS det,
+      |    sy * ((s11 + 1e-6) * (s22 + 1e-6) - s12 * s12)
+      |      - s1 * (s1y * (s22 + 1e-6) - s12 * s2y)
+      |      + s2 * (s1y * s12 - (s11 + 1e-6) * s2y) AS d0,
+      |    (n + 1e-6) * (s1y * (s22 + 1e-6) - s12 * s2y)
+      |      - sy * (s1 * (s22 + 1e-6) - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+      |    (n + 1e-6) * ((s11 + 1e-6) * s2y - s1y * s12)
+      |      - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - (s11 + 1e-6) * s2) AS d2
+      |  FROM mom),
+      |w AS (SELECT round(d0 / det, 8) AS w0, round(d1 / det, 8) AS w1,
+      |             round(d2 / det, 8) AS w2 FROM solved)
+      |SELECT param, value FROM (
+      |  SELECT 'w0' AS param, w0 AS value FROM w
+      |  UNION ALL SELECT 'w1', w1 FROM w
+      |  UNION ALL SELECT 'w2', w2 FROM w
+      |  UNION ALL SELECT 'accuracy',
+      |    (SELECT round(avg(CASE WHEN (w0 + w1 * x1 + w2 * x2 >= 0.5) = (y = 1.0)
+      |                           THEN 1.0 ELSE 0.0 END), 6)
+      |     FROM feat CROSS JOIN w)
+      |) ORDER BY param""".stripMargin
+  )
+
   /** Positional polynomial fingerprint (rolling-hash style), 31-bit-safe:
     * fp = Σ_i (i · (h32(tok_i) mod 2^20)) mod (2^31-1), all arithmetic exactly
     * reproducible in the oracle.
@@ -756,7 +887,8 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, fingerprint, redact,
+  val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, qualityClassifier,
+    fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
     bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate)
 }
