@@ -729,6 +729,124 @@ object Analytics {
       |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
+  /** SCD TYPE-2 HISTORY BUILD — the warehouse companion to
+    * [[latestPerKey]]'s compaction: instead of keeping each key's last state,
+    * version EVERY state change with its validity interval. Consecutive
+    * events with the same `event_type` collapse into one run (CDC feeds
+    * re-deliver unchanged state; a version row must mean an actual change),
+    * each run becomes `(version, event_type, valid_from, valid_to)` with
+    * `valid_to = next run's valid_from` and NULL marking the current row —
+    * the standard effective-dated dimension consumed by point-in-time joins.
+    *
+    * Plan shape: ONE exchange total. The run detection is the gaps-and-
+    * islands pattern — `lag` flags changes and a running sum numbers the
+    * runs, both over the SAME (user_id, k) window so Spark evaluates them in
+    * a single Window operator over a single sort; the per-run aggregate
+    * groups by (user_id, version), which hashpartitioning(user_id) already
+    * clusters, and the `lead` stitching window partitions by user_id again —
+    * so after the first shuffle every downstream step reuses the exchange.
+    * Per-run state is O(1) (min/max/count), never a buffered row list, and
+    * the deterministic (time, event_id) key makes equal-timestamp deliveries
+    * reproducible across engines.
+    */
+  /** The SCD2 body, reusable on any changelog exposing (user_id, event_type,
+    * tus, event_id); see the Q's doc for the single-exchange plan argument.
+    */
+  def scd2History(changelog: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = changelog.select(
+      col("user_id"), col("event_type"), col("tus"),
+      format_string("%020d-%020d", col("tus"), col("event_id")).as("k"))
+    val w = Window.partitionBy("user_id").orderBy("k")
+    val runs = ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val dim = runs.groupBy(col("user_id"), col("version"))
+      .agg(max(col("event_type")).as("event_type"),
+        min(col("tus")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    dim
+      .withColumn("valid_to", lead(col("valid_from"), 1)
+        .over(Window.partitionBy("user_id").orderBy("version")))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2 = Q(
+    "q_scd2",
+    (s, d) => scd2History(Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tus"),
+        col("event_id"))),
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus,
+      |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY k)
+      |                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM ev),
+      |runs AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY k
+      |                           ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |dim AS (
+      |  SELECT user_id, version, max(event_type) AS event_type,
+      |         min(tus) AS valid_from, count(*) AS n_events
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, version, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |       n_events
+      |FROM dim ORDER BY user_id, version""".stripMargin
+  )
+
+  /** TPC-H Q22 shape (high-balance churn): the SCALAR correlated subquery +
+    * anti-join decorrelation test. The oracle states "balance above the
+    * positive-balance average" as a per-row scalar subquery and "no recent
+    * order" as NOT EXISTS; the engine answers the first with ONE 1-row
+    * aggregate broadcast back over the dimension (a broadcast nested-loop
+    * with a 1-row build — never a re-executed subquery) and the second with
+    * a LEFT ANTI hash join against the date-restricted order keys. The
+    * customer dimension is filtered before the anti-join, the orders side
+    * prunes to (o_custkey) after its pushed date filter, and the final
+    * aggregate is a 25-row nation rollup. The classic Q22 phone-prefix
+    * grouping maps to c_nationkey here (the synthetic schema has no phone);
+    * the quantifier structure — scalar subquery, anti quantifier, group —
+    * is Q22's.
+    */
+  val tpchQ22 = Q(
+    "q_tpch_q22",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+    """SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-08-01')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+
   /** Time-series RESAMPLE + FORWARD-FILL — the gap-fill operator of kdb/
     * Timescale pipelines: build each key's hourly grid from the hour-floor
     * of its first event to its last, then carry the most recent observation
@@ -776,5 +894,6 @@ object Analytics {
 
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, latestPerKey, resample)
+    tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, latestPerKey,
+    scd2, resample)
 }
