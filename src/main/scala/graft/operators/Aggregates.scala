@@ -177,5 +177,52 @@ object Aggregates {
       |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram, equidepthBins)
+  /** WINSORIZATION — percentile outlier clipping, the robust-statistics
+    * pre-step of metric pipelines (and of training-data value columns):
+    * per group, clip values into [p05, p95] and report how much was
+    * clipped and the robust mean. Plan: the boundary model is ONE exact-
+    * percentile aggregate producing one tiny row per group (5 here), which
+    * then BROADCASTS back over the fact scan — the clip itself is a
+    * row-local `least(greatest(...))` and the final rollup is an ordinary
+    * hash aggregate, so the fact table is scanned twice and shuffled only
+    * for the 5-row result. Boundaries are rounded to 6 dp BEFORE clipping
+    * so the clip threshold is bit-identical across engines; at 100 TB the
+    * exact percentile swaps for approx_percentile in the same plan (the
+    * equidepth-bins contract).
+    */
+  val winsorize = Q(
+    "q_winsorize",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.05D)"), 6).as("lo"),
+          round(expr("percentile(value, 0.95D)"), 6).as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          round(sum(col("cv").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_clipped"),
+          max(col("lo")).as("p05"), max(col("hi")).as("p95"))
+        .orderBy("event_type")
+    },
+    """WITH b AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+      |         round(quantile_cont(value, 0.95), 6) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  round(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(18,6)))
+      |             AS DOUBLE) / count(*), 6) AS mean_clipped,
+      |  max(b.lo) AS p05, max(b.hi) AS p95
+      |FROM events e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram, equidepthBins,
+    winsorize)
 }

@@ -803,6 +803,75 @@ object Analytics {
       |FROM dim ORDER BY user_id, version""".stripMargin
   )
 
+  /** POINT-IN-TIME (temporal) JOIN — the consumer of [[scd2]]'s versioned
+    * dimension: each fact row picks the dimension version whose validity
+    * interval contains the fact's timestamp (state-at-interaction-time, the
+    * join every feature-store / backtest pipeline needs to avoid leakage).
+    * Facts are the click/view interactions; the dimension is the SCD2
+    * lifecycle history built from the state-changing events
+    * (signup/purchase/error) by the exact [[scd2History]] body — operator
+    * composition, not a re-implementation.
+    *
+    * The oracle states the textbook form: a LEFT join on
+    * `f.tus >= valid_from AND (valid_to IS NULL OR f.tus < valid_to)` — an
+    * INEQUALITY join a naive engine executes as a per-key range scan. The
+    * engine instead runs the NATIVE as-of join on valid_from: because SCD2
+    * intervals tile each key's timeline (valid_to(i) = valid_from(i+1)),
+    * "latest valid_from ≤ tus" IS the containing interval, so the merge is
+    * O(|F| + |D|) per partition after one exchange+sort per side — and
+    * zero-width degenerate runs (equal-timestamp boundaries) drop out
+    * identically: the BETWEEN form can't match an empty interval, the as-of
+    * tiebreak takes the max version at the shared valid_from. Facts before
+    * a key's first version keep NULL state (LEFT semantics both sides).
+    */
+  val pitJoin = Q(
+    "q_pit_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), expr("ts DIV 1000").as("tus"),
+        col("event_id"))
+      val dim = scd2History(
+        ev.filter(col("event_type").isin("signup", "purchase", "error")))
+        .select(col("user_id").as("d_uid"), col("version"),
+          col("event_type").as("state"), col("valid_from"))
+      val facts = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("tus"))
+      graft.plans.AsOfJoin(facts, dim, "user_id", "d_uid", "tus", "valid_from",
+          rightTiebreak = Seq("version"))
+        .select(col("user_id"), col("event_id"), col("tus"),
+          col("state"), col("valid_from").as("state_since"))
+        .orderBy("user_id", "tus", "event_id")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus, event_id,
+      |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k
+      |  FROM events),
+      |st AS (SELECT * FROM ev WHERE event_type IN ('signup', 'purchase', 'error')),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY k)
+      |                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM st),
+      |runs AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY k
+      |                           ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |dim AS (
+      |  SELECT user_id, version, max(event_type) AS state,
+      |         min(tus) AS valid_from
+      |  FROM runs GROUP BY 1, 2),
+      |dim2 AS (
+      |  SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |            AS valid_to
+      |  FROM dim),
+      |facts AS (SELECT user_id, event_id, tus FROM ev
+      |          WHERE event_type IN ('click', 'view'))
+      |SELECT f.user_id, f.event_id, f.tus, d.state, d.valid_from AS state_since
+      |FROM facts f LEFT JOIN dim2 d
+      |  ON f.user_id = d.user_id AND f.tus >= d.valid_from
+      |     AND (d.valid_to IS NULL OR f.tus < d.valid_to)
+      |ORDER BY f.user_id, f.tus, f.event_id""".stripMargin
+  )
+
   /** TPC-H Q22 shape (high-balance churn): the SCALAR correlated subquery +
     * anti-join decorrelation test. The oracle states "balance above the
     * positive-balance average" as a per-row scalar subquery and "no recent
@@ -895,5 +964,5 @@ object Analytics {
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, latestPerKey,
-    scd2, resample)
+    scd2, pitJoin, resample)
 }

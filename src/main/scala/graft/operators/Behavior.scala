@@ -140,5 +140,68 @@ object Behavior {
       |ORDER BY event_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore)
+  /** PER-KEY TREND — closed-form OLS slope/intercept of value over time for
+    * every user, the drift/trend detector behind engagement and metric-
+    * regression monitors. The fit is pure MOMENTS: one hash aggregate
+    * computes (n, Σx, Σy, Σx², Σxy) per key with map-side combine — exact
+    * DECIMAL products so partial-aggregation order cannot move a bit — and
+    * the slope/intercept algebra is a row-local projection on the tiny
+    * per-key result. No window, no sort, no iteration: the whole query is
+    * one shuffle of 9-number rows, the same shape at any scale. Time is
+    * re-based to hours since 2024-01-01 — an offset INSIDE the data's range,
+    * so x is O(activity span) and the Gram denominator n·Σx² − (Σx)² loses
+    * only ~1 digit to cancellation (an epoch far outside the range made x
+    * offset-dominated and amplified the engines' 1-ulp decimal→double cast
+    * disagreement on 20+-digit moments into the 6th decimal — measured, the
+    * round-8 lesson); with hour-scale x the moments stay ≤ 20 significant
+    * digits and cast noise stays at 1e-16 relative. The oracle's product
+    * casts are DECIMAL(19,6) — int128 storage — because DuckDB multiplies
+    * int64-backed DECIMAL(18) pairs in int64 and overflows; zero-variance
+    * keys (single event or identical timestamps) yield NULL fits via the
+    * shared denominator guard, mirrored in the oracle's CASE.
+    */
+  val trend = Q(
+    "q_trend",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        round((expr("ts DIV 1000000000") - lit(1704067200L)) / 3600.0, 6).as("x"),
+        col("value").as("y"))
+      val m = ev.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).cast("double").as("sxy"))
+      val denom = col("n") * col("sxx") - col("sx") * col("sx")
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
+      m.select(
+          col("user_id"), col("n").cast("long").as("n_events"),
+          round(when(denom === 0, lit(null)).otherwise(slope), 6).as("slope"),
+          round(when(denom === 0, lit(null))
+            .otherwise((col("sy") - slope * col("sx")) / col("n")), 6).as("intercept"))
+        .orderBy("user_id")
+    },
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         round((epoch_ns(ts) // 1000000000 - 1704067200) / 3600.0, 6) AS x,
+      |         value AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      |  FROM ev GROUP BY 1)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |             ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+      |  round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |             ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+      |        END, 6) AS intercept
+      |FROM m ORDER BY user_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend)
 }
