@@ -63,6 +63,28 @@ object EventsStream {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("c_nationkey"), col("c_mktsegment"))
 
+  /** STREAM-STATIC POINT-IN-TIME enrichment — the temporal upgrade of
+    * [[enriched]]: each streamed fact picks the SCD2 dimension version whose
+    * validity interval contains the fact's time (state-at-event-time with no
+    * leakage). The dimension broadcasts, so every micro-batch is a row-local
+    * probe — no stream shuffle, no state store, no watermark: against a
+    * static side at most one version can match because SCD2 intervals tile
+    * each key's timeline, and facts before a key's first version keep NULL
+    * state (LEFT). The batch `q_pit_join` computes the same relation through
+    * the native as-of merge; StreamBatchParitySpec pins the two shapes
+    * row-equal. Broadcast is the right posture while the compacted dimension
+    * fits an executor (runs-per-key, far smaller than the log); a
+    * partitioned stream-static join is the fallback when it does not.
+    */
+  def pitEnriched(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(broadcast(dim),
+        facts("user_id") === dim("d_uid") &&
+          facts("tus") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("tus") < dim("valid_to")),
+        "left_outer")
+      .select(facts("user_id"), col("event_id"), col("tus"),
+        col("state"), col("valid_from").as("state_since"))
+
   /** Streaming CDC COMPACTION — the live materialized "latest state per
     * key" table: the SAME partial-aggregable argmax body as the batch
     * `q_latest_per_key` (operators/Analytics.latestState), run as a

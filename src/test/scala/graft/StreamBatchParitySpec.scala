@@ -149,4 +149,44 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(got == want, "stream-static enrichment diverges from the batch join")
     } finally q.stop()
   }
+
+  test("stream-static POINT-IN-TIME enrichment equals the oracle-checked as-of join") {
+    val dir = sf("sf0.01")
+    val staged = Files.createTempDirectory("events-pit-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // the SCD2 dimension builds in batch (it is the static side), with
+    // valid_to retained for the interval predicate
+    val ev = spark.read.parquet(s"$dir/events.parquet").select(
+      col("user_id"), col("event_type"), expr("ts DIV 1000").as("tus"), col("event_id"))
+    val dim = operators.Analytics.scd2History(
+        ev.filter(col("event_type").isin("signup", "purchase", "error")))
+      .select(col("user_id").as("d_uid"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"))
+      .cache()
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tus"))
+    // interval containment vs a broadcast STATIC side: append mode, no
+    // watermark, no state — at most one version matches per fact because
+    // SCD2 intervals tile each key's timeline
+    val q = EventsStream.pitEnriched(stream, dim)
+      .writeStream.format("memory").queryName("pit_file").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+      val got = spark.table("pit_file").collect().map(key).toSet
+      val want = SparkEntry.queries("q_pit_join")(spark, dir).collect().map(key).toSet
+      assert(want.nonEmpty && got.size == want.size,
+        s"row counts differ: stream ${got.size} vs batch ${want.size}")
+      assert(got == want,
+        "stream-static PIT enrichment diverges from the oracle-checked as-of rows")
+    } finally { q.stop(); dim.unpersist(blocking = false) }
+  }
 }
