@@ -651,23 +651,26 @@ object Analytics {
   def suppliersKeptWaiting(li: org.apache.spark.sql.DataFrame,
                            orders: org.apache.spark.sql.DataFrame,
                            supplier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // (order, supplier) grain with the "any returned line" flag — the
-    // partial aggregate dedupes map-side before the one shuffle
+    // (order, supplier) grain carrying BOTH the "any returned line" flag and
+    // the returned-line count — the one partial aggregate answers the
+    // quantifiers AND replaces the probing returned-lines scan (the
+    // correlated form counts per returned LINE, which is exactly n_r), so
+    // lineitem is scanned once, dedup happens map-side before the shuffle
     val perPair = li.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("had_r"))
-    val perOrder = perPair.groupBy(col("g_orderkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("had_r"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
+    val perOrder = perPair.groupBy(col("g_orderkey").as("o_key"))
       .agg(count(lit(1)).as("n_supp"), sum(col("had_r")).as("n_r_supp"))
       .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
-    val l1 = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey"))
     val fOrders = orders
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val sup = supplier.select(col("s_suppkey"), col("s_name"))
-    l1.join(perOrder, l1("l_orderkey") === perOrder("g_orderkey"))
-      .join(fOrders, l1("l_orderkey") === fOrders("o_orderkey"))
-      .join(broadcast(sup), l1("l_suppkey") === sup("s_suppkey"))
+    perPair.filter(col("had_r") === 1)
+      .join(perOrder, col("g_orderkey") === col("o_key"))
+      .join(fOrders, col("g_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("g_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_r")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }
