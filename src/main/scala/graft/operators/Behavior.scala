@@ -203,5 +203,56 @@ object Behavior {
       |FROM m ORDER BY user_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend)
+  /** DISTRIBUTED PREFIX SUM — a global running total in event-time order,
+    * the operator behind balance ledgers, cumulative-traffic curves, and
+    * monotone-counter backfills. The oracle states the textbook global
+    * window (`SUM(...) OVER (ORDER BY k)`) — a single-task, single-pass scan
+    * no cluster engine should execute. The engine runs the classic TWO-LEVEL
+    * SCAN instead: (1) per-hour-bucket exact-decimal sums — one small
+    * aggregate; (2) exclusive per-bucket offsets accumulated driver-side
+    * over that bucket relation ("collect only the model": the offset table
+    * is one row per hour, bounded by time range ÷ granularity, never by
+    * data volume — the BPE/IVF/classifier contract); (3) offsets broadcast
+    * back, running sum WITHIN each bucket (a window partitioned by bucket —
+    * ~n/buckets rows per partition, evenly spread), plus the bucket's
+    * offset. Every arithmetic step is exact DECIMAL until the final
+    * cast+round, so the distributed scan equals the oracle's sequential one
+    * bit for bit. ContractSpec's no-global-window gate passes structurally:
+    * the only Window partitions on the data-dependent bucket key.
+    */
+  val runningTotal = Q(
+    "q_running_total",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), expr("ts DIV 1000").as("tus"), col("value"),
+        format_string("%020d-%020d", expr("ts DIV 1000"), col("event_id")).as("k"),
+        expr("ts DIV 1000 DIV 3600000000").as("b"))
+      val bsums = ev.groupBy(col("b")).agg(sum(dec(col("value"))).as("bs"))
+        .orderBy("b").collect()
+      var acc = java.math.BigDecimal.ZERO
+      val offsets = bsums.map { r =>
+        val o = acc; acc = acc.add(r.getDecimal(1)); (r.getLong(0), o)
+      }.toSeq
+      import s.implicits._
+      val off = offsets.toDF("b", "off")
+        .select(col("b"), col("off").cast(DecimalType(28, 6)).as("off"))
+      val w = Window.partitionBy("b").orderBy("k")
+      ev.join(broadcast(off), Seq("b"))
+        .withColumn("cum", sum(dec(col("value"))).over(w))
+        .select(col("event_id"), col("tus"), col("value"),
+          round((col("off") + col("cum")).cast("double"), 6).as("running_total"))
+        .orderBy("tus", "event_id")
+    },
+    """WITH ev AS (
+      |  SELECT event_id, epoch_ns(ts) // 1000 AS tus, value,
+      |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k
+      |  FROM events)
+      |SELECT event_id, tus, value,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+      |               OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+      |    AS running_total
+      |FROM ev ORDER BY tus, event_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal)
 }
