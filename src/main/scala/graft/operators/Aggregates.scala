@@ -223,6 +223,54 @@ object Aggregates {
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 
+  /** MEDIAN ABSOLUTE DEVIATION — the robust companion to [[winsorize]] and
+    * the z-score family: per group, the median of |value − median|, and the
+    * count of robust outliers (|dev| > 3·1.4826·MAD, the normal-consistent
+    * scaling). Medians are immune to the very outliers being hunted, which
+    * is why monitoring pipelines prefer this over stddev z-scores. Plan:
+    * three passes over the fact relation, each reduced by a broadcast of
+    * the previous TINY boundary model (medians per group → deviations →
+    * MAD per group → threshold count); no pass shuffles the facts — every
+    * aggregate's output is rows-per-group, and both joins broadcast.
+    * Boundary values round to 6 dp before reuse so thresholds are
+    * bit-identical across engines (the winsorize contract).
+    */
+  val mad = Q(
+    "q_mad",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("value") - col("med")))
+      val mads = dev.groupBy("event_type")
+        .agg(max(col("med")).as("med"), count(lit(1)).as("n"),
+          round(expr("percentile(ad, 0.5D)"), 6).as("mad"))
+      dev.join(broadcast(mads.select(col("event_type"), col("mad"))), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .join(mads, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    },
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mads AS (
+      |  SELECT event_type, max(med) AS med, count(*) AS n,
+      |         round(quantile_cont(ad, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, max(m.n) AS n, max(m.med) AS med, max(m.mad) AS mad,
+      |  CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mads m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize)
+    winsorize, mad)
 }
