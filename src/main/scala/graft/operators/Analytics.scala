@@ -694,6 +694,88 @@ object Analytics {
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 
+  /** TPC-H Q16 shape (supplier diversity per part class): the NOT IN
+    * quantifier + multi-attribute COUNT DISTINCT. The oracle excludes
+    * blacklisted suppliers with NOT IN (negative account balance standing in
+    * for Q16's complaints filter — the synthetic schema has no comment
+    * column) and counts DISTINCT remaining suppliers per (brand, type). The
+    * engine answers NOT IN with a LEFT ANTI join against the tiny blacklist
+    * (sound here because s_suppkey is non-null on both sides — the NOT IN
+    * null trap documented where it's dodged), reduces lineitem to distinct
+    * (partkey, suppkey) pairs FIRST (map-side combine bounds hot parts
+    * before any join), then broadcasts the part dimension onto the deduped
+    * pairs for the final two-phase distinct aggregate. The fact table is
+    * shuffled once, at pair grain.
+    */
+  val tpchQ16 = Q(
+    "q_tpch_q16",
+    (s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val part = Tables.part(s, d)
+        .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      pairs
+        .join(bad, pairs("l_suppkey") === bad("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+  )
+
+  /** USER-JOURNEY TRANSITION MATRIX — first-order Markov estimate of
+    * P(next event_type | current event_type): per user, consecutive event
+    * pairs in (time, id) order, then global pair counts normalized by the
+    * source state's outgoing total. One shuffle on user_id for the lag
+    * window, one small aggregate at (from, to) grain (≤ |types|² rows), and
+    * the normalizing totals attach by a window over that TINY grain — never
+    * over the events. The probability divides two exact longs and rounds to
+    * 6 dp on both engines.
+    */
+  val transitions = Q(
+    "q_transitions",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"),
+        format_string("%020d-%020d", expr("ts DIV 1000"), col("event_id")).as("k"))
+      val w = Window.partitionBy("user_id").orderBy("k")
+      val pairs = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tw = Window.partitionBy("from_type")
+      pairs
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(tw), 6))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
+        .orderBy("from_type", "to_type")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY k) AS to_type
+      |  FROM ev),
+      |cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM cnt ORDER BY from_type, to_type""".stripMargin
+  )
+
   /** Latest record per key — CDC / changelog COMPACTION: collapse an event
     * log to each key's most recent state. Executed as a partial-aggregable
     * ARGMAX (`max_by` over a zero-padded "(time, id)" string key — portable
@@ -966,6 +1048,6 @@ object Analytics {
 
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
-    tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, latestPerKey,
-    scd2, pitJoin, resample)
+    tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
+    transitions, latestPerKey, scd2, pitJoin, resample)
 }
