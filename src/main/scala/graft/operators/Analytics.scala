@@ -732,6 +732,36 @@ object Analytics {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 
+  /** SCHEMA-LESS JSON PATH EXTRACTION over a string payload column — the
+    * semi-structured companion to the schema-driven GeoJSON ingest (row 1):
+    * event `props` carry ad-hoc JSON whose shape is NOT declared anywhere,
+    * so the extraction is a per-row path probe (`get_json_object`, codegen'd
+    * row-local — no schema inference pass over the corpus, which at 100 TB
+    * would be a full extra scan). Extracted values cast to their numeric
+    * type feed an ordinary grouped aggregate; malformed or missing paths
+    * become NULLs and are counted, not errors. One scan, one small shuffle.
+    */
+  val jsonProps = Q(
+    "q_json_props",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
   /** USER-JOURNEY TRANSITION MATRIX — first-order Markov estimate of
     * P(next event_type | current event_type): per user, consecutive event
     * pairs in (time, id) order, then global pair counts normalized by the
@@ -1049,5 +1079,5 @@ object Analytics {
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
-    transitions, latestPerKey, scd2, pitJoin, resample)
+    jsonProps, transitions, latestPerKey, scd2, pitJoin, resample)
 }
