@@ -220,29 +220,36 @@ object Behavior {
     * bit for bit. ContractSpec's no-global-window gate passes structurally:
     * the only Window partitions on the data-dependent bucket key.
     */
+  /** The two-level-scan body, reusable on any relation exposing
+    * (event_id, tus, value); see the Q's doc for the plan argument.
+    */
+  def prefixSum(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = ev0.select(
+      col("event_id"), col("tus"), col("value"),
+      format_string("%020d-%020d", col("tus"), col("event_id")).as("k"),
+      expr("tus DIV 3600000000").as("b"))
+    val bsums = ev.groupBy(col("b")).agg(sum(dec(col("value"))).as("bs"))
+      .orderBy("b").collect()
+    var acc = java.math.BigDecimal.ZERO
+    val offsets = bsums.map { r =>
+      val o = acc; acc = acc.add(r.getDecimal(1)); (r.getLong(0), o)
+    }.toSeq
+    val s = ev0.sparkSession
+    import s.implicits._
+    val off = offsets.toDF("b", "off")
+      .select(col("b"), col("off").cast(DecimalType(28, 6)).as("off"))
+    val w = Window.partitionBy("b").orderBy("k")
+    ev.join(broadcast(off), Seq("b"))
+      .withColumn("cum", sum(dec(col("value"))).over(w))
+      .select(col("event_id"), col("tus"), col("value"),
+        round((col("off") + col("cum")).cast("double"), 6).as("running_total"))
+      .orderBy("tus", "event_id")
+  }
+
   val runningTotal = Q(
     "q_running_total",
-    (s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("event_id"), expr("ts DIV 1000").as("tus"), col("value"),
-        format_string("%020d-%020d", expr("ts DIV 1000"), col("event_id")).as("k"),
-        expr("ts DIV 1000 DIV 3600000000").as("b"))
-      val bsums = ev.groupBy(col("b")).agg(sum(dec(col("value"))).as("bs"))
-        .orderBy("b").collect()
-      var acc = java.math.BigDecimal.ZERO
-      val offsets = bsums.map { r =>
-        val o = acc; acc = acc.add(r.getDecimal(1)); (r.getLong(0), o)
-      }.toSeq
-      import s.implicits._
-      val off = offsets.toDF("b", "off")
-        .select(col("b"), col("off").cast(DecimalType(28, 6)).as("off"))
-      val w = Window.partitionBy("b").orderBy("k")
-      ev.join(broadcast(off), Seq("b"))
-        .withColumn("cum", sum(dec(col("value"))).over(w))
-        .select(col("event_id"), col("tus"), col("value"),
-          round((col("off") + col("cum")).cast("double"), 6).as("running_total"))
-        .orderBy("tus", "event_id")
-    },
+    (s, d) => prefixSum(Tables.events(s, d).select(
+      col("event_id"), expr("ts DIV 1000").as("tus"), col("value"))),
     """WITH ev AS (
       |  SELECT event_id, epoch_ns(ts) // 1000 AS tus, value,
       |         printf('%020d-%020d', epoch_ns(ts) // 1000, event_id) AS k
