@@ -732,6 +732,79 @@ object Analytics {
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 
+  /** TPC-H Q12 shape (shipping-priority buckets): CONDITIONAL AGGREGATION —
+    * the per-group CASE sums every BI layer generates. The fact joins orders
+    * on its own key once; the priority split is two row-local CASE sums in
+    * ONE aggregate pass (never two filtered scans), the classic
+    * pivot-without-pivot. l_linestatus stands in for Q12's shipmode (the
+    * synthetic schema has no shipmode); the date-range filter pushes to the
+    * lineitem scan before the join.
+    */
+  val tpchQ12 = Q(
+    "q_tpch_q12",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  )
+
+  /** TPC-H Q19 shape (promo revenue, disjunctive predicates): an OR of three
+    * conjunction groups spanning BOTH join sides — the classic test that an
+    * engine (a) still uses the equi-join key under a disjunctive residual
+    * instead of falling back to a cartesian, and (b) pushes each side's
+    * COMMON predicate factors down to its scan. Here brand/size restrict
+    * part and quantity restricts lineitem inside each branch; Catalyst
+    * factors the join key out of the OR, broadcasts the filtered part dim,
+    * and evaluates the residual disjunction row-locally on the probe.
+    */
+  val tpchQ19 = Q(
+    "q_tpch_q19",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 30)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+          (branch1 || branch2 || branch3))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+  )
+
   /** SCHEMA-LESS JSON PATH EXTRACTION over a string payload column — the
     * semi-structured companion to the schema-driven GeoJSON ingest (row 1):
     * event `props` carry ad-hoc JSON whose shape is NOT declared anywhere,
@@ -1079,5 +1152,5 @@ object Analytics {
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
-    jsonProps, transitions, latestPerKey, scd2, pitJoin, resample)
+    tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample)
 }
