@@ -392,6 +392,42 @@ object Dedup {
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 
+  /** FUZZY ENTITY MATCHING by EDIT DISTANCE with blocking — the
+    * entity-resolution operator (typo'd product names, OCR'd titles,
+    * near-identical vendor strings) that complements the token/shingle
+    * dedup family with CHARACTER-level similarity. Shape: names first
+    * dedupe to the DISTINCT-string grain (a hash aggregate bounded by
+    * vocabulary, not row count — at 100 TB the fact table never self-joins),
+    * then candidates come from an EQUI-join on a blocking key (the head
+    * noun here; any cheap canonical fragment works) and only blocked pairs
+    * pay the O(len²) levenshtein, evaluated row-locally. The all-pairs
+    * quadratic comparison never appears in the plan — same discipline as
+    * MinHash banding and SimHash blocks, with edit distance as the verify
+    * metric instead of Jaccard/Hamming.
+    */
+  val fuzzyMatch = Q(
+    "q_fuzzy_match",
+    (s, d) => {
+      val t = Tables.part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name"), element_at(split(col("p_name"), " "), 2).as("noun"))
+      val a = t.select(col("p_name").as("n1"), col("noun"))
+      val b = t.select(col("p_name").as("n2"), col("noun"))
+      a.join(b, Seq("noun"))
+        .filter(col("n1") < col("n2") &&
+          levenshtein(col("n1"), col("n2")) <= 2)
+        .select(col("n1"), col("n2"),
+          levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+        .orderBy("n1", "n2")
+    },
+    """WITH n AS (SELECT DISTINCT p_name FROM part),
+      |t AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM n)
+      |SELECT a.p_name AS n1, b.p_name AS n2,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM t a JOIN t b ON a.noun = b.noun
+      |WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY n1, n2""".stripMargin
+  )
+
   /** Connected components over a near-dup pair graph by iterative min-label
     * propagation (the Pregel/GraphX shape as plain DataFrame ops): every node
     * starts labelled with itself; each round takes the min of its own and its
@@ -699,5 +735,5 @@ object Dedup {
   )
 
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
-    clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
+    fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
 }
