@@ -61,6 +61,35 @@ object Aggregates {
     rollupSql
   )
 
+  /** CUBE over (region, market segment) — all four grouping combinations in
+    * one Expand-based pass (the [[rollup_]] family completed: ROLLUP walks
+    * the hierarchy prefix, CUBE the full power set; GROUPING SETS below is
+    * the explicit form). Same dialect-shared SQL route and 'ALL' coalescing
+    * as ROLLUP, for the same self-join-detection reason.
+    */
+  private val cubeSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(c_mktsegment, 'ALL') AS segment,
+      |count(*) AS n_orders,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY 1, 2""".stripMargin
+
+  val cube_ = Q(
+    "q_cube",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql(cubeSql)
+    },
+    cubeSql
+  )
+
   /** Pivot event counts per user bucket — Spark's `.pivot()` with explicit
     * values; the oracle is the portable conditional-aggregation form (which is
     * also exactly what Catalyst rewrites pivot into).
@@ -271,6 +300,6 @@ object Aggregates {
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(percentiles, rollup_, pivot_, groupingSets, histogram, equidepthBins,
+  val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
     winsorize, mad)
 }

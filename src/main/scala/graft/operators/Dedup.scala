@@ -392,6 +392,70 @@ object Dedup {
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 
+  /** ASYMMETRIC CONTAINMENT scoring — the EXCERPT detector Jaccard
+    * structurally misses: a short document fully quoted inside a long one
+    * scores shared/min(|A|,|B|) ≈ 1 while its Jaccard stays ≈ |A|/|B| ≈ 0
+    * (the union washes the overlap out), so symmetric near-dup passes keep
+    * both copies and the training set still memorizes the excerpt. Same
+    * df-capped shingle blocking and bounded doc-list pair generation as
+    * [[ngramJaccard]] (no self-join, no all-pairs); only the verify metric
+    * changes, and the output names WHICH side is the contained one (the
+    * smaller set, ties to the lower doc_id) — that is the copy a pipeline
+    * drops or attributes.
+    */
+  val containment = Q(
+    "q_containment",
+    (s, d) => {
+      val cap = 100
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"))).as("sh"))
+      val docList =
+        if (s.catalog.functionExists("graft_topk"))
+          expr(s"transform(graft_topk(cast(doc_id as double), doc_id, ${cap + 1})," +
+            " x -> x.id)")
+        else expr("collect_set(doc_id)")
+      val capped = sh
+        .groupBy("sh")
+        .agg(docList.as("docs"))
+        .filter(size(col("docs")) <= cap)
+        .select("docs")
+        .localCheckpoint()
+      val shn = capped.select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = capped
+        .select(explode(expr(
+          "flatten(transform(docs, (x, i) -> transform(slice(docs, i + 2, size(docs))," +
+            " y -> struct(least(x, y) as d1, greatest(x, y) as d2))))")).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5L)
+      val cont = round(col("shared").cast("double") / least(col("n1"), col("n2")), 6)
+      pairs
+        .join(shn.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(shn.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .filter(cont >= 0.8)
+        .select(col("d1"), col("d2"), col("shared").as("shared_shingles"),
+          cont.as("containment"),
+          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained_doc"))
+        .orderBy("d1", "d2")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(2, maxDf = Some(100))}),
+       |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS shared
+       |  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT d1, d2, CAST(shared AS BIGINT) AS shared_shingles,
+       |       round(CAST(shared AS DOUBLE) / least(n1.n, n2.n), 6) AS containment,
+       |       CASE WHEN n1.n <= n2.n THEN d1 ELSE d2 END AS contained_doc
+       |FROM pairs JOIN shn n1 ON n1.doc_id = d1 JOIN shn n2 ON n2.doc_id = d2
+       |WHERE round(CAST(shared AS DOUBLE) / least(n1.n, n2.n), 6) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  )
+
   /** FUZZY ENTITY MATCHING by EDIT DISTANCE with blocking — the
     * entity-resolution operator (typo'd product names, OCR'd titles,
     * near-identical vendor strings) that complements the token/shingle
@@ -735,5 +799,5 @@ object Dedup {
   )
 
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
-    fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
+    containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
 }
