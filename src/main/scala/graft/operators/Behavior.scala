@@ -261,5 +261,41 @@ object Behavior {
       |FROM ev ORDER BY tus, event_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal)
+  /** SEQUENCE GAP DETECTION — the data-quality REPORT counterpart to
+    * `q_resample`'s forward-fill: instead of repairing missing periods, name
+    * them. Per key, the distinct active hours collapse to one row per hour
+    * (row-local hour truncation + one distinct aggregate), and a lag window
+    * over that ALREADY-REDUCED relation emits a row per gap (prev+1 ..
+    * hr−1). The window runs over hours-per-user — bounded by the calendar,
+    * not the event volume — so the plan's wide work is just the distinct's
+    * one shuffle; pure integer hour indices end to end, nothing to round.
+    */
+  val gaps = Q(
+    "q_gaps",
+    (s, d) => {
+      val hrs = Tables.events(s, d)
+        .select(col("user_id"), expr("ts DIV 1000 DIV 3600000000").as("hr"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("hr")
+      hrs.withColumn("prev", lag(col("hr"), 1).over(w))
+        .filter(col("prev").isNotNull && col("hr") - col("prev") > 1)
+        .select(col("user_id"), (col("prev") + 1).as("gap_start_hr"),
+          (col("hr") - 1).as("gap_end_hr"), (col("hr") - col("prev") - 1).as("gap_hours"))
+        .orderBy("user_id", "gap_start_hr")
+    },
+    """WITH hrs AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 3600000000 AS hr
+      |  FROM events),
+      |lagged AS (
+      |  SELECT user_id, hr,
+      |         lag(hr) OVER (PARTITION BY user_id ORDER BY hr) AS prev
+      |  FROM hrs)
+      |SELECT user_id, prev + 1 AS gap_start_hr, hr - 1 AS gap_end_hr,
+      |       hr - prev - 1 AS gap_hours
+      |FROM lagged WHERE prev IS NOT NULL AND hr - prev > 1
+      |ORDER BY user_id, gap_start_hr""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
+    gaps)
 }
