@@ -52,7 +52,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Routes.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.Pq.all ++ operators.Multimodal.all ++
-      operators.Analytics.all ++ operators.Skew.all ++ operators.Aggregates.all ++
+      operators.Analytics.all ++ operators.Tpch.all ++
+      operators.Skew.all ++ operators.Aggregates.all ++
       operators.Sampling.all ++ operators.Behavior.all ++ operators.Graph.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
