@@ -229,7 +229,12 @@ object Tpch {
     * 0.5 * p_retailprice (the schema has no partsupp) — the amount
     * expression keeps Q9's exact form `rev - cost * qty`, computed in
     * double and cast to decimal ONCE, row-locally, before the aggregate.
-    * The part filter broadcasts; lineitem ⋈ orders is the one fact shuffle.
+    * The amount needs per-line (retailprice, qty, rev) together, so the
+    * part join can't pre-reduce — and a %pattern% filter keeps ~1/25 of a
+    * table that is fact-sized at 100 TB, so it carries NO broadcast hint:
+    * statically it's a shuffled equi-join on l_partkey, and AQE is free to
+    * broadcast when the filtered side measures small (as it does at test
+    * SF). lineitem ⋈ orders is the other fact shuffle.
     */
   val tpchQ9 = Q(
     "q_tpch_q9",
@@ -243,7 +248,7 @@ object Tpch {
         .select(col("s_suppkey"), col("nation"))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
       Tables.lineitem(s, d)
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .select(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"),
@@ -303,12 +308,16 @@ object Tpch {
   )
 
   /** TPC-H Q11 shape (important stock): grouped value with HAVING above a
-    * scalar-subquery fraction of the total. The filtered candidate relation
-    * is built once; the total is a 1-row aggregate over it, broadcast back
-    * as a cross join (the sanctioned 1-row crossJoin shape) — the threshold
-    * comparison runs in double on both engines over identical decimal sums,
-    * so the cut is bit-deterministic. Inventory-value surrogate:
-    * 0.5 * p_retailprice * l_quantity per supplied line.
+    * scalar-subquery fraction of the total. The nation-filtered fact
+    * pre-aggregates to part grain BEFORE touching the part table — at 100 TB
+    * part is itself fact-sized, so the join runs at part grain (one reduced
+    * shuffle), never as a broadcast of an unfiltered dimension. Quantity
+    * sums are integer-exact in double, so `0.5 * retailprice * qty_sum` is
+    * bit-identical on both engines before the single decimal cast. The
+    * total is a 1-row aggregate broadcast back as a cross join (the
+    * sanctioned 1-row crossJoin shape); the threshold comparison runs in
+    * double over identical decimals, so the cut is bit-deterministic.
+    * Inventory-value surrogate: 0.5 * p_retailprice * shipped quantity.
     */
   val tpchQ11 = Q(
     "q_tpch_q11",
@@ -317,13 +326,16 @@ object Tpch {
         .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))
-      val vals = Tables.lineitem(s, d)
+      val perPart = Tables.lineitem(s, d)
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey").as("ps_partkey"))
-        .agg(sum((lit(0.5) * col("p_retailprice") * col("l_quantity"))
-          .cast(DecimalType(18, 6))).as("value_dec"))
+        .agg(sum(col("l_quantity")).as("qty_sum"))
+      val vals = perPart
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_retailprice")),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("ps_partkey"),
+          (lit(0.5) * col("p_retailprice") * col("qty_sum"))
+            .cast(DecimalType(18, 6)).as("value_dec"))
       val total = vals.agg(sum(col("value_dec")).cast("double").as("total_val"))
       vals.crossJoin(broadcast(total))
         .filter(col("value_dec").cast("double") > col("total_val") * 0.001)
@@ -331,12 +343,14 @@ object Tpch {
         .orderBy(round(col("value"), 6).desc, col("ps_partkey"))
     },
     """WITH vals AS (
-      |  SELECT l_partkey AS ps_partkey,
-      |         sum(CAST(0.5 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS value_dec
-      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |  JOIN part ON l_partkey = p_partkey
-      |  JOIN nation ON s_nationkey = n_nationkey
-      |  WHERE n_name = 'NATION_7' GROUP BY 1)
+      |  SELECT ps_partkey,
+      |         CAST(0.5 * p_retailprice * qty_sum AS DECIMAL(18,6)) AS value_dec
+      |  FROM (
+      |    SELECT l_partkey AS ps_partkey, sum(l_quantity) AS qty_sum
+      |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = 'NATION_7' GROUP BY 1)
+      |  JOIN part ON ps_partkey = p_partkey)
       |SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value FROM vals
       |WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM vals)
       |ORDER BY round(CAST(value_dec AS DOUBLE), 6) DESC, ps_partkey""".stripMargin
@@ -372,32 +386,41 @@ object Tpch {
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 
-  /** TPC-H Q14 shape (promotion effect): the single-pass conditional ratio —
-    * promo revenue over total revenue in one aggregate (CASE in the
-    * numerator, same rows in the denominator), part type broadcast onto the
-    * month-windowed lineitem scan. One row out.
+  /** TPC-H Q14 shape (promotion effect): the conditional ratio — promo
+    * revenue over total revenue, CASE in the numerator of the SAME aggregate
+    * as the denominator. The month-windowed fact pre-aggregates to part
+    * grain first (decimal revenue per part — decimal addition is
+    * associative, so regrouping is exact), THEN joins part at part grain:
+    * at 100 TB part is fact-sized, and this shape joins it against an
+    * already-reduced relation instead of broadcasting an unfiltered
+    * dimension onto every line.
     */
   val tpchQ14 = Q(
     "q_tpch_q14",
     (s, d) => {
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
-      Tables.lineitem(s, d)
+      val perPart = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(rev.cast(DecimalType(18, 6))).as("rev_dec"))
+      perPart
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))
-            .cast(DecimalType(18, 6))).cast("double") /
-          sum(rev.cast(DecimalType(18, 6))).cast("double"), 6).as("promo_revenue"))
+          sum(when(col("p_type") === "PROMO", col("rev_dec")).otherwise(lit(0))).cast("double") /
+          sum(col("rev_dec")).cast("double"), 6).as("promo_revenue"))
     },
-    """SELECT round(100.0 *
-      |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)
-      |                     ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-      |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
-      |  AS promo_revenue
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+    """WITH perpart AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01'
+      |  GROUP BY 1)
+      |SELECT round(100.0 *
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_dec ELSE 0 END) AS DOUBLE)
+      |  / CAST(sum(rev_dec) AS DOUBLE), 6) AS promo_revenue
+      |FROM perpart JOIN part ON l_partkey = p_partkey""".stripMargin
   )
 
   /** TPC-H Q15 shape (top supplier): aggregate feeding a max-equality scalar
