@@ -544,5 +544,90 @@ object Similarity {
       |FROM err GROUP BY label ORDER BY label""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats, embedQuant)
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack/Clarke/Büttcher):
+    * fuse a lexical BM25 ranking and a dense cosine ranking of the same
+    * corpus — the standard modern-retrieval recipe (sparse catches exact
+    * terms, dense catches paraphrase; RRF needs no score calibration
+    * because it only consumes RANKS): rrf(d) = Σ_legs 1/(60 + rank_leg(d)).
+    *
+    * Scale shape: each leg reduces to its top-50 FIRST — BM25 via the
+    * broadcast-term-stats pipeline (TextAnalysis.bm25Scores) and cosine via
+    * a 1-row broadcast query vector over one corpus scan — both ending in
+    * TakeOrderedAndProject (per-partition heaps, no global sort). The rank
+    * windows then run ABOVE the Limits, over ≤50 rows each (the sanctioned
+    * foldable-partition window shape), and the fusion join is 50×50. Nothing
+    * after the two top-k reductions grows with corpus size.
+    */
+  val hybridRrf = Q(
+    "q_hybrid_rrf",
+    (s, d) => {
+      val rrfK = 60
+      val lex50 = TextAnalysis.bm25Scores(
+          Tables.documents(s, d).filter(col("doc_id") >= NQ),
+          Seq("spark", "join", "hash"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), sqrt(VecFns.sqNorm(col("embedding"))).as("qnorm"))
+      val dense50 = Tables.embeddings(s, d).filter(col("vec_id") >= NQ)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("c_id"),
+          round(VecFns.dot(col("qe"), col("embedding")) /
+            (col("qnorm") * sqrt(VecFns.sqNorm(col("embedding")))), 6).as("score"))
+        .orderBy(col("score").desc, col("c_id")).limit(50)
+        .withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("c_id"))))
+      lex50.join(dense50, col("doc_id") === col("c_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("c_id")).as("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6).as("rrf"),
+          coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+          coalesce(col("dense_rank"), lit(0)).cast("long").as("dense_rank"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(split(text, ' ')) AS w FROM documents WHERE doc_id >= 5),
+      |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(sum(len) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('spark','join','hash') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      ln((n_docs - df + 0.5E0) / (df + 0.5E0) + 1.0E0) *
+      |      tf * 2.2E0 / (tf + 1.2E0 * (0.25E0 + 0.75E0 * len / avgdl)), 9) AS DECIMAL(18,9)) AS c
+      |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |lex50 AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM (
+      |    SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+      |    FROM contrib GROUP BY doc_id
+      |    ORDER BY round(CAST(sum(c) AS DOUBLE), 6) DESC, doc_id LIMIT 50)),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |sums AS (
+      |  SELECT vec_id AS c_id,
+      |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+      |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+      |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+      |  FROM (SELECT vec_id, unnest(qe) AS qx, unnest(embedding) AS cx
+      |        FROM embeddings, qv WHERE vec_id >= 5)
+      |  GROUP BY 1),
+      |dense50 AS (
+      |  SELECT c_id, row_number() OVER (ORDER BY score DESC, c_id) AS dense_rank FROM (
+      |    SELECT c_id, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS score FROM sums
+      |    ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, c_id LIMIT 50))
+      |SELECT COALESCE(l.doc_id, de.c_id) AS doc_id,
+      |  round(COALESCE(1.0/(60 + lex_rank), 0) + COALESCE(1.0/(60 + dense_rank), 0), 6) AS rrf,
+      |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+      |  CAST(COALESCE(dense_rank, 0) AS BIGINT) AS dense_rank
+      |FROM lex50 l FULL OUTER JOIN dense50 de ON l.doc_id = de.c_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats,
+    embedQuant, hybridRrf)
 }

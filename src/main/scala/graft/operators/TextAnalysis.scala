@@ -723,30 +723,38 @@ object TextAnalysis {
     * state grows with corpus size. Per-term contributions are rounded to
     * 9 dp and summed as DECIMAL so the score is partitioning-invariant.
     */
+  /** The BM25 scoring body (Robertson/Spärck Jones, k1=1.2 b=0.75), reusable
+    * over any (doc_id, text) relation: returns one (doc_id, bm25) row per
+    * document containing at least one query term. See q_bm25's doc for the
+    * scale shape; q_hybrid_rrf reuses this as its lexical leg.
+    */
+  def bm25Scores(docs: org.apache.spark.sql.DataFrame, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dl.agg(
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val qtoks = toks.filter(col("w").isin(terms: _*))
+    val tf = qtoks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(dfRel), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))), 9)
+          .cast("decimal(18,9)").as("c"))
+    contrib.groupBy("doc_id")
+      .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+  }
+
   val bm25 = Q(
     "q_bm25",
     (s, d) => {
-      val terms = Seq("spark", "join", "hash")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val stats = dl.agg(
-        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"),
-        count(lit(1)).as("n_docs"))
-      val qtoks = toks.filter(col("w").isin(terms: _*))
-      val tf = qtoks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfRel = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(dfRel), Seq("w"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          round(
-            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-              col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))), 9)
-            .cast("decimal(18,9)").as("c"))
-      contrib.groupBy("doc_id")
-        .agg(round(sum(col("c")).cast("double"), 6).as("bm25"))
+      bm25Scores(Tables.documents(s, d), Seq("spark", "join", "hash"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(50)
     },

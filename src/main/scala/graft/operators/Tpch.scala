@@ -124,46 +124,56 @@ object Tpch {
   )
 
   /** TPC-H Q7 shape (volume shipping): the two-fact join with BOTH join
-    * graph legs carrying a nation attribute — supplier nation from the
-    * lineitem side, customer nation through orders. The pair predicate
-    * (either direction) filters at the broadcast probes; the only fact-fact
-    * shuffle is lineitem ⋈ orders on the order key. Year comes off
-    * l_shipdate row-locally.
+    * graph legs carrying a geography attribute — supplier side from the
+    * lineitem leg, customer side through orders. Region pair rather than
+    * Q7's nation pair (the sf0.001 fixture has only 10 suppliers, so any
+    * single nation pair can be empty; the two-sided pair-predicate shape is
+    * identical). The pair filter runs at the broadcast probes; the only
+    * fact-fact shuffle is lineitem ⋈ orders on the order key. Year comes
+    * off l_shipdate row-locally.
     */
   val tpchQ7 = Q(
     "q_tpch_q7",
     (s, d) => {
-      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-      val sup = Tables.supplier(s, d).join(n1, col("s_nationkey") === col("sn_key"))
-        .select(col("s_suppkey"), col("supp_nation"))
-      val cust = Tables.customer(s, d).join(n2, col("c_nationkey") === col("cn_key"))
-        .select(col("c_custkey"), col("cust_nation"))
+      val supR = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_regionkey").as("sr_key"))),
+          col("s_nationkey") === col("sn_key"))
+        .join(broadcast(Tables.region(s, d).select(col("r_regionkey").as("sr_rkey"), col("r_name").as("supp_region"))),
+          col("sr_key") === col("sr_rkey"))
+        .select(col("s_suppkey"), col("supp_region"))
+      val custR = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d).select(col("r_regionkey").as("cr_rkey"), col("r_name").as("cust_region"))),
+          col("cr_key") === col("cr_rkey"))
+        .select(col("c_custkey"), col("cust_region"))
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), rev.as("volume"))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
+        .join(broadcast(supR), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_region") === "AMERICA" && col("cust_region") === "ASIA") ||
+          (col("supp_region") === "ASIA" && col("cust_region") === "AMERICA"))
+        .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(dsum(col("volume")).as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
     },
-    """SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue FROM (
-      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    """SELECT supp_region, cust_region, l_year, CAST(sum(volume) AS DOUBLE) AS revenue FROM (
+      |  SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
       |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
       |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
       |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
       |  JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |  WHERE ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+      |      OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1998-01-01')
       |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
@@ -323,7 +333,7 @@ object Tpch {
     "q_tpch_q11",
     (s, d) => {
       val supN = Tables.supplier(s, d)
-        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+        .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 3)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val perPart = Tables.lineitem(s, d)
@@ -349,7 +359,7 @@ object Tpch {
       |    SELECT l_partkey AS ps_partkey, sum(l_quantity) AS qty_sum
       |    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |    JOIN nation ON s_nationkey = n_nationkey
-      |    WHERE n_name = 'NATION_7' GROUP BY 1)
+      |    WHERE n_regionkey = 3 GROUP BY 1)
       |  JOIN part ON ps_partkey = p_partkey)
       |SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value FROM vals
       |WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM vals)
