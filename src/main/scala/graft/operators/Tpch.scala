@@ -436,9 +436,14 @@ object Tpch {
   /** TPC-H Q15 shape (top supplier): aggregate feeding a max-equality scalar
     * join — the "view + scalar subquery" pattern. Per-supplier revenue is
     * kept as EXACT decimal for the max comparison (cast to double only at
-    * output), so the winner is bit-deterministic on both engines; the 1-row
-    * max broadcasts back over the same aggregate (exchange reuse — the rev
-    * relation is computed once).
+    * output), so the winner is bit-deterministic on both engines. The rev
+    * relation feeds both the scalar max and the final join; exchange reuse
+    * demonstrably fails here (the join branch acquires an isnotnull on its
+    * equality key, de-canonicalizing the two aggregate subplans → lineitem
+    * scanned twice), so revs is localCheckpointed — the repo convention for
+    * multi-consumer mid-plan relations where reuse fails. It materializes
+    * at SUPPLIER grain (bounded at any corpus scale); lineitem is scanned
+    * once (TpchPlanSpec pins it).
     */
   val tpchQ15 = Q(
     "q_tpch_q15",
@@ -448,6 +453,7 @@ object Tpch {
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(rev.cast(DecimalType(18, 6))).as("total_rev_dec"))
+        .localCheckpoint()
       val mx = revs.agg(max(col("total_rev_dec")).as("max_rev"))
       Tables.supplier(s, d)
         .join(revs, col("s_suppkey") === col("supplier_no"))
