@@ -129,7 +129,8 @@ class GeoJsonTable(options: CaseInsensitiveStringMap)
 class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
@@ -139,6 +140,16 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   private var geomKeep: Option[Set[String]] = None
   private var geomNonNull = false
   private var countStar = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, PARTIAL (per-document): each partition reader stops
+    * pulling from the streaming JSON parser after `limit` matching features
+    * — a LIMIT 10 over a million-feature document parses ~10 features, not
+    * the file. Declared partial so Spark keeps its global Limit above the
+    * scan (several documents each emit up to `limit` rows).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** COUNT(*) pushdown (Spark only offers an aggregate here when every
     * filter was fully pushed, which this builder guarantees for the shapes
@@ -196,7 +207,7 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
     if (countStar)
       new GeoJsonCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn)
     else
-      new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, gk, gnn)
+      new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, gk, gnn, limit)
   }
 }
 
@@ -252,7 +263,8 @@ class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
 class GeoJsonScan(paths: Seq[String], required: StructType,
                   fileKeep: Option[Set[String]] = None,
                   geomKeep: Option[Set[String]] = None,
-                  geomNonNull: Boolean = false)
+                  geomNonNull: Boolean = false,
+                  limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -308,10 +320,11 @@ class GeoJsonScan(paths: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(required, geomKeep, geomNonNull)
+    new GeoJsonReaderFactory(required, geomKeep, geomNonNull, limit)
   override def description(): String =
     s"GeoJsonScan docs=${prunedPaths.size}/${paths.size}" +
-      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}")
+      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}") +
+      limit.fold("")(l => s" limit=$l")
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(paths.size == 1,
@@ -496,11 +509,12 @@ class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, task
 
 class GeoJsonReaderFactory(required: StructType,
                            geomKeep: Option[Set[String]] = None,
-                           geomNonNull: Boolean = false)
+                           geomNonNull: Boolean = false,
+                           limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required,
-      geomKeep, geomNonNull)
+      geomKeep, geomNonNull, limit)
 }
 
 /** Parses one document and streams its features as InternalRows, building
@@ -543,8 +557,14 @@ private[sources] object GeoJsonFeatures {
 
 class GeoJsonPartitionReader(path: String, required: StructType,
                              geomKeep: Option[Set[String]] = None,
-                             geomNonNull: Boolean = false)
+                             geomNonNull: Boolean = false,
+                             limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  // rows emitted so far — the pushed-limit cap. The features iterator is a
+  // STREAMING parse (Jackson pull parser), so refusing to advance past the
+  // cap stops reading the document, not just building rows.
+  private var emitted = 0L
 
   private val fileName = path.split('/').last
   private val features: Iterator[(JsonNode, Long)] =
@@ -599,9 +619,12 @@ class GeoJsonPartitionReader(path: String, required: StructType,
   }
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     while (features.hasNext) {
       val (f, i) = features.next()
-      if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) { current = toRow(f, i); return true }
+      if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) {
+        current = toRow(f, i); emitted += 1; return true
+      }
     }
     false
   }

@@ -167,6 +167,32 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(df.select("feature_idx").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
   }
 
+  test("LIMIT pushes into the scan: the reader stops parsing at the cap") {
+    val doc = tmpFile("many.json",
+      s"""{"type": "FeatureCollection", "features": [${Seq.fill(6)(feature).mkString(",")}]}""")
+    val df = spark.read.format("geojson").load(doc).limit(2)
+    assert(df.count() == 2)
+    // the pushed cap is visible on the scan; Spark's global Limit stays
+    // above it (partial pushdown — several documents each emit up to N)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=2"), s"expected pushed limit in:\n$plan")
+    // reader-level: the cap stops the STREAMING parse, not just row
+    // building — next() refuses to advance once the cap is reached
+    val reader = new graft.sources.GeoJsonPartitionReader(
+      doc, graft.sources.GeoJsonDataSource.Schema, limit = Some(2))
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 2, s"reader emitted $n rows past its cap")
+    // limit composes with a pushed reader filter: the cap counts MATCHING
+    // features (Spark's own limit would otherwise see too few rows)
+    val mixed = tmpFile("mixed_lim.json",
+      s"""{"type": "FeatureCollection", "features": [$pointFeature, $feature, $pointFeature, $feature, $feature]}""")
+    val filtered = spark.read.format("geojson").load(mixed)
+      .filter(col("geometry_type") === "LineString").limit(2)
+    assert(filtered.count() == 2)
+    assert(filtered.select("geometry_type").collect().forall(_.getString(0) == "LineString"))
+  }
+
   test("COUNT(*) pushes into the scan: tallied during parse, no rows materialized") {
     val a = tmpFile("c1.json", s"""{"type": "FeatureCollection", "features": [$feature, $feature]}""")
     val b = tmpFile("c2.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
