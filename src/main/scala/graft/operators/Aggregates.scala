@@ -300,6 +300,33 @@ object Aggregates {
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 
+  /** Ordered LIST aggregation (SQL string_agg / listagg — the reporting
+    * surface every BI layer expects): per-nation roster as a
+    * deterministically ordered, delimiter-joined string. Engine shape:
+    * collect_list (partial-aggregable, arrives unordered) + ONE row-local
+    * array_sort before the join — the orderless-shuffle-then-local-sort
+    * contract that makes the result partitioning-invariant without a sorted
+    * shuffle. Scale note: list aggregation is only safe on BOUNDED groups
+    * (a roster, a top-k output, an enum); for unbounded groups the bounded
+    * `graft_topk` aggregate (22g) is the right tool — this query documents
+    * that boundary.
+    */
+  val stringAgg = Q(
+    "q_string_agg",
+    (s, d) => {
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_supp"),
+          concat_ws(",", array_sort(collect_list(col("s_name")))).as("members"))
+        .orderBy(col("n_name"))
+    },
+    """SELECT n_name, count(*) AS n_supp,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS members
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize, mad)
+    winsorize, mad, stringAgg)
 }

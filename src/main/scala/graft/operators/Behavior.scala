@@ -296,6 +296,44 @@ object Behavior {
       |ORDER BY user_id, gap_start_hr""".stripMargin
   )
 
+  /** Rolling 7-day MEDIAN per user (RANGE frame) — the robust counterpart to
+    * q_moving_avg's mean: medians shrug off the value spikes that drag a
+    * mean, which is why monitoring pipelines prefer them. Same scale shape
+    * as the moving average (one shuffle on user_id, linear frame walk), but
+    * the aggregate is the exact interpolated percentile over the frame —
+    * order-insensitive by construction (a multiset statistic), so no
+    * decimal-sum contract is needed; the interpolation result is rounded to
+    * 6 dp on both engines. At 100 TB grain the frame percentile recomputes
+    * per row — the documented trade for exactness; an approx-sketch frame
+    * (22h machinery) slots into the same window when that is acceptable.
+    * Event stream thinned by the deterministic user sample so the fixture
+    * keeps multi-row frames without 60k output rows.
+    */
+  val rollingMedian = Q(
+    "q_rolling_median",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts DIV 1000000000").as("tsec"))
+      val w = Window.partitionBy("user_id").orderBy("tsec")
+        .rangeBetween(-604800L, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("tsec"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("med_7d"))
+        .orderBy("event_id")
+    },
+    """WITH ev AS (
+      |  SELECT event_id, user_id, value, epoch_ns(ts) // 1000000000 AS tsec
+      |  FROM events WHERE user_id % 7 = 0),
+      |w AS (
+      |  SELECT event_id, user_id, tsec,
+      |    quantile_cont(value, 0.5) OVER
+      |      (PARTITION BY user_id ORDER BY tsec RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS med
+      |  FROM ev)
+      |SELECT event_id, user_id, tsec, round(med, 6) AS med_7d
+      |FROM w ORDER BY event_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps)
+    gaps, rollingMedian)
 }

@@ -182,6 +182,45 @@ object Sampling {
        |FROM rk WHERE rank <= 3 ORDER BY source, rank""".stripMargin
   )
 
+  /** TEMPERATURE-SAMPLED data mixture (the multilingual/data-mixing standard
+    * from XLM-R / GPT-3 style pipelines): sampling weight ∝ share^α with
+    * α = 0.3 — flattens the head, upweights the tail, interpolating between
+    * proportional (α=1) and uniform (α=0) mixing; q_domain_mix is the
+    * uniform endpoint. Plan: same two tiny aggregates over the per-group
+    * grain (the corpus shuffles once at group grain, everything after is
+    * KB-sized). Cross-engine determinism: pow() is libm-dependent, so each
+    * group's share^α is rounded to 9 dp and the normalizer is the DECIMAL
+    * sum of the ROUNDED terms (the bm25-contrib pattern) — the final weight
+    * divides two identical numbers on both engines before its 6 dp round.
+    */
+  val temperatureMix = Q(
+    "q_temperature_mix",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      val t = g.agg(sum(col("toks")).as("total"))
+      val shares = g.crossJoin(broadcast(t))
+        .select(col("source"), col("toks").cast("long").as("tokens"),
+          round(pow(col("toks").cast("double") / col("total"), 0.3), 9)
+            .cast("decimal(18,9)").as("a"))
+      val z = shares.agg(sum(col("a")).as("z"))
+      shares.crossJoin(broadcast(z))
+        .select(col("source"), col("tokens"),
+          round(col("a").cast("double") / col("z").cast("double"), 6).as("mix_weight"))
+        .orderBy("source")
+    },
+    """WITH g AS (SELECT source, sum(len(string_split(text,' '))) AS toks
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT sum(toks) AS total FROM g),
+      |sh AS (SELECT source, CAST(toks AS BIGINT) AS tokens,
+      |         CAST(round(pow(CAST(toks AS DOUBLE)/total, 0.3), 9) AS DECIMAL(18,9)) AS a
+      |       FROM g, t),
+      |z AS (SELECT sum(a) AS z FROM sh)
+      |SELECT source, tokens, round(CAST(a AS DOUBLE)/CAST(z AS DOUBLE), 6) AS mix_weight
+      |FROM sh, z ORDER BY source""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap,
-    weightedSample)
+    weightedSample, temperatureMix)
 }
