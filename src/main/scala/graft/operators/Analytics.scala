@@ -1149,8 +1149,49 @@ object Analytics {
       |ORDER BY g.user_id, g.grid_tus""".stripMargin
   )
 
+  /** The complete SQL RANKING family in one pass — rank, dense_rank,
+    * percent_rank, cume_dist, ntile(4) — the surface any BI tool emits.
+    * Plan shape (verified on the executed plan): the four same-spec
+    * functions fuse into ONE Window node; ntile — which needs a TOTAL order
+    * (tile assignment is undefined under ties), hence the custkey tiebreak
+    * — gets an adjacent second Window with only a LOCAL re-sort between
+    * them: one hashpartitioning exchange serves the whole family (the
+    * window-stacking contract from SCD2). Tie semantics pinned: tied
+    * acctbals share rank /
+    * dense_rank / percent_rank values, so the result is deterministic
+    * WITHOUT a total order; percent_rank = (rank-1)/(n-1) and cume_dist
+    * divide identical integers on both engines (rounded 6 dp for the
+    * cast-noise convention only).
+    */
+  val rankingFamily = Q(
+    "q_ranking_family",
+    (s, d) => {
+      val byBal = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
+      val total = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"),
+          rank().over(byBal).as("rnk"),
+          dense_rank().over(byBal).as("drnk"),
+          round(percent_rank().over(byBal), 6).as("prnk"),
+          round(cume_dist().over(byBal), 6).as("cd"),
+          ntile(4).over(total).cast("long").as("quartile"))
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, n_name,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  round(percent_rank() OVER w, 6) AS prnk,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  CAST(ntile(4) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC)
+      |ORDER BY c_custkey""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
-    tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample)
+    tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample,
+    rankingFamily)
 }
