@@ -270,5 +270,66 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(triangles, pagerank)
+  /** Single-source BFS hop distances by FRONTIER expansion: `rounds` fixed
+    * relaxation rounds (the fixed-K twin of the oracle's chained CTEs; K ≥
+    * diameter ⟹ the exact distances). Per round only the FRONTIER — the
+    * vertices first reached last round — joins the edge relation (the
+    * standard optimization over full relaxation; provably equivalent: a
+    * vertex with d < k−1 cannot improve any neighbor at round k), and the
+    * min-distance aggregate partial-aggregates map-side, so a frontier hub
+    * costs O(deg) candidate ROWS through the shuffle, never a wide row.
+    * State is the (v, d) relation, vertex-partitioned; rounds are
+    * O(diameter) like [[Dedup.connectedComponents]]; lineage truncates
+    * every 2nd round. Nothing but the seed scalar crosses the driver.
+    */
+  def bfsDistances(edgesSym: DataFrame, source: Long, rounds: Int): DataFrame = {
+    var dist = edgesSym.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0).as("d"))
+    var frontier = dist
+    for (k <- 1 to rounds) {
+      val cand = frontier.select(col("v").as("fv"))
+        .join(edgesSym, col("fv") === col("u"))
+        .select(col("v"), lit(k).as("d"))
+      dist = dist.unionByName(cand).groupBy(col("v")).agg(min(col("d")).as("d"))
+      if (k % 2 == 0 && k < rounds) dist = dist.localCheckpoint()
+      frontier = dist.filter(col("d") === k)
+    }
+    dist
+  }
+
+  /** BFS level histogram over the co-purchase graph from the minimum vertex
+    * id (deterministic seed): how much of the catalog is within K hops of
+    * the seed part — the reachability profile that motivates "related
+    * products" traversals. 4 rounds ≥ the fixture's diameter (2), so the
+    * trailing rounds also witness fixpoint STABILITY. The oracle states the
+    * same four rounds as full-relaxation CTEs — the declarative spec of the
+    * step; frontier expansion is the plan.
+    */
+  val bfs = Q(
+    "q_bfs",
+    (s, d) => {
+      val e0 = copurchaseEdges(s, d)
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      val src = e.agg(min(col("u"))).head.getLong(0)
+      bfsDistances(e, src, rounds = 4)
+        .groupBy(col("d").cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }, {
+      def step(k: Int): String =
+        s"""d$k AS (SELECT v, min(d) AS d FROM (
+           |  SELECT v, d FROM d${k - 1}
+           |  UNION ALL SELECT e.v, d${k - 1}.d + 1 FROM e JOIN d${k - 1} ON e.u = d${k - 1}.v
+           |) GROUP BY v)""".stripMargin
+      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+         |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |d0 AS (SELECT (SELECT min(u) FROM e) AS v, 0 AS d),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes FROM d4
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  )
+
+  val all: Seq[Q] = Seq(triangles, pagerank, bfs)
 }

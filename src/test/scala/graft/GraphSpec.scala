@@ -54,4 +54,36 @@ class GraphSpec extends SparkSpec {
     assert(ranks.nonEmpty)
     assert(ranks.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0.0))
   }
+
+  test("BFS distances: hand-checked hops on the bridged-triangles graph") {
+    import spark.implicits._
+    // path structure from vertex 1: {2,3} at 1 hop, 4 at 2, {5,6} at 3, 7 at 4
+    val sym = pairs.toDF("u", "v")
+      .unionByName(pairs.map(_.swap).toDF("u", "v"))
+    val got = Graph.bfsDistances(sym, source = 1L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 3, 7L -> 4))
+    // K smaller than the eccentricity truncates the reach — it must NOT
+    // mislabel the unreached vertex with a wrong distance
+    val truncated = Graph.bfsDistances(sym, source = 1L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!truncated.contains(7L) && truncated(5L) == 3)
+    // rounds past the fixpoint leave the distances untouched (stability)
+    val extra = Graph.bfsDistances(sym, source = 1L, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(extra == got)
+  }
+
+  test("BFS frontier on a star: the hub is one frontier row, spokes arrive in one round") {
+    import spark.implicits._
+    val n = 2000
+    val star = (1L to n.toLong).map(i => (0L, i)).toDF("u", "v")
+    val sym = star.unionByName(star.select(col("v").as("u"), col("u").as("v")))
+    val got = Graph.bfsDistances(sym, source = 0L, rounds = 2)
+    val byDist = got.groupBy("d").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // hub at 0, every spoke at 1 — and round 2 (spokes -> hub) must not
+    // regress the hub's distance
+    assert(byDist == Map(0 -> 1L, 1 -> n.toLong))
+  }
 }
