@@ -323,6 +323,53 @@ object Relational {
       |) ORDER BY col""".stripMargin
   )
 
+  /** PARETO SKYLINE (multi-criteria domination — "cheapest for its size
+    * class"): parts no other part beats on BOTH price (minimize) and size
+    * (maximize), with at least one strict. The oracle states the textbook
+    * NOT EXISTS domination — O(n²) if executed literally; the engine runs
+    * the two-phase distributed skyline: (1) a deterministic fixed-width
+    * price bucketing + per-bucket pre-filter via ONE partitioned window
+    * (sort (price asc, size desc), keep size ≥ running max — ≥, not >, so
+    * tied duplicates survive: equal points do not dominate each other,
+    * and the pre-filter must be a SUPERSET of the skyline), then (2) exact
+    * domination as a LEFT ANTI broadcast nested-loop over the candidates
+    * only. The pre-filter is a heuristic bound — adversarial data (a
+    * bucket of equal sizes) keeps the whole bucket — but the exact join
+    * touches candidates², never corpus², and candidates are skyline-sized
+    * in practice.
+    */
+  val skyline = Q(
+    "q_skyline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .withColumn("bkt", floor(col("p_retailprice") / 100))
+      val w = Window.partitionBy("bkt")
+        .orderBy(col("p_retailprice").asc, col("p_size").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cands = p
+        .withColumn("rmax", max(col("p_size")).over(w))
+        .filter(col("rmax").isNull || col("p_size") >= col("rmax"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val other = cands
+        .select(col("p_partkey").as("o_key"), col("p_retailprice").as("o_price"),
+          col("p_size").as("o_size"))
+      cands.join(broadcast(other),
+          col("o_price") <= col("p_retailprice") && col("o_size") >= col("p_size") &&
+            (col("o_price") < col("p_retailprice") || col("o_size") > col("p_size")),
+          "left_anti")
+        .orderBy(col("p_retailprice"), col("p_size"), col("p_partkey"))
+    },
+    """SELECT p_partkey, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_retailprice, p_size, p_partkey""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
-    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile, setOps)
+    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile, setOps,
+    skyline)
 }
