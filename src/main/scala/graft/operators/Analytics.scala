@@ -1149,40 +1149,51 @@ object Analytics {
       |ORDER BY g.user_id, g.grid_tus""".stripMargin
   )
 
-  /** The complete SQL RANKING family in one pass — rank, dense_rank,
-    * percent_rank, cume_dist, ntile(4) — the surface any BI tool emits.
-    * Plan shape (verified on the executed plan): the four same-spec
-    * functions fuse into ONE Window node; ntile — which needs a TOTAL order
-    * (tile assignment is undefined under ties), hence the custkey tiebreak
-    * — gets an adjacent second Window with only a LOCAL re-sort between
+  /** The SQL RANKING family in one pass — rank, dense_rank, the RANGE-frame
+    * peer count, partition size, ntile(4) — the surface any BI tool emits.
+    * Ratio members (percent_rank, cume_dist) are emitted as their EXACT
+    * INTEGER WITNESSES instead of rounded doubles: percent_rank =
+    * (rnk−1)/(n_part−1) and cume_dist = cume_k/n_part are fully determined
+    * by the emitted integers, and the ratio itself is a rounding trap — at
+    * sf0.1 one customer's k/n is exactly ...0625 at the 6-dp boundary,
+    * where Spark's shortest-decimal HALF_UP (0.064063) and DuckDB's
+    * binary-double round (0.064062) legitimately disagree; NO fixed
+    * rounding scale is safe for ratios of data-dependent integers. cume_k
+    * is the stricter pin anyway: it exercises RANGE-frame PEER semantics
+    * (ties count together) as a bare count.
+    *
+    * Plan shape (verified on the executed plan): the same-spec functions
+    * fuse into ONE Window node; ntile — which needs a TOTAL order (tile
+    * assignment is undefined under ties), hence the custkey tiebreak —
+    * gets an adjacent second Window with only a LOCAL re-sort between
     * them: one hashpartitioning exchange serves the whole family (the
     * window-stacking contract from SCD2). Tie semantics pinned: tied
-    * acctbals share rank /
-    * dense_rank / percent_rank values, so the result is deterministic
-    * WITHOUT a total order; percent_rank = (rank-1)/(n-1) and cume_dist
-    * divide identical integers on both engines (rounded 6 dp for the
-    * cast-noise convention only).
+    * acctbals share rank / dense_rank / cume_k values, so the result is
+    * deterministic WITHOUT a total order.
     */
   val rankingFamily = Q(
     "q_ranking_family",
     (s, d) => {
       val byBal = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc)
+      val peers = byBal.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val part = Window.partitionBy("n_name")
       val total = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name"),
-          rank().over(byBal).as("rnk"),
-          dense_rank().over(byBal).as("drnk"),
-          round(percent_rank().over(byBal), 6).as("prnk"),
-          round(cume_dist().over(byBal), 6).as("cd"),
+          rank().over(byBal).cast("long").as("rnk"),
+          dense_rank().over(byBal).cast("long").as("drnk"),
+          count(lit(1)).over(peers).as("cume_k"),
+          count(lit(1)).over(part).as("n_part"),
           ntile(4).over(total).cast("long").as("quartile"))
         .orderBy("c_custkey")
     },
     """SELECT c_custkey, n_name,
-      |  rank() OVER w AS rnk,
-      |  dense_rank() OVER w AS drnk,
-      |  round(percent_rank() OVER w, 6) AS prnk,
-      |  round(cume_dist() OVER w, 6) AS cd,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  count(*) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC
+      |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_k,
+      |  count(*) OVER (PARTITION BY n_name) AS n_part,
       |  CAST(ntile(4) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC)
