@@ -308,8 +308,19 @@ object Graph {
   val bfs = Q(
     "q_bfs",
     (s, d) => {
+      // the edge relation is consumed by the seed probe AND by every
+      // round's frontier join — without materialization the expensive
+      // per-order pair generation re-derives once per consumer (measured:
+      // 7.9 s → the dominant cost). One localCheckpoint of the O(|E|)
+      // 2-column relation serves all of them (the triangles convention).
       val e0 = copurchaseEdges(s, d)
+      // repartition on u BEFORE the checkpoint (the pageRank adjacency
+      // lesson): the materialized relation then carries hash(u) output
+      // partitioning, so every round's frontier join on u is exchange-free
+      // on the big side — only the tiny frontier moves per round.
       val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+        .localCheckpoint()
       val src = e.agg(min(col("u"))).head.getLong(0)
       bfsDistances(e, src, rounds = 4)
         .groupBy(col("d").cast("long").as("dist"))
