@@ -1149,6 +1149,42 @@ object Analytics {
       |ORDER BY g.user_id, g.grid_tus""".stripMargin
   )
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): each view
+    * event matched to the user's EARLIEST purchase at-or-after it — the
+    * attribution/next-action join. NOT a new operator: forward is backward
+    * on NEGATED time, so the query composes the existing native as-of node
+    * (both physical variants, both optimizer rules, the tolerance seam all
+    * apply unchanged) on `-epoch_micros` long columns — max(-t) ≡ min(t) ≥
+    * the probe. The (key, time) tiebreak keeps the max event id, matching
+    * the oracle's dedup rule. Oracle: DuckDB's native forward ASOF
+    * (`ON v.ts <= p.ts`) — two independent engine-native forward
+    * implementations against each other.
+    */
+  val asofForward = Q(
+    "q_asof_forward",
+    (s, d) => {
+      val v = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), expr("-(ts DIV 1000)").as("nt"))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), expr("-(ts DIV 1000)").as("pnt"),
+          col("event_id").as("p_eid"), col("value").as("p_value"))
+      graft.plans.AsOfJoin(v, p, "user_id", "p_uid", "nt", "pnt",
+          rightTiebreak = Seq("p_eid"))
+        .select(col("event_id"), col("user_id"), col("p_eid"), col("p_value"))
+        .orderBy("event_id")
+    },
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |p0 AS (SELECT user_id AS p_uid, ts AS pt, event_id AS p_eid, value AS p_value
+      |       FROM events WHERE event_type = 'purchase'),
+      |dedup AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_uid, pt ORDER BY p_eid DESC) AS rn
+      |    FROM p0) WHERE rn = 1)
+      |SELECT v.event_id, v.user_id, dedup.p_eid, dedup.p_value
+      |FROM v ASOF LEFT JOIN dedup
+      |  ON v.user_id = dedup.p_uid AND v.ts <= dedup.pt
+      |ORDER BY v.event_id""".stripMargin
+  )
+
   /** The SQL RANKING family in one pass — rank, dense_rank, the RANGE-frame
     * peer count, partition size, ntile(4) — the surface any BI tool emits.
     * Ratio members (percent_rank, cume_dist) are emitted as their EXACT
@@ -1204,5 +1240,5 @@ object Analytics {
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
     tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample,
-    rankingFamily)
+    rankingFamily, asofForward)
 }
