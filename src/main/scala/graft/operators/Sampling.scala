@@ -221,6 +221,61 @@ object Sampling {
       |FROM sh, z ORDER BY source""".stripMargin
   )
 
+  /** CURRICULUM STAGING: token-weighted equi-depth binning by a difficulty
+    * score — 10 training stages each holding ~equal TOKEN mass (not equal
+    * doc counts; long docs weigh more), the data-ordering step of
+    * curriculum-style pretraining. Plan: the corpus aggregates ONCE at the
+    * rounded-score grain (the grid is bounded — avg word length to 2 dp),
+    * the ≤O(grid) bucket histogram is collected as the MODEL (the
+    * q_running_total "collect only the model" pattern), stage boundaries
+    * are exact-long cumulative sums computed driver-side, and the stage map
+    * broadcasts back over the bucket relation for the final 10-row
+    * aggregate. Determinism: `floor(10·cum/total)` is floor of a
+    * correctly-rounded IEEE quotient of exact longs — exactly-divisible
+    * cases yield the representable integer on both engines, everything
+    * else sits strictly between integers; floor (unlike round-half) has no
+    * cross-engine boundary.
+    */
+  val curriculum = Q(
+    "q_curriculum",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"),
+          round(col("n_chars").cast("double") /
+            size(split(col("text"), " ")), 2).as("score"))
+      val buckets = docs.groupBy("score")
+        .agg(sum(col("toks")).as("btoks"), count(lit(1)).as("bdocs"))
+      val model = buckets.orderBy("score").collect()
+      val total = model.map(_.getLong(1)).sum
+      var cum = 0L
+      val stages = model.map { r =>
+        val stage = math.min(9L, math.floor(10.0 * cum / total).toLong)
+        cum += r.getLong(1)
+        (r.getDouble(0), stage)
+      }.toSeq
+      val stageDf = s.createDataFrame(stages).toDF("m_score", "stage")
+      buckets.join(broadcast(stageDf), col("score") === col("m_score"))
+        .groupBy("stage")
+        .agg(sum(col("bdocs")).cast("long").as("n_docs"),
+          sum(col("btoks")).cast("long").as("tokens"))
+        .orderBy("stage")
+    },
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS toks,
+      |         round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 2) AS score
+      |  FROM documents),
+      |b AS (SELECT score, sum(toks) AS btoks, count(*) AS bdocs FROM d GROUP BY 1),
+      |c AS (SELECT score, btoks, bdocs,
+      |        coalesce(sum(btoks) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |        (SELECT sum(btoks) FROM b) AS total
+      |      FROM b),
+      |s AS (SELECT score, least(CAST(floor(10.0 * cum_before / total) AS BIGINT), 9) AS stage,
+      |             btoks, bdocs FROM c)
+      |SELECT stage, CAST(sum(bdocs) AS BIGINT) AS n_docs, CAST(sum(btoks) AS BIGINT) AS tokens
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap,
-    weightedSample, temperatureMix)
+    weightedSample, temperatureMix, curriculum)
 }
