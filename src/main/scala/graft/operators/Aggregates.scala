@@ -327,6 +327,38 @@ object Aggregates {
       |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 
+  /** BENFORD'S-LAW first-digit audit (the fraud / data-quality screening
+    * staple): observed first-digit counts of order totals next to the
+    * Benford expectation log10(1+1/d). Determinism by construction: the
+    * first digit comes from INTEGER STRING FORMATTING (substr of the
+    * floored BIGINT — identical in both engines), never floor(log10(x)),
+    * whose 1-ulp libm wobble at exact powers of ten could flip the digit;
+    * counts are exact longs; and the expectation ships as integer PPM —
+    * round(1e6·log10(1+1/d)) sits ~4e-3 from the nearest half for every
+    * d ∈ 1..9, far beyond libm disagreement. One scan, one 9-key shuffle.
+    */
+  val benford = Q(
+    "q_benford",
+    (s, d) => {
+      val digit = substring(col("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+      Tables.orders(s, d)
+        .select(digit.as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          round(lit(1000000) * log10(lit(1.0) + lit(1.0) / col("digit")))
+            .cast("long").as("expected_ppm"))
+        .orderBy("digit")
+    },
+    """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |       count(*) AS n,
+      |       CAST(round(1000000 * log10(1.0 + 1.0 /
+      |         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)))
+      |         AS BIGINT) AS expected_ppm
+      |FROM orders GROUP BY 1, 3 ORDER BY 1""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize, mad, stringAgg)
+    winsorize, mad, stringAgg, benford)
 }
