@@ -895,8 +895,57 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
+  /** ZIPF-LAW FIT: OLS slope of log10(freq) on log10(rank) over the top-200
+    * vocabulary terms — the corpus-health audit (natural language sits near
+    * slope −1; a synthetic or templated corpus does not, which is the
+    * point of running it on generated training data). Scale shape: term
+    * frequencies are one hash aggregate over the token stream; the top-200
+    * cut is TakeOrderedAndProject, the rank window runs ABOVE that Limit
+    * (≤200 rows), and the moments/slope algebra is the q_trend pattern —
+    * logs rounded to 9 dp then DECIMAL products, so libm wobble and
+    * summation order cannot reach the 6-dp slope.
+    */
+  val zipf = Q(
+    "q_zipf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val tf = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val top = tf.orderBy(col("freq").desc, col("w")).limit(200)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+      val pts = top.select(
+        round(log(10.0, col("rnk").cast("double")), 9).cast(DecimalType(18, 9)).as("x"),
+        round(log(10.0, col("freq").cast("double")), 9).cast(DecimalType(18, 9)).as("y"))
+      pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(DecimalType(28, 9))).as("sxy"),
+          sum((col("x") * col("x")).cast(DecimalType(28, 9))).as("sxx"))
+        .select(col("n").cast("long").as("n_terms"),
+          round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")), 6).as("zipf_slope"))
+    },
+    """WITH tf AS (SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |top AS (SELECT w, freq FROM tf ORDER BY freq DESC, w LIMIT 200),
+      |ranked AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rnk FROM top),
+      |pts AS (SELECT CAST(round(log10(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+      |               CAST(round(log10(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      |        FROM ranked),
+      |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |             sum(CAST(x*y AS DECIMAL(28,9))) AS sxy,
+      |             sum(CAST(x*x AS DECIMAL(28,9))) AS sxx
+      |      FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      |FROM m""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, qualityClassifier,
     fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
-    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate)
+    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate, zipf)
 }
