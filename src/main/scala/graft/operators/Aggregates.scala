@@ -359,6 +359,32 @@ object Aggregates {
       |FROM orders GROUP BY 1, 3 ORDER BY 1""".stripMargin
   )
 
+  /** ROLLUP with GROUPING-ID disambiguation — the correctness subtlety the
+    * plain rollup query (22b) coalesces away: a subtotal row's NULL and a
+    * genuine NULL data value are indistinguishable by value, and only the
+    * grouping bitmask tells them apart (the bug class behind miscounted
+    * "(all)" rows in every BI layer). Spark's grouping_id() is the same
+    * bitmask as GROUPING(lang)·2 + GROUPING(source); one Expand pass, same
+    * plan as the plain rollup.
+    */
+  val groupingId = Q(
+    "q_grouping_id",
+    (s, d) => {
+      Tables.documents(s, d)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang_g"),
+          coalesce(col("source"), lit("(all)")).as("source_g"),
+          col("gid"), col("n_docs"))
+        .orderBy("gid", "lang_g", "source_g")
+    },
+    """SELECT coalesce(lang, '(all)') AS lang_g, coalesce(source, '(all)') AS source_g,
+      |       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY gid, lang_g, source_g""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize, mad, stringAgg, benford)
+    winsorize, mad, stringAgg, benford, groupingId)
 }

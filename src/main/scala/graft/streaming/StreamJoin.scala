@@ -17,14 +17,28 @@ object StreamJoin {
     * view. Inputs: views(user_id, vt), purchases(user_id, pt, value).
     */
   def attributePurchases(views: DataFrame, purchases: DataFrame,
-                         windowSpec: String = "INTERVAL 1 HOUR"): DataFrame = {
+                         windowSpec: String = "INTERVAL 1 HOUR",
+                         joinType: String = "inner"): DataFrame = {
     val v = views
       .withColumnRenamed("user_id", "v_user")
       .withWatermark("vt", "2 hours")
     val p = purchases
       .withColumnRenamed("user_id", "p_user")
       .withWatermark("pt", "2 hours")
-    v.join(p, expr(s"v_user = p_user AND pt >= vt AND pt <= vt + $windowSpec"))
+    v.join(p, expr(s"v_user = p_user AND pt >= vt AND pt <= vt + $windowSpec"), joinType)
       .select(col("v_user").as("user_id"), col("vt"), col("pt"), col("value"))
   }
+
+  /** LEFT OUTER attribution: views that convert emit immediately; views that
+    * DON'T convert emit a null-extended row — but only once the purchase
+    * watermark has passed the view's whole attribution window (until then a
+    * matching purchase could still arrive, so the engine must hold the
+    * decision). The time-bound join condition is what makes the outer form
+    * legal in streaming: it gives state eviction a horizon, and null
+    * emission rides the same horizon — unmatched rows surface in the FIRST
+    * micro-batch after their window closes, not at end-of-stream.
+    */
+  def attributionOutcome(views: DataFrame, purchases: DataFrame,
+                         windowSpec: String = "INTERVAL 1 HOUR"): DataFrame =
+    attributePurchases(views, purchases, windowSpec, joinType = "left_outer")
 }

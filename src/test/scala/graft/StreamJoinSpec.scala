@@ -30,4 +30,44 @@ class StreamJoinSpec extends SparkSpec {
       assert(got == Set((1L, 9.99)), s"got $got")
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join emits null rows once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val views = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Double)]
+    val vDf = views.toDF().toDF("user_id", "vsec").withColumn("vt", timestamp_seconds(col("vsec"))).drop("vsec")
+    val pDf = purchases.toDF().toDF("user_id", "psec", "value").withColumn("pt", timestamp_seconds(col("psec"))).drop("psec")
+
+    val q = StreamJoin.attributionOutcome(vDf, pDf)
+      .writeStream.format("memory").queryName("outcome").outputMode("append").start()
+    try {
+      // user 1 converts inside the window; user 2 never converts
+      views.addData((1L, 1000L), (2L, 1000L))
+      purchases.addData((1L, 2000L, 9.99))
+      q.processAllAvailable()
+      val early = spark.table("outcome")
+        .select("user_id").as[Long].collect().toSet
+      // user 2's null row must NOT have been emitted yet — a matching
+      // purchase could still arrive before its window closes
+      assert(early == Set(1L), s"unmatched row emitted before the watermark: $early")
+
+      // advance BOTH watermarks far past view 2's window (wm = max t − 2 h;
+      // eviction happens on the following trigger)
+      views.addData((90L, 200000L))
+      purchases.addData((91L, 200000L, 1.0))
+      q.processAllAvailable()
+      views.addData((92L, 200001L))
+      purchases.addData((93L, 200001L, 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("outcome")
+        .select(col("user_id"), col("value")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(rows.contains((2L, None)),
+        s"expected the non-converting view to emit a null-extended row, got $rows")
+      assert(rows.contains((1L, Some(9.99))))
+    } finally q.stop()
+  }
 }
