@@ -334,6 +334,60 @@ object Behavior {
       |FROM w ORDER BY event_id""".stripMargin
   )
 
+  /** Per-type PEARSON CORRELATION between event value and time-of-day — the
+    * "is this metric diurnal?" screen. Same exact-decimal moment discipline
+    * as q_trend (one hash aggregate of 6 numbers per group, map-side
+    * combine, corpus never shuffled at row grain), extended with Σy²; the
+    * correlation algebra runs on the tiny per-group result with IDENTICAL
+    * association on both engines, sqrt of a clamped non-negative product
+    * (zero-variance groups → NULL through the shared guard, like q_trend's
+    * denominator). Built-in corr() is deliberately NOT used on either side:
+    * its streaming co-moment updates are summation-order-dependent, the
+    * exact failure mode the decimal-moments pattern exists to remove.
+    */
+  val corr_ = Q(
+    "q_corr",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_type"),
+        round((expr("ts DIV 1000000000") % 86400) / 3600.0, 6).as("x"),
+        col("value").as("y"))
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).cast("double").as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).cast("double").as("sxy"))
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val r = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt(greatest(vx * vy, lit(0.0)))
+      m.select(col("event_type"), col("n").cast("long").as("n_events"),
+          round(when(vx === 0 || vy === 0, lit(null)).otherwise(r), 6).as("corr"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         round((epoch_ns(ts) // 1000000000 % 86400) / 3600.0, 6) AS x,
+      |         value AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      |  FROM ev GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |             ELSE (n * sxy - sx * sy) /
+      |                  sqrt(greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0))
+      |        END, 6) AS corr
+      |FROM m ORDER BY event_type""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian)
+    gaps, rollingMedian, corr_)
 }
