@@ -385,6 +385,39 @@ object Aggregates {
       |ORDER BY gid, lang_g, source_g""".stripMargin
   )
 
+  /** UNPIVOT (melt, wide → long) — the inverse of 22c's pivot and the other
+    * half of the reshape surface: per-nation metrics computed ONCE as a
+    * wide aggregate, then melted to (key, metric, value) rows. Spark's
+    * native `unpivot` is a row-local Expand (fan-out = #metrics) over the
+    * already-aggregated relation — the corpus is long gone by then; metric
+    * values share one DOUBLE type (unpivot's common-type rule), with the
+    * count cast and the average under the usual decimal-sum contract.
+    */
+  val unpivot_ = Q(
+    "q_unpivot",
+    (s, d) => {
+      val wide = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("m_count"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("m_avg_bal"),
+          max(col("c_acctbal")).as("m_max_bal"))
+      wide.unpivot(Array(col("c_nationkey")),
+          Array(col("m_count"), col("m_avg_bal"), col("m_max_bal")),
+          "metric", "value")
+        .orderBy("c_nationkey", "metric")
+    },
+    """WITH wide AS (
+      |  SELECT c_nationkey,
+      |    CAST(count(*) AS DOUBLE) AS m_count,
+      |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS m_avg_bal,
+      |    max(c_acctbal) AS m_max_bal
+      |  FROM customer GROUP BY 1)
+      |SELECT c_nationkey, metric, value FROM wide
+      |UNPIVOT (value FOR metric IN (m_count, m_avg_bal, m_max_bal))
+      |ORDER BY c_nationkey, metric""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize, mad, stringAgg, benford, groupingId)
+    winsorize, mad, stringAgg, benford, groupingId, unpivot_)
 }

@@ -342,5 +342,36 @@ object Graph {
     }
   )
 
-  val all: Seq[Q] = Seq(triangles, pagerank, bfs)
+  /** Degree distribution in power-of-two buckets — the graph-health report
+    * (a power-law tail here is WHY the hub-skew machinery in this file
+    * exists; this query is how you see it coming). Bucket = bit length of
+    * the degree minus one ≡ floor(log2(deg)), computed from INTEGER STRING
+    * FORMATTING (`length(bin(deg)) − 1`) rather than floor(log2(x)): libm
+    * log2 at exact powers of two may return 5.999…, flipping the bucket of
+    * every deg = 2^k vertex, and this graph HAS degree-64/128 vertices.
+    * One aggregate at vertex grain, one at bucket grain — scan → KB.
+    */
+  val degreeDist = Q(
+    "q_degree_dist",
+    (s, d) => {
+      val e0 = copurchaseEdges(s, d)
+      val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .groupBy((length(bin(col("deg"))) - 1).cast("long").as("deg_bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+          min(col("deg")).cast("long").as("min_deg"),
+          max(col("deg")).cast("long").as("max_deg"))
+        .orderBy("deg_bucket")
+    },
+    """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1)
+      |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket,
+      |       count(*) AS n_vertices,
+      |       CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(triangles, pagerank, bfs, degreeDist)
 }
