@@ -1185,6 +1185,49 @@ object Analytics {
       |ORDER BY v.event_id""".stripMargin
   )
 
+  /** CONVERSION-LAG distribution: exact percentiles of the view→purchase
+    * latency over q_asof_forward's matched pairs — the time-to-convert
+    * report product analytics builds on top of attribution. Composition of
+    * the native forward as-of (negated time) with the exact-percentile
+    * aggregate; integer-second lags, and the interpolated percentiles pass
+    * through an explicit floor() on BOTH engines before the BIGINT cast —
+    * a bare cast would round in DuckDB and truncate in Spark, splitting on
+    * the even-count midpoint halves interpolation produces by construction.
+    */
+  val conversionLag = Q(
+    "q_conversion_lag",
+    (s, d) => {
+      val v = Tables.events(s, d).filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), expr("-(ts DIV 1000)").as("nt"))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), expr("-(ts DIV 1000)").as("pnt"),
+          col("event_id").as("p_eid"))
+      graft.plans.AsOfJoin(v, p, "user_id", "p_uid", "nt", "pnt",
+          rightTiebreak = Seq("p_eid"))
+        .filter(col("p_eid").isNotNull)
+        .select(expr("(nt - pnt) DIV 1000000").as("lag_sec"))
+        .agg(count(lit(1)).as("n_conversions"),
+          floor(expr("percentile(lag_sec, 0.5)")).cast("long").as("p50_sec"),
+          floor(expr("percentile(lag_sec, 0.9)")).cast("long").as("p90_sec"),
+          max(col("lag_sec")).as("max_sec"))
+    },
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |p0 AS (SELECT user_id AS p_uid, ts AS pt, event_id AS p_eid
+      |       FROM events WHERE event_type = 'purchase'),
+      |dedup AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_uid, pt ORDER BY p_eid DESC) AS rn
+      |    FROM p0) WHERE rn = 1),
+      |lags AS (
+      |  SELECT CAST((epoch_ns(dedup.pt) - epoch_ns(v.ts)) // 1000000000 AS BIGINT) AS lag_sec
+      |  FROM v ASOF LEFT JOIN dedup ON v.user_id = dedup.p_uid AND v.ts <= dedup.pt
+      |  WHERE dedup.p_eid IS NOT NULL)
+      |SELECT count(*) AS n_conversions,
+      |  CAST(floor(quantile_cont(lag_sec, 0.5)) AS BIGINT) AS p50_sec,
+      |  CAST(floor(quantile_cont(lag_sec, 0.9)) AS BIGINT) AS p90_sec,
+      |  CAST(max(lag_sec) AS BIGINT) AS max_sec
+      |FROM lags""".stripMargin
+  )
+
   /** The SQL RANKING family in one pass — rank, dense_rank, the RANGE-frame
     * peer count, partition size, ntile(4) — the surface any BI tool emits.
     * Ratio members (percent_rank, cume_dist) are emitted as their EXACT
@@ -1240,5 +1283,5 @@ object Analytics {
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
     tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample,
-    rankingFamily, asofForward)
+    rankingFamily, asofForward, conversionLag)
 }
