@@ -1193,6 +1193,11 @@ object Analytics {
     * through an explicit floor() on BOTH engines before the BIGINT cast —
     * a bare cast would round in DuckDB and truncate in Spark, splitting on
     * the even-count midpoint halves interpolation produces by construction.
+    * Scale note (the 22w equi-depth convention): the EXACT global
+    * percentile buffers the matched lags in one aggregation buffer — the
+    * oracle-checkable contract; at 100 TB `approx_percentile` (22h
+    * machinery, proven error bounds) slots into the identical single-agg
+    * plan.
     */
   val conversionLag = Q(
     "q_conversion_lag",
