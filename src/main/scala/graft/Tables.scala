@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders over a scale-factor directory.
   *
@@ -18,7 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` is epoch-nanos BIGINT to every operator, regardless of the
+    * parquet physical type: TIMESTAMP(NANOS) files arrive as LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong` (see SparkEntry.tune), while
+    * TIMESTAMP(MICROS) files arrive as TimestampType and are widened here.
+    * Normalizing at the loader keeps the conversion in the scan projection
+    * (row-local, codegen'd) and every downstream operator physical-type
+    * agnostic.
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(load(s, d, "events"))
+
+  /** Widen `ts` to epoch-nanos whatever the physical type. Public because the
+    * streaming parity specs read the same file through `readStream` and need
+    * the identical edge conversion on the unbounded side.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType      => df
+      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      // NTZ carries the same wall-clock micros; the session zone is pinned
+      // UTC (SparkEntry.tune) so the cast is instant-preserving.
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -829,7 +829,7 @@ object Analytics {
     },
     """SELECT event_type, count(*) AS n,
       |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -978,8 +978,8 @@ object Analytics {
       |                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
       |  FROM ev),
       |runs AS (
-      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY k
-      |                           ROWS UNBOUNDED PRECEDING) AS version
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY k
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
       |  FROM flagged),
       |dim AS (
       |  SELECT user_id, version, max(event_type) AS event_type,
@@ -1040,8 +1040,8 @@ object Analytics {
       |                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
       |  FROM st),
       |runs AS (
-      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY k
-      |                           ROWS UNBOUNDED PRECEDING) AS version
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY k
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
       |  FROM flagged),
       |dim AS (
       |  SELECT user_id, version, max(event_type) AS state,

@@ -128,16 +128,22 @@ object Multimodal {
   val mediaFeatures = Q(
     "q_media_features",
     (s, d) =>
+      // The 6-dp rounding is INTEGER math on both engines — round(x, 6) on a
+      // DOUBLE is implementation-defined at the ulp level and has differed
+      // across oracle-engine versions; (v·10⁶ + 2³¹) div 2³² is exact in
+      // int64 (v < 2³², so v·10⁶ < 2⁵²) and the final /10⁶ is one
+      // correctly-rounded IEEE division, bit-identical everywhere.
       Tables.documents(s, d).select(
         col("doc_id"),
         posexplode(expr("""transform(sequence(0, 7), i ->
-             round(cast(conv(substring(md5(concat(text, ':', i)), 1, 8), 16, 10) as bigint)
-                   / 4294967296.0, 6))""")))
+             (cast(conv(substring(md5(concat(text, ':', i)), 1, 8), 16, 10) as bigint)
+              * 1000000L + 2147483648L) div 4294967296L / 1000000.0)""")))
         .select(col("doc_id"), col("pos").cast("long").as("feature_idx"),
           col("col").as("feature"))
         .orderBy("doc_id", "feature_idx"),
     """SELECT doc_id, i AS feature_idx,
-      |  round(CAST(('0x'||substr(md5(text || ':' || i), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS feature
+      |  ((CAST(('0x'||substr(md5(text || ':' || i), 1, 8)) AS BIGINT) * 1000000
+      |    + 2147483648) // 4294967296) / 1000000.0 AS feature
       |FROM documents, unnest(range(8)) AS t(i)
       |ORDER BY doc_id, feature_idx""".stripMargin
   )

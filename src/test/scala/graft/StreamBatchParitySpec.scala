@@ -22,7 +22,8 @@ class StreamBatchParitySpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val stream = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(staged.toString))
       .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
     val q = EventsStream.hourlyAgg(stream)
       .writeStream.format("memory").queryName("hourly_file").outputMode("complete").start()
@@ -48,7 +49,8 @@ class StreamBatchParitySpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val stream = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(staged.toString))
       .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
     val q = streaming.EventsStream.hoppingAgg(stream)
       .writeStream.format("memory").queryName("hopping_file").outputMode("complete").start()
@@ -76,7 +78,8 @@ class StreamBatchParitySpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val stream = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(staged.toString))
       .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
     val q = EventsStream.sessionAgg(stream)
       .writeStream.format("memory").queryName("session_file").outputMode("complete").start()
@@ -106,7 +109,8 @@ class StreamBatchParitySpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(staged.toString))
     val q = EventsStream.latestState(stream)
       .writeStream.format("memory").queryName("latest_file").outputMode("complete").start()
     try {
@@ -158,7 +162,7 @@ class StreamBatchParitySpec extends SparkSpec {
 
     // the SCD2 dimension builds in batch (it is the static side), with
     // valid_to retained for the interval predicate
-    val ev = spark.read.parquet(s"$dir/events.parquet").select(
+    val ev = Tables.events(spark, dir).select(
       col("user_id"), col("event_type"), expr("ts DIV 1000").as("tus"), col("event_id"))
     val dim = operators.Analytics.scd2History(
         ev.filter(col("event_type").isin("signup", "purchase", "error")))
@@ -167,7 +171,8 @@ class StreamBatchParitySpec extends SparkSpec {
       .cache()
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+    val stream = Tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(staged.toString))
       .filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("tus"))
     // interval containment vs a broadcast STATIC side: append mode, no
