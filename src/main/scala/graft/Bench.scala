@@ -77,7 +77,20 @@ object Bench {
     val coldTotal = cold.values.filter(_ >= 0).sum
     val passTotals = passes.map(passTotal).mkString("[", ",", "]")
     val mode = s"warm-min-of-${passes.length}"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"third_pass_taken":$disagree,"mode":"$mode","sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"third_pass_taken":$disagree,"mode":"$mode","sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness that wraps this main keeps only a bounded tail of stdout;
+    // at 100+ registered queries the full line outgrows it and the totals at
+    // the line's head are lost. Persist the complete record to a file and
+    // finish with a COMPACT line (totals + the slowest queries only) that
+    // always fits whole inside a 2000-char tail.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val failed = names.filter(n => warm(n) < 0)
+    val slowest = names.filter(warm(_) >= 0).sortBy(-warm(_)).take(8)
+      .map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"third_pass_taken":$disagree,"mode":"$mode","sf":"$sfDir","queries":"see BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders over a scale-factor directory.
@@ -13,8 +13,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTsCol(load(s, d, "lineitem"), "l_shipdate")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTsCol(load(s, d, "orders"), "o_orderdate")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
@@ -44,6 +46,17 @@ object Tables {
       case TimestampNTZType =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+
+  /** The inverse guard for the TPC-H date columns: operators consume them as
+    * TIMESTAMP, so a regeneration that lands TIMESTAMP(NANOS) parquet (read
+    * as epoch-nanos BIGINT under `nanosAsLong`) is widened back. NTZ vs TZ
+    * both behave under the pinned-UTC session.
+    */
+  private def normalizeTsCol(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case _        => df
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -63,6 +63,48 @@ object MediaHeader {
   def bmpHexSql(w: String, h: String): String =
     s"'${BmpMagic}00000000000000003600000028000000' || ${leHexSql(w, 4)} || ${leHexSql(h, 4)}"
 
+  // ---- WAV (RIFF/WAVE, canonical 16-byte PCM fmt chunk) -------------------
+  // Layout: "RIFF" + LE32 chunk size + "WAVE" + "fmt " + LE32 16 +
+  // LE16 audio format + LE16 channels + LE32 sample rate + LE32 byte rate +
+  // LE16 block align + LE16 bits/sample. All fixed offsets, same
+  // hex-slicing parse as the image containers.
+  val RiffMagic = "52494646" // "RIFF"
+  val WaveFmtMagic = "57415645666D7420" // "WAVE" + "fmt "
+
+  /** Canonical PCM WAV header hex from channels / sample rate / bits. The
+    * derived fields (byte rate, block align) are computed the way an encoder
+    * would: blockAlign = ch·bits/8, byteRate = rate·blockAlign.
+    */
+  def wavHex(ch: Column, rate: Column, bits: Column, dataLen: Column): Column = {
+    val blockAlign = (ch * bits / lit(8)).cast("long")
+    val byteRate = (rate * blockAlign).cast("long")
+    concat(lit(RiffMagic), leHex(dataLen + lit(36L), 4), lit(WaveFmtMagic),
+      lit("10000000"), lit("0100"), leHex(ch, 2), leHex(rate, 4),
+      leHex(byteRate, 4), leHex(blockAlign, 2), leHex(bits, 2))
+  }
+
+  def wavHexSql(ch: String, rate: String, bits: String, dataLen: String): String = {
+    val blockAlign = s"(($ch) * ($bits) // 8)"
+    val byteRate = s"(($rate) * $blockAlign)"
+    s"'$RiffMagic' || ${leHexSql(s"(($dataLen) + 36)", 4)} || '$WaveFmtMagic' || " +
+      s"'10000000' || '0100' || ${leHexSql(ch, 2)} || ${leHexSql(rate, 4)} || " +
+      s"${leHexSql(byteRate, 4)} || ${leHexSql(blockAlign, 2)} || ${leHexSql(bits, 2)}"
+  }
+
+  def isWav(hb: Column): Column =
+    substring(hb, 1, 8) === RiffMagic && substring(hb, 17, 16) === WaveFmtMagic
+  def wavChannels(hb: Column): Column = leAt(hb, 22, 2)
+  def wavSampleRate(hb: Column): Column = leAt(hb, 24, 4)
+  def wavByteRate(hb: Column): Column = leAt(hb, 28, 4)
+  def wavBits(hb: Column): Column = leAt(hb, 34, 2)
+
+  def isWavSql(hb: String): String =
+    s"(substr($hb,1,8)='$RiffMagic' AND substr($hb,17,16)='$WaveFmtMagic')"
+  def wavChannelsSql(hb: String): String = leAtSql(hb, 22, 2)
+  def wavSampleRateSql(hb: String): String = leAtSql(hb, 24, 4)
+  def wavByteRateSql(hb: String): String = leAtSql(hb, 28, 4)
+  def wavBitsSql(hb: String): String = leAtSql(hb, 34, 2)
+
   private def beAt(hb: Column, bytePos: Int, nBytes: Int): Column =
     conv(substring(hb, 2 * bytePos + 1, 2 * nBytes), 16, 10).cast("long")
 

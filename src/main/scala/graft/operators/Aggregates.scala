@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -418,6 +419,39 @@ object Aggregates {
       |ORDER BY c_nationkey, metric""".stripMargin
   )
 
+  /** Per-group MODE — the most frequent value per key, with a pinned
+    * deterministic tie-break (higher count first, then lexicographic value:
+    * SQL's own `mode()` leaves ties unspecified, so the oracle states the
+    * windowed argmax form both engines execute). Plan: one partial-aggregated
+    * count at (key, value) grain — the only corpus-scale shuffle — then the
+    * window runs over the TINY aggregated grain (≤ |keys|·|values| rows),
+    * never over the raw rows. The canonical "dominant label per entity"
+    * reduction (top language per domain, dominant event per user).
+    */
+  val mode_ = Q(
+    "q_mode",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event_type"), col("n"))
+        .orderBy("user_id")
+    },
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_event_type, n
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize, mad, stringAgg, benford, groupingId, unpivot_)
+    winsorize, mad, stringAgg, benford, groupingId, unpivot_, mode_)
 }

@@ -205,5 +205,72 @@ object Multimodal {
        |FROM dims ORDER BY doc_id""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(meta, mediaDecode, mediaFeatures, frameSample, mediaResize)
+  /** AUDIO container decode — the WAV/RIFF twin of [[mediaDecode]]: a valid
+    * canonical PCM header is synthesized per document (channels / sample rate
+    * / bit depth derived deterministically from the text hash, payload length
+    * from `n_chars`), then channels, sample rate, byte rate and bit depth are
+    * parsed back out of the BYTES at the RIFF fmt-chunk offsets. Duration is
+    * the decoder's own arithmetic — payload·1000 div byteRate, exact integer
+    * math on both engines. Same scale posture as every media stage: one
+    * row-local projection over the scan, no shuffle until the output order;
+    * a real audio codec slots into the same binary column without touching
+    * schema or partitioning.
+    */
+  val audioMeta = Q(
+    "q_audio_meta",
+    (s, d) => {
+      val h = TextFns.hash32(col("text"))
+      // h < 2³², so /2 and /8 are exact in double; cast(long) floors — the
+      // same `//` integer division the oracle states
+      val h2 = (h / 2d).cast("long") % 4L
+      val h8 = (h / 8d).cast("long") % 4L
+      val ch = (lit(1L) + h % 2L).cast("long")
+      val rate = when(h2 === 0L, 8000L).when(h2 === 1L, 16000L)
+        .when(h2 === 2L, 22050L).otherwise(44100L).cast("long")
+      val bits = (lit(8L) * (lit(1L) + h8)).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          unhex(MediaHeader.wavHex(ch, rate, bits, col("n_chars"))).as("blob"),
+          col("n_chars"))
+        .select(col("doc_id"), hex(col("blob")).as("hb"), col("n_chars"))
+        .select(
+          col("doc_id"),
+          when(MediaHeader.isWav(col("hb")), "wav").otherwise("unknown").as("audio_format"),
+          MediaHeader.wavChannels(col("hb")).as("channels"),
+          MediaHeader.wavSampleRate(col("hb")).as("sample_rate"),
+          MediaHeader.wavBits(col("hb")).as("bits"),
+          MediaHeader.wavByteRate(col("hb")).as("byte_rate"),
+          col("n_chars"), md5(col("hb")).as("digest"))
+        .withColumn("duration_ms", expr("n_chars * 1000 div byte_rate"))
+        .select(col("doc_id"), col("audio_format"), col("channels"),
+          col("sample_rate"), col("bits"), col("byte_rate"),
+          col("duration_ms"), col("digest"))
+        .orderBy("doc_id")
+    },
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars, ${TextFns.hash32Sql("text")} AS h FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_chars, 1 + h % 2 AS ch,
+       |    CASE (h // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |         WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+       |    8 * (1 + (h // 8) % 4) AS bits
+       |  FROM p),
+       |synth AS (
+       |  SELECT doc_id, n_chars,
+       |    unhex(${MediaHeader.wavHexSql("ch", "rate", "bits", "n_chars")}) AS blob
+       |  FROM q),
+       |hx AS (SELECT doc_id, n_chars, hex(blob) AS hb FROM synth)
+       |SELECT doc_id,
+       |  CASE WHEN ${MediaHeader.isWavSql("hb")} THEN 'wav' ELSE 'unknown' END AS audio_format,
+       |  ${MediaHeader.wavChannelsSql("hb")} AS channels,
+       |  ${MediaHeader.wavSampleRateSql("hb")} AS sample_rate,
+       |  ${MediaHeader.wavBitsSql("hb")} AS bits,
+       |  ${MediaHeader.wavByteRateSql("hb")} AS byte_rate,
+       |  n_chars * 1000 // ${MediaHeader.wavByteRateSql("hb")} AS duration_ms,
+       |  md5(hb) AS digest
+       |FROM hx ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(meta, mediaDecode, mediaFeatures, frameSample, mediaResize,
+    audioMeta)
 }

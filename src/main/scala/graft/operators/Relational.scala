@@ -369,7 +369,40 @@ object Relational {
       |ORDER BY p_retailprice, p_size, p_partkey""".stripMargin
   )
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the classic
+    * "top-N rows per outer row" correlation every SQL frontend emits and a
+    * naive engine executes as one subquery PER OUTER ROW. Stated to Spark in
+    * its literal SQL form; Catalyst's lateral-join decorrelation rewrites it
+    * into a single windowed top-k over one shuffle of the inner side —
+    * per-row re-execution never happens (the plan shows one Window + one
+    * join, LateralSpec pins it). Semantically identical to q_window_topk's
+    * hand-written form; THIS row is about accepting the correlated surface
+    * syntax and planning it scalably.
+    */
+  val lateralTopK = Q(
+    "q_lateral",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    },
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
     groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile, setOps,
-    skyline)
+    skyline, lateralTopK)
 }

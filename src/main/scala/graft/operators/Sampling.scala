@@ -276,6 +276,53 @@ object Sampling {
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** GLOBAL TRAINING SHUFFLE + SPLIT + SHARDING — the last stage before a
+    * corpus hits the trainer: every doc gets (a) a deterministic train/val/
+    * test split by hash bucket (90/5/5 — reproducible, incremental, no
+    * coordination), (b) a shard assignment from an INDEPENDENT hash slice
+    * (8 shards), and (c) its position inside the shard by hash order — the
+    * SGD shuffle, without a global sort: ordering is per-shard (one window
+    * keyed by the shard), which is exactly the order a shard writer needs
+    * and all it needs. At 100 TB the shard count scales with the cluster
+    * and each shard sorts independently after one hash exchange; no stage
+    * ever sees a global order. The two hash slices come from different
+    * md5 offsets so split and shard are independent (and the order key is a
+    * third slice): a val doc doesn't land on a fixed shard subset.
+    */
+  val shuffleShards = Q(
+    "q_shuffle_shards",
+    (s, d) => {
+      val hx = md5(concat(col("doc_id").cast("string"), lit(":"), col("source")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hx.as("hx"))
+        .select(col("doc_id"),
+          (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 100L).as("b"),
+          (conv(substring(col("hx"), 9, 6), 16, 10).cast("long") % 8L).as("shard"),
+          substring(col("hx"), 15, 12).as("ord"))
+        .withColumn("split",
+          when(col("b") < 90L, "train").when(col("b") < 95L, "val").otherwise("test"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard").orderBy(col("ord"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || source) AS hx
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id,
+      |    ('0x'||substr(hx,1,8))::BIGINT % 100 AS b,
+      |    ('0x'||substr(hx,9,6))::BIGINT % 8 AS shard,
+      |    substr(hx,15,12) AS ord
+      |  FROM h)
+      |SELECT doc_id,
+      |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |  shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap,
-    weightedSample, temperatureMix, curriculum)
+    weightedSample, temperatureMix, curriculum, shuffleShards)
 }
