@@ -1284,9 +1284,70 @@ object Analytics {
       |ORDER BY c_custkey""".stripMargin
   )
 
+  /** MERGE (upsert + delete) — the Delta/Iceberg `MERGE INTO` semantics as a
+    * pure relational plan: the per-user state BEFORE the cutoff is the base
+    * table, the latest post-cutoff event per user is the changelog row, and
+    * the merge is ONE full-outer equi-join on the key — matched rows take
+    * the delta state (`update`), unmatched-left keep base (`keep`),
+    * unmatched-right insert (`insert`), and a delta whose last event is
+    * `error` DELETES the key (row dropped). Both sides reduce to one row
+    * per key BEFORE the join (window top-1 over each side's shuffle), so
+    * the join is |keys|-sized however large the log: the merge every
+    * warehouse upsert pipeline runs, shuffled once per side on the key. The
+    * deterministic tiebreak is (time, event_id) desc on both engines.
+    */
+  val mergeUpsert = Q(
+    "q_merge_upsert",
+    (s, d) => {
+      val cut = 1705363200000000L // 2024-01-16T00:00Z, micros — mid-log
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_type"), expr("ts DIV 1000").as("tus"),
+        col("event_id"))
+      def latest(df: org.apache.spark.sql.DataFrame, pfx: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tus").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as(s"${pfx}_type"),
+            col("tus").as(s"${pfx}_tus"))
+      }
+      val base = latest(ev.filter(col("tus") < cut), "b")
+      val delta = latest(ev.filter(col("tus") >= cut), "d")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .filter(col("d_type").isNull || col("d_type") =!= "error")
+        .select(col("user_id"),
+          coalesce(col("d_type"), col("b_type")).as("event_type"),
+          coalesce(col("d_tus"), col("b_tus")).as("tus"),
+          when(col("d_type").isNull, "keep")
+            .when(col("b_type").isNull, "insert")
+            .otherwise("update").as("action"))
+        .orderBy("user_id")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus, event_id
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id, event_type AS b_type, tus AS b_tus FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev WHERE tus < 1705363200000000) WHERE rn = 1),
+      |delta AS (
+      |  SELECT user_id, event_type AS d_type, tus AS d_tus FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY tus DESC, event_id DESC) AS rn
+      |    FROM ev WHERE tus >= 1705363200000000) WHERE rn = 1)
+      |SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+      |  coalesce(d_type, b_type) AS event_type,
+      |  coalesce(d_tus, b_tus) AS tus,
+      |  CASE WHEN d_type IS NULL THEN 'keep'
+      |       WHEN b_type IS NULL THEN 'insert' ELSE 'update' END AS action
+      |FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+      |WHERE d_type IS NULL OR d_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(joinBroadcast, windowTopK, timeWindow, asofJoin, asofNative,
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
     tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample,
-    rankingFamily, asofForward, conversionLag)
+    rankingFamily, asofForward, conversionLag, mergeUpsert)
 }

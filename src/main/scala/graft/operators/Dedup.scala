@@ -798,6 +798,40 @@ object Dedup {
        |ORDER BY s1, s2""".stripMargin
   )
 
+  /** CONSECUTIVE-duplicate compaction — the CDC/run-length flavor of dedup:
+    * within each user's event stream (time, id ordered), drop a row iff it
+    * repeats the immediately preceding event_type, keeping the first of each
+    * run (the state-transition log a changelog consumer actually wants;
+    * [[operators.Analytics.scd2]] builds versioned intervals from exactly
+    * this compaction). One shuffle on user_id for the lag window; the
+    * comparison is row-local. IS DISTINCT FROM semantics via the null-safe
+    * equality's negation so a NULL-typed first row is kept, same as the
+    * oracle's lag() IS DISTINCT FROM.
+    */
+  val dedupConsecutive = Q(
+    "q_dedup_consecutive",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(not(col("prev") <=> col("event_type")))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id", "event_id")
+    },
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_ns(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, event_id, event_type
+      |FROM o WHERE prev IS DISTINCT FROM event_type
+      |ORDER BY user_id, event_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
-    containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap)
+    containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap,
+    dedupConsecutive)
 }
