@@ -8,6 +8,20 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   */
 class PosturePlanSpec extends SparkSpec {
 
+  /** Flatten an executed plan THROUGH AQE wrappers (and reused-exchange /
+    * query-stage indirection): `plan.collect` alone stops at
+    * AdaptiveSparkPlanExec's leaf.
+    */
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec        => q +: nodes(q.plan)
+      case other                    => other +: other.children.flatMap(nodes)
+    }
+  }
+
   test("hybrid RRF: both legs reduce via TakeOrderedAndProject before ranking") {
     val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf())
     df.collect()
@@ -40,5 +54,46 @@ class PosturePlanSpec extends SparkSpec {
     val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
     assert(scans.isEmpty,
       s"expected zero file scans in the final BFS plan (checkpoint absorbs them), got ${scans.size}")
+  }
+
+  test("mode: the argmax window runs over the aggregated grain, not the event scan") {
+    val df = SparkEntry.queries("q_mode")(spark, sf())
+    df.collect()
+    val all = nodes(df.queryExecution.executedPlan)
+    // the window's child subtree must contain the (user, type) aggregate —
+    // i.e. the corpus is reduced BEFORE any sort-for-window happens
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "argmax window missing")
+    assert(windows.forall(w => nodes(w.child).exists(_.nodeName.contains("HashAggregate"))),
+      "window is not above the count aggregate — it would sort raw events")
+  }
+
+  test("shuffle shards: exactly one exchange, keyed by shard") {
+    val df = SparkEntry.queries("q_shuffle_shards")(spark, sf())
+    df.collect()
+    val shuffles = nodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // one hash(shard) exchange for the window + the final presentation sort's
+    // range exchange; nothing else (no global sort of the corpus before it)
+    val parts = shuffles.map(_.outputPartitioning.toString)
+    val hashEx = parts.filter(p => p.startsWith("hashpartitioning") && p.contains("shard"))
+    assert(hashEx.size == 1 && parts.size <= 2,
+      s"expected one shard hash exchange (+ presentation range sort only), got $parts")
+  }
+
+  test("merge upsert: both sides reduce per-key before the full-outer join") {
+    val df = SparkEntry.queries("q_merge_upsert")(spark, sf())
+    df.collect()
+    val joins = nodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    val outer = joins.filter(_.joinType.toString.contains("FullOuter"))
+    assert(outer.size == 1, s"expected one full-outer join, got ${joins.map(_.joinType)}")
+    // each side of the merge join must contain its own top-1 window (the
+    // per-key reduction) — the join never sees the raw log
+    assert(outer.head.children.forall(c => nodes(c).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])),
+      "a merge side reached the join unreduced")
   }
 }
