@@ -26,6 +26,47 @@ object Tpch {
   private def dsum(c: Column) = sum(c.cast(DecimalType(18, 6))).cast("double")
   private def rev: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** TPC-H Q1 in its FULL literal form — the shipdate predicate and all
+    * eight aggregates, including the three averages (q1_agg keeps the
+    * historical simplified shape; this row closes the "is Q1 literally
+    * there" question). Averages are DOUBLE divisions of an exact
+    * decimal-sum by an exact count — two correctly-rounded IEEE ops,
+    * deterministic on both engines with NO rounding contract (the
+    * ranking-family rule bans rounded ratios; unrounded exact-over-exact
+    * needs no ban). One 2-phase hash aggregate over the filtered scan;
+    * the filter reaches the parquet scan as a pushed predicate.
+    */
+  val tpchQ1 = Q(
+    "q_tpch_q1",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp") - expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(rev).as("sum_disc_price"),
+          dsum(rev * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-12-01' - INTERVAL 90 DAY
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+
   /** TPC-H Q2 shape (min-cost supplier): the correlated-min + join-back
     * pattern. The oracle states "the supplier whose acctbal equals the
     * minimum over this part's European suppliers" as a correlated subquery;
@@ -513,6 +554,6 @@ object Tpch {
       |ORDER BY s_name""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(tpchQ2, tpchQ4, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
+  val all: Seq[Q] = Seq(tpchQ1, tpchQ2, tpchQ4, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
     tpchQ10, tpchQ11, tpchQ13, tpchQ14, tpchQ15, tpchQ20)
 }
