@@ -22,6 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLVL", "WARN"))
     SparkEntry.tune(spark)
+    // dev aid (the PlanProbe knob): quantify AQE's per-stage replanning share
+    // of the local-mode floor. The driver never sets it — official numbers
+    // are AQE-on, matching the configuration a cluster would run.
+    if (sys.env.contains("SPARK_GRAFT_NOAQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     // Every measurement starts from an empty cache: queries that persist() a
     // shared subplan internally keep their within-query reuse, but a later

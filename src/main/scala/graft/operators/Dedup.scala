@@ -798,6 +798,66 @@ object Dedup {
        |ORDER BY s1, s2""".stripMargin
   )
 
+  /** PERCEPTUAL-HASH near-dup pairs — the IMAGE modality of the dedup family
+    * (text: MinHash/SimHash/n-gram; embeddings: cosine; images: THIS). The
+    * dHash construction: a per-payload locality-sensitive vector stands in
+    * for the downsampled grayscale grid (the pixel decode is codec-bound,
+    * like every media stub here — the 32-perm minhash signature has exactly
+    * the property dHash needs: similar payloads agree on most components),
+    * and the hash bit j is the GRADIENT comparison v[j] < v[(j+1) mod 32] —
+    * a 32-bit fingerprint whose hamming distance tracks payload similarity.
+    * Near-dup candidates come from a 4×8-bit BAND equi-join (pigeonhole:
+    * hamming ≤ 3 ⟹ at least one intact band, covering the ≤ 2 threshold
+    * with margin) — never all-pairs — and exact hamming verifies. A real
+    * image decoder swaps in for the signature without touching the hash,
+    * the banding, or the join.
+    */
+  val phashPairs = Q(
+    "q_phash_pairs",
+    (s, d) => {
+      val sig = minhashSignatures(Tables.documents(s, d), 2, 32)
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 31), 0L, (acc, j) ->
+            |  acc + IF(element_at(sig, CAST(j AS INT) + 1)
+            |             < element_at(sig, CAST((j + 1) % 32 AS INT) + 1),
+            |           shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin).as("ph"))
+        .localCheckpoint()
+      val blocks = sig
+        .select(col("doc_id"), col("ph"), explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("ph"), col("b"),
+          (floor(col("ph") / pow(lit(2.0), col("b") * 8)).cast("long") % 256L).as("bv"))
+      val hamming = bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long")
+      blocks.select(col("doc_id").as("d1"), col("ph").as("p1"), col("b"), col("bv"))
+        .join(blocks.select(col("doc_id").as("d2"), col("ph").as("p2"), col("b"), col("bv")),
+          Seq("b", "bv"))
+        .filter(col("d1") < col("d2") && hamming <= 2L)
+        .select(col("d1"), col("d2"), hamming.as("hamming"))
+        .distinct()
+        .orderBy("d1", "d2")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+       |hashed AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
+       |perms AS (
+       |  SELECT j, 2*${TextFns.hash28Sql("'a'||CAST(j AS VARCHAR)")}+1 AS a,
+       |         ${TextFns.hash28Sql("'b'||CAST(j AS VARCHAR)")} AS b
+       |  FROM unnest(range(32)) AS t(j)),
+       |sig AS (SELECT doc_id, j, min((a*h + b) % $P) AS mh FROM hashed, perms GROUP BY doc_id, j),
+       |ph AS (
+       |  SELECT s1.doc_id,
+       |         CAST(sum(CASE WHEN s1.mh < s2.mh THEN CAST(power(2, s1.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM sig s1 JOIN sig s2 ON s1.doc_id = s2.doc_id AND s2.j = (s1.j + 1) % 32
+       |  GROUP BY s1.doc_id),
+       |blocks AS (
+       |  SELECT doc_id, ph, b, CAST(floor(ph/power(2, b*8)) AS BIGINT) % 256 AS bv
+       |  FROM ph, unnest(range(4)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ph AS p1, b.ph AS p2
+       |  FROM blocks a JOIN blocks b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(p1, p2)) <= 2
+       |ORDER BY d1, d2""".stripMargin
+  )
+
   /** CONSECUTIVE-duplicate compaction — the CDC/run-length flavor of dedup:
     * within each user's event stream (time, id ordered), drop a row iff it
     * repeats the immediately preceding event_type, keeping the first of each
@@ -833,5 +893,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
     containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap,
-    dedupConsecutive)
+    dedupConsecutive, phashPairs)
 }
