@@ -100,7 +100,8 @@ class GeoJsonTable(options: CaseInsensitiveStringMap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
@@ -405,10 +406,40 @@ class GeoJsonWriteBuilder(path: String, schema: StructType)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GeoJsonBatchWrite(path, schema, truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GeoJsonStreamingWrite(path, schema)
   }
 }
 
-case class GeoJsonCommitMessage(tmpFile: String) extends WriterCommitMessage
+/** Micro-batch streaming sink: per-epoch part files (`part-e<epoch>-…`), so a
+  * REPLAYED epoch (failure recovery) overwrites its own files instead of
+  * duplicating rows — commit is idempotent per epoch, the property a
+  * file-based streaming sink needs under the at-least-once commit protocol.
+  * Append semantics across epochs; the batch `format("geojson")` reader
+  * lists all part files, so streamed output reads back symmetrically.
+  */
+class GeoJsonStreamingWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new java.io.File(path, "_tmp").mkdirs()
+    // top-level case class, NOT an anonymous inner class: the factory ships
+    // to executors and must not drag the (non-serializable) StreamingWrite
+    // along as its $outer
+    GeoJsonStreamingWriterFactory(path, schema)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case GeoJsonCommitMessage(tmp, fin) =>
+      java.nio.file.Files.move(new java.io.File(tmp).toPath,
+        new java.io.File(path, fin).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
+}
+
+case class GeoJsonCommitMessage(tmpFile: String, finalName: String)
+    extends WriterCommitMessage
 
 class GeoJsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
     extends BatchWrite {
@@ -422,28 +453,41 @@ class GeoJsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean
     if (truncateFirst)
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("part-")).foreach(_.delete())
-    messages.foreach { case GeoJsonCommitMessage(tmp) =>
-      val f = new java.io.File(tmp)
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(path, f.getName).toPath,
+    messages.foreach { case GeoJsonCommitMessage(tmp, fin) =>
+      java.nio.file.Files.move(new java.io.File(tmp).toPath,
+        new java.io.File(path, fin).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     new java.io.File(path, "_tmp").delete()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach { case GeoJsonCommitMessage(tmp) => new java.io.File(tmp).delete() }
+    messages.foreach { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
     new java.io.File(path, "_tmp").delete()
   }
 }
 
-class GeoJsonWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonDataWriter(path, schema, partitionId, taskId)
+case class GeoJsonStreamingWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GeoJsonDataWriter(path, schema,
+      tmpName = s"part-e$epochId-$partitionId-$taskId",
+      finalName = s"part-e$epochId-$partitionId")
 }
 
-class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, taskId: Long)
+class GeoJsonWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GeoJsonDataWriter(path, schema,
+      tmpName = s"part-$partitionId-$taskId", finalName = s"part-$partitionId-$taskId")
+}
+
+/** `tmpName` must be unique per ATTEMPT (speculative twins must not share a
+  * tmp file); `finalName` is the committed name — stable per (epoch,
+  * partition) on the streaming path so replayed epochs overwrite themselves.
+  */
+class GeoJsonDataWriter(path: String, schema: StructType, tmpName: String, finalName: String)
     extends DataWriter[InternalRow] {
-  private val tmp = new java.io.File(s"$path/_tmp/part-$partitionId-$taskId.geojson")
+  private val tmp = new java.io.File(s"$path/_tmp/$tmpName.geojson")
   // UTF-8 explicitly — FileWriter's platform-default charset would corrupt
   // non-ASCII property values against the reader's UTF-8 decode
   private val out = java.nio.file.Files.newBufferedWriter(
@@ -501,7 +545,7 @@ class GeoJsonDataWriter(path: String, schema: StructType, partitionId: Int, task
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close(); GeoJsonCommitMessage(tmp.getAbsolutePath)
+    out.close(); GeoJsonCommitMessage(tmp.getAbsolutePath, s"$finalName.geojson")
   }
   override def abort(): Unit = { out.close(); tmp.delete() }
   override def close(): Unit = ()

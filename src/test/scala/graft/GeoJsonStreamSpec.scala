@@ -49,4 +49,36 @@ class GeoJsonStreamSpec extends SparkSpec {
       assert(streamed == batch, s"stream vs batch:\n$streamed\n$batch")
     } finally q.stop()
   }
+
+  test("streaming WRITE lands per-epoch geojson files that read back through the batch reader") {
+    val srcDir = Files.createTempDirectory("gjw-src").toFile
+    val outDir = Files.createTempDirectory("gjw-out").toFile
+    val ckpt = Files.createTempDirectory("gjw-ckpt").toFile
+    def writeDoc(name: String, ids: Seq[String]): Unit =
+      Files.writeString(new java.io.File(srcDir, name).toPath,
+        s"""{"type": "FeatureCollection", "features": [${ids.map(feature).mkString(",")}]}""")
+
+    writeDoc("in_001.geojson", Seq("W1", "W2"))
+    val q = spark.readStream.format("geojson").load(srcDir.getAbsolutePath)
+      .writeStream.format("geojson")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      writeDoc("in_002.geojson", Seq("W3"))
+      q.processAllAvailable()
+
+      // per-epoch part files appended across micro-batches
+      val parts = outDir.listFiles().filter(_.getName.endsWith(".geojson")).map(_.getName)
+      assert(parts.exists(_.startsWith("part-e")), s"epoch-named parts missing: ${parts.toSeq}")
+
+      // round-trip: streamed output re-reads through the batch geojson reader
+      val ids = spark.read.format("geojson")
+        .load(outDir.listFiles().filter(_.getName.endsWith(".geojson")).map(_.getAbsolutePath): _*)
+        .select(col("properties")("route_id"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("W1", "W2", "W3"), s"round-trip ids: $ids")
+    } finally q.stop()
+  }
 }
