@@ -355,6 +355,69 @@ object Graph {
     }
   )
 
+  /** WEIGHTED single-source shortest paths — the min-plus (Bellman-Ford)
+    * completion of the graph family next to BFS's hop distances: 6 fixed
+    * relaxation rounds over deterministic integer edge weights
+    * (1 + md5-hash(u:v) mod 5, computed once on the oriented edge so both
+    * directions share it), distances exact-integer so no float-sum contract
+    * is needed. Unlike BFS, a weighted round relaxes the FULL distance
+    * relation (a settled vertex can still improve a neighbor via a cheaper
+    * longer path), so each round is one |dist|⋈|E| equi-join on the
+    * hash(u)-partitioned checkpointed edges — exchange-free on the big
+    * side — plus a map-side-combined min aggregate. The oracle states the
+    * identical 6 rounds as chained CTEs; 6 ≥ the fixture's weighted-path
+    * hop length, and the trailing rounds witness fixpoint stability (the
+    * BFS convention).
+    */
+  val sssp = Q(
+    "q_sssp",
+    (s, d) => {
+      val e0 = copurchaseEdges(s, d)
+        .withColumn("w", lit(1L) + pmod(
+          graft.functions.TextFns.hash32(
+            concat(col("u").cast("string"), lit(":"), col("v").cast("string"))),
+          lit(5L)))
+      val e = e0.select(col("u"), col("v"), col("w"))
+        .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .repartition(col("u"))
+        .localCheckpoint()
+      val src = e.agg(min(col("u"))).head.getLong(0)
+      var dist = s.range(1).select(lit(src).as("v"), lit(0L).as("d"))
+      for (k <- 1 to 6) {
+        val cand = dist.select(col("v").as("dv"), col("d"))
+          .join(e, col("dv") === col("u"))
+          .select(col("v"), (col("d") + col("w")).as("d"))
+        dist = dist.unionByName(cand).groupBy(col("v")).agg(min(col("d")).as("d"))
+        if (k % 2 == 0 && k < 6) dist = dist.localCheckpoint(eager = false)
+      }
+      dist.groupBy(col("d").cast("long").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }, {
+      def step(k: Int): String =
+        s"""d$k AS (SELECT v, min(d) AS d FROM (
+           |  SELECT v, d FROM d${k - 1}
+           |  UNION ALL SELECT e.v, d${k - 1}.d + e.w FROM e JOIN d${k - 1} ON e.u = d${k - 1}.v
+           |) GROUP BY v)""".stripMargin
+      val h = graft.functions.TextFns.hash32Sql(
+        "CAST(u AS VARCHAR)||':'||CAST(v AS VARCHAR)")
+      // MATERIALIZED hints keep the ORACLE honest, not slow: each d_k refers
+      // to d_{k-1} twice, so with inlined CTEs the oracle engine re-derives
+      // the whole edge pipeline exponentially across the 6 rounds (measured
+      // 387 s at sf0.1 vs 6.4 s materialized — the Spark plan checkpoints
+      // the edges once and is 5.8 s). The hint states the same relation
+      // algebra; it just pins the sane evaluation strategy.
+      s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+         |ew AS MATERIALIZED (SELECT u, v, 1 + $h % 5 AS w FROM e0),
+         |e AS MATERIALIZED (SELECT u, v, w FROM ew UNION ALL SELECT v AS u, u AS v, w FROM ew),
+         |d0 AS (SELECT (SELECT min(u) FROM e) AS v, 0 AS d),
+         |${(1 to 6).map(step).mkString(",\n")}
+         |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes FROM d6
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  )
+
   /** Degree distribution in power-of-two buckets — the graph-health report
     * (a power-law tail here is WHY the hub-skew machinery in this file
     * exists; this query is how you see it coming). Bucket = bit length of
@@ -386,5 +449,5 @@ object Graph {
       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(triangles, pagerank, bfs, degreeDist)
+  val all: Seq[Q] = Seq(triangles, pagerank, bfs, degreeDist, sssp)
 }
