@@ -89,7 +89,13 @@ object Bench {
     // the line's head are lost. Persist the complete record to a file and
     // finish with a COMPACT line (totals + the slowest queries only) that
     // always fits whole inside a 2000-char tail.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // Dev runs with SPARK_GRAFT_ONLY / SPARK_GRAFT_NOAQE must not clobber the
+    // official full-registry record the compact line points at — divert them
+    // to a suffixed file.
+    val fullPath =
+      if (only.isDefined || sys.env.contains("SPARK_GRAFT_NOAQE")) "BENCH_FULL.dev.json"
+      else "BENCH_FULL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val failed = names.filter(n => warm(n) < 0)

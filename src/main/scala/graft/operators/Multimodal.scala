@@ -137,7 +137,7 @@ object Multimodal {
         col("doc_id"),
         posexplode(expr("""transform(sequence(0, 7), i ->
              (cast(conv(substring(md5(concat(text, ':', i)), 1, 8), 16, 10) as bigint)
-              * 1000000L + 2147483648L) div 4294967296L / 1000000.0)""")))
+              * 1000000L + 2147483648L) div 4294967296L / cast(1000000 as double))""")))
         .select(col("doc_id"), col("pos").cast("long").as("feature_idx"),
           col("col").as("feature"))
         .orderBy("doc_id", "feature_idx"),

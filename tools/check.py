@@ -48,21 +48,44 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             failures += 1
             continue
-        # the driver's gate hashes VALUES: an int64 column on one side and a
-        # float64 on the other renders "123" vs "123.0" and hash-mismatches
-        # even when assert_frame_equal (check_dtype=False) passes. The classic
-        # source is DuckDB sum(BIGINT) -> HUGEINT -> pandas float64; fix the
-        # oracle with CAST(... AS BIGINT). Flag it here so it never reaches
-        # the driver.
-        dtype_risk = [c for c in g.columns
-                      if (g[c].dtype.kind in "iu") != (w[c].dtype.kind in "iu")
-                      and {g[c].dtype.kind, w[c].dtype.kind} & {"f"}]
+        # the driver's gate hashes TYPED values: an int64 column on one side
+        # and a float64 on the other renders "123" vs "123.0"; a DECIMAL
+        # against a DOUBLE renders "0.123000000" vs "0.123" — both
+        # hash-mismatch even when every value is numerically equal (the
+        # round-8/9 q_media_features defect: pandas .df() flattened DECIMAL
+        # to float64, so the old frame-level compare could not see it).
+        # Compare the DuckDB-level types of both relations and FAIL on any
+        # numeric-class divergence.
+        def tclass(t: str) -> str:
+            t = t.upper()
+            if t.startswith("DECIMAL"):
+                return "decimal"
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE", "REAL"):
+                return "float"
+            return t
+        got_rel = con.sql(f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
+        want_rel = con.sql(sql)
+        gt = {c: tclass(str(t)) for c, t in zip(got_rel.columns, got_rel.types)}
+        wt = {c: tclass(str(t)) for c, t in zip(want_rel.columns, want_rel.types)}
+        numeric = {"int", "float", "decimal"}
+        type_fail = [c for c in gt
+                     if gt[c] != wt.get(c) and (gt[c] in numeric or wt.get(c) in numeric)]
+        if type_fail:
+            print(f"FAIL {name}: numeric type class mismatch "
+                  f"{[(c, gt[c], wt.get(c)) for c in type_fail]} — "
+                  f"the driver's typed value-hash will differ even if values match")
+            failures += 1
+            continue
+        dtype_risk = [c for c in gt if gt[c] != wt.get(c)]
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
             if dtype_risk:
-                print(f"WARN {name}: int-vs-float dtype on {dtype_risk} — "
-                      f"values equal here but the driver's value-hash may differ")
+                print(f"WARN {name}: non-numeric type class differs on "
+                      f"{[(c, gt[c], wt.get(c)) for c in dtype_risk]}")
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
