@@ -436,7 +436,10 @@ object Aggregates {
         .agg(count(lit(1)).as("n"))
       counts
         .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+          // NULLS FIRST pinned explicitly: Spark defaults ascending to
+          // NULLS FIRST but DuckDB to NULLS LAST — a NULL value tying the
+          // top count would make the two engines pick different mode rows
+          Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type").asc_nulls_first)))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("mode_event_type"), col("n"))
         .orderBy("user_id")
@@ -446,7 +449,7 @@ object Aggregates {
       |  FROM events GROUP BY 1, 2),
       |r AS (
       |  SELECT user_id, event_type, n,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type NULLS FIRST) AS rn
       |  FROM c)
       |SELECT user_id, event_type AS mode_event_type, n
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin

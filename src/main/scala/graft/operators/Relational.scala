@@ -323,6 +323,46 @@ object Relational {
       |) ORDER BY col""".stripMargin
   )
 
+  /** The sketch profile as a REGISTERED, oracle-checked query — the plan
+    * you'd actually run first against an unknown 100 TB table (q_profile's
+    * exact multi-distinct Expand is the small-data form). The HLL++
+    * estimates stay in the executed plan (ProfileApproxSpec pins no-Expand +
+    * the 2% rsd bound); for the driver's typed hash the distinct count is
+    * emitted at the grain a first-pass profile actually answers — its
+    * power-of-two magnitude, `floor(log2(nd))` via the exact-integer
+    * `length(bin(nd)) − 1` trick (the q_degree_dist convention; libm log2
+    * at exact powers of two is off by 1 ulp). Spark's HLL++ is
+    * deterministic (hash-based, order-invariant merge), and at 2% rsd the
+    * estimate sits ≫3σ from every bucket edge for all four columns at all
+    * three SFs, so the bucket — unlike the raw estimate — is engine-
+    * comparable: the oracle states the same bucket over the EXACT count.
+    */
+  val profileApprox = Q(
+    "q_profile_approx",
+    (s, d) => profileTable(Tables.orders(s, d), ordersProfileSpecs, approx = true)
+      .select(col("col"), col("n"), col("non_null"),
+        (length(bin(col("n_distinct"))) - 1).cast("long").as("nd_log2"),
+        col("min_v"), col("max_v")),
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+      |      CAST(min(o_orderkey) AS VARCHAR) AS mn_k, CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+      |    count(o_orderpriority) AS nn_pr, count(DISTINCT o_orderpriority) AS nd_pr,
+      |      CAST(min(o_orderpriority) AS VARCHAR) AS mn_pr, CAST(max(o_orderpriority) AS VARCHAR) AS mx_pr,
+      |    count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+      |      CAST(min(o_orderstatus) AS VARCHAR) AS mn_st, CAST(max(o_orderstatus) AS VARCHAR) AS mx_st,
+      |    count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+      |      CAST(round(min(o_totalprice), 6) AS VARCHAR) AS mn_tp, CAST(round(max(o_totalprice), 6) AS VARCHAR) AS mx_tp
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col, n, CAST(nn_k AS BIGINT) AS non_null,
+      |         CAST(length(bin(nd_k)) - 1 AS BIGINT) AS nd_log2, mn_k AS min_v, mx_k AS max_v FROM s
+      |  UNION ALL SELECT 'o_orderpriority', n, CAST(nn_pr AS BIGINT), CAST(length(bin(nd_pr)) - 1 AS BIGINT), mn_pr, mx_pr FROM s
+      |  UNION ALL SELECT 'o_orderstatus', n, CAST(nn_st AS BIGINT), CAST(length(bin(nd_st)) - 1 AS BIGINT), mn_st, mx_st FROM s
+      |  UNION ALL SELECT 'o_totalprice', n, CAST(nn_tp AS BIGINT), CAST(length(bin(nd_tp)) - 1 AS BIGINT), mn_tp, mx_tp FROM s
+      |) ORDER BY col""".stripMargin
+  )
+
   /** PARETO SKYLINE (multi-criteria domination — "cheapest for its size
     * class"): parts no other part beats on BOTH price (minimize) and size
     * (maximize), with at least one strict. The oracle states the textbook
@@ -403,6 +443,6 @@ object Relational {
   )
 
   val all: Seq[Q] = Seq(filterLimit, distinctSorted, schemaMap, jsonFlatten, boundsAgg,
-    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile, setOps,
-    skyline, lateralTopK)
+    groupByCategory, q1Agg, semiAnti, countDistinct_, fullOuter, profile,
+    profileApprox, setOps, skyline, lateralTopK)
 }

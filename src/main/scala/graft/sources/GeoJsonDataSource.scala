@@ -428,14 +428,28 @@ class GeoJsonStreamingWrite(path: String, schema: StructType)
     // along as its $outer
     GeoJsonStreamingWriterFactory(path, schema)
   }
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Idempotence must hold even when the REPLAY produces FEWER partitions
+    // than the failed attempt (AQE can re-plan the micro-batch): per-file
+    // REPLACE_EXISTING only overwrites matching partition ids, leaving the
+    // earlier attempt's higher-numbered part-e<epoch>-* files to duplicate
+    // rows on read-back. Clear the epoch's files wholesale first.
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(s"part-e$epochId-"))
+      .foreach(_.delete())
     messages.foreach { case GeoJsonCommitMessage(tmp, fin) =>
       java.nio.file.Files.move(new java.io.File(tmp).toPath,
         new java.io.File(path, fin).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // the DSv2 contract allows null slots for writers that never committed —
+    // pattern-matching them would throw MatchError and mask the original
+    // failure (same latent pattern fixed in the batch path)
+    messages.collect { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
+    new java.io.File(path, "_tmp").delete()
+  }
 }
 
 case class GeoJsonCommitMessage(tmpFile: String, finalName: String)
@@ -461,7 +475,9 @@ class GeoJsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean
     new java.io.File(path, "_tmp").delete()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
+    // collect, not foreach: null slots (writers that never committed) are
+    // allowed by the DSv2 contract and must not MatchError
+    messages.collect { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
     new java.io.File(path, "_tmp").delete()
   }
 }

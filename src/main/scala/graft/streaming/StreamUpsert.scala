@@ -33,6 +33,17 @@ object StreamUpsert {
   /** Pure per-key fold: the newest change (by ts, then event_id — the batch
     * operator's exact tiebreak) wins; a tombstone-typed winner deletes.
     * Unit-testable without a stream.
+    *
+    * A delete RETAINS state — a `KeyState` whose `event_type` is the
+    * tombstone marker, carrying the delete's (ts_us, event_id). Removing the
+    * key instead (the pre-round-10 form) loses the deletion's position in
+    * the change order: an OLDER out-of-order change arriving in a later
+    * micro-batch would compare against Long.MinValue and resurrect the
+    * deleted key, diverging from the batch q_merge_upsert latest-wins
+    * semantics. This is the Kafka-compacted-topic contract — tombstones are
+    * retained (there: for delete.retention.ms; here: for the run — a
+    * deployment that must bound state pairs this with a state TTL timeout
+    * longer than its max expected disorder).
     */
   def advance(state: Option[KeyState], changes: Seq[Change])
       : (Option[KeyState], Option[Upsert]) = {
@@ -40,11 +51,11 @@ object StreamUpsert {
     val newest = changes.maxBy(c => (c.ts_us, c.event_id))
     val incumbent = state.map(s => (s.ts_us, s.event_id)).getOrElse((Long.MinValue, Long.MinValue))
     if (Ordering[(Long, Long)].lteq((newest.ts_us, newest.event_id), incumbent)) (state, None)
-    else if (newest.event_type == Tombstone)
-      (None, Some(Upsert(newest.user_id, Tombstone, newest.ts_us, deleted = true)))
     else {
       val ns = KeyState(newest.ts_us, newest.event_id, newest.event_type)
-      (Some(ns), Some(Upsert(newest.user_id, ns.event_type, ns.ts_us, deleted = false)))
+      (Some(ns),
+        Some(Upsert(newest.user_id, ns.event_type, ns.ts_us,
+          deleted = ns.event_type == Tombstone)))
     }
   }
 
@@ -58,10 +69,7 @@ object StreamUpsert {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (_: Long, it: Iterator[Change], state: GroupState[KeyState]) =>
           val (ns, out) = advance(state.getOption, it.toSeq)
-          ns match {
-            case Some(s) => state.update(s)
-            case None    => state.remove()
-          }
+          ns.foreach(state.update)
           out.iterator
       }
   }

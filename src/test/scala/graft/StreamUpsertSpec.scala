@@ -22,10 +22,48 @@ class StreamUpsertSpec extends SparkSpec {
     // a stale batch against existing state emits nothing
     assert(StreamUpsert.advance(Some(KeyState(100L, 9L, "click")), Seq(c3)) ===
       ((Some(KeyState(100L, 9L, "click")), None)))
-    // tombstone removes state and emits a delete
+    // tombstone RETAINS state (carrying the delete's position in the change
+    // order) and emits a delete
     val del = Change(1L, 200L, 1L, "error")
     assert(StreamUpsert.advance(Some(KeyState(100L, 9L, "click")), Seq(del)) ===
-      ((None, Some(Upsert(1L, "error", 200L, deleted = true)))))
+      ((Some(KeyState(200L, 1L, "error")), Some(Upsert(1L, "error", 200L, deleted = true)))))
+    // the ADVICE r9 regression: an OLDER change arriving AFTER the delete
+    // (out-of-order, later micro-batch) must NOT resurrect the key — it
+    // compares against the tombstone's (ts, id), not Long.MinValue
+    assert(StreamUpsert.advance(Some(KeyState(200L, 1L, "error")),
+      Seq(Change(1L, 150L, 7L, "click"))) ===
+      ((Some(KeyState(200L, 1L, "error")), None)))
+    // a genuinely NEWER change after a delete re-creates the key
+    assert(StreamUpsert.advance(Some(KeyState(200L, 1L, "error")),
+      Seq(Change(1L, 300L, 2L, "view"))) ===
+      ((Some(KeyState(300L, 2L, "view")), Some(Upsert(1L, "view", 300L, deleted = false)))))
+  }
+
+  test("out-of-order change in a later micro-batch does not resurrect a deleted key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = StreamUpsert.upserts(in.toDS())
+      .writeStream.format("memory").queryName("upsert_ooo")
+      .outputMode("update").start()
+    try {
+      // batch 1: create then delete key 1; create key 2
+      in.addData(Change(1L, 100L, 1L, "view"), Change(1L, 200L, 2L, "error"),
+        Change(2L, 100L, 3L, "click"))
+      q.processAllAvailable()
+      // batch 2: an out-of-order STALE change for the deleted key 1 (ts 150 <
+      // the tombstone's 200) and a stale one for live key 2
+      in.addData(Change(1L, 150L, 9L, "click"), Change(2L, 50L, 9L, "view"))
+      q.processAllAvailable()
+      val applied = scala.collection.mutable.LinkedHashMap[Long, Upsert]()
+      spark.table("upsert_ooo").collect().foreach { r =>
+        val u = Upsert(r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))
+        applied(u.user_id) = u
+      }
+      assert(applied(1L).deleted, s"deleted key resurrected: ${applied(1L)}")
+      assert(applied(2L) === Upsert(2L, "click", 100L, deleted = false))
+    } finally q.stop()
   }
 
   test("file-source streaming upserts apply to the batch latest-state truth") {
