@@ -324,13 +324,13 @@ object Similarity {
     * recall/nprobe tradeoff is measurable (IvfRecallSpec); the registered
     * query uses nprobe=2, k=3.
     */
-  def ivfTopK(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
+  /** The 2-Lloyd k-means index build shared by IVF search and SemDeDup:
+    * deterministic seed vectors (vec_id 100..115), fused assignment+recompute
+    * passes over the caller-persisted corpus, ONE literal centroid relation
+    * out. Only index metadata (16 × 64 doubles) touches the driver.
+    */
+  private def kmeansCentroids(emb: DataFrame, corpus: DataFrame): DataFrame = {
     val s = emb.sparkSession
-    // the build makes several passes over the corpus (2 Lloyd + the search
-    // assignment) — cache the narrow projection once, as any k-means does
-    // (Bench/Verify clearCache() between queries reclaims it)
-    val corpus = emb.filter(col("vec_id") >= NQ)
-      .select(col("vec_id"), col("embedding")).persist()
     val vecs = corpus.rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val seeds: Array[(Long, Array[Double])] = emb
       .filter(col("vec_id") >= 100L && col("vec_id") < 116L)
@@ -339,10 +339,18 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
     val built = (1 to 2).foldLeft(seeds)((cs, _) => lloydStep(vecs, cs))
-    // ONE literal centroid relation for the whole search (the build no longer
-    // plans any DataFrames at all)
     import s.implicits._
-    val centroids = built.toSeq.map { case (id, ce) => (id, ce.toSeq) }.toDF("cent_id", "ce")
+    built.toSeq.map { case (id, ce) => (id, ce.toSeq) }.toDF("cent_id", "ce")
+  }
+
+  def ivfTopK(emb: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    // the build makes several passes over the corpus (2 Lloyd + the search
+    // assignment) — cache the narrow projection once, as any k-means does
+    // (Bench/Verify clearCache() between queries reclaims it)
+    val corpus = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id"), col("embedding")).persist()
+    val centroids = kmeansCentroids(emb, corpus)
     // vectors ride through the assignments, so the search is a broadcast of
     // the (tiny) probe set against corpus cells — no join back to the
     // embeddings table, no extra shuffles
@@ -365,6 +373,73 @@ object Similarity {
     "q_ann_ivf",
     (s, d) => ivfTopK(Tables.embeddings(s, d), 2, 3),
     annIvfSql
+  )
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means-cluster the
+    * embeddings, then prune cosine-near pairs WITHIN each cluster — the
+    * embedding-space twin of the shingle-based `q_dedup_clusters`. The
+    * cluster assignment is the quadratic's cage: pairs are only generated
+    * inside a cell (equi-join on the cell id), so the all-pairs comparison
+    * never happens and the per-cell cost is O(|cell|²) — the paper's design
+    * point is k ∝ N so cells stay bounded as the corpus grows (k is the
+    * scale knob, not the threshold). Keep policy is the house pairwise
+    * greedy: a vector is KEPT iff no same-cell neighbor with a smaller
+    * vec_id scores ≥ the threshold — deterministic, oracle-expressible, and
+    * the same min-id-keeps convention as the MinHash family. Reuses the IVF
+    * build verbatim (deterministic seeds, fused Lloyd passes,
+    * integer-quantized centroid sums) so the assignment is bit-for-bit the
+    * oracle's; cosines are pre-rounded to 6 before the threshold test.
+    * Output: per corpus vector (vec_id, cell, kept) — the full verdict
+    * relation a curation pipeline joins against, not just the drop list.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val corpus = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id"), col("embedding")).persist()
+    val centroids = kmeansCentroids(emb, corpus)
+    val cells = nearestCells(corpus, centroids, "c_id", 1)
+    val a = cells.select(col("c_id").as("v1"), col("cell"), col("qe"))
+    val b = cells.select(col("c_id").as("v2"), col("cell"), col("qe").as("ce"))
+    val cos =
+      if (emb.sparkSession.catalog.functionExists("graft_cosine")) expr("graft_cosine(qe, ce)")
+      else VecFns.cosine(col("qe"), col("ce"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v2"), round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("v2").as("vec_id")).distinct()
+    cells.select(col("c_id").as("vec_id"), col("cell"))
+      .join(drops.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val SemThreshold = "0.4"
+
+  val semanticDedup_ = Q(
+    "q_semantic_dedup",
+    (s, d) => semanticDedup(Tables.embeddings(s, d), SemThreshold.toDouble),
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NQ),
+       |cent0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |          WHERE vec_id >= 100 AND vec_id < 116),
+       |${assignSql("corpus", "cent0", "a0")},
+       |${recomputeSql("a0", "corpus", "cent1")},
+       |${assignSql("corpus", "cent1", "a1")},
+       |${recomputeSql("a1", "corpus", "cent2")},
+       |${assignSql("corpus", "cent2", "a2")},
+       |sums AS (
+       |  SELECT v1, v2,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT a.vid AS v1, b.vid AS v2, unnest(ca.embedding) AS qx, unnest(cb.embedding) AS cx
+       |        FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vid < b.vid
+       |        JOIN corpus ca ON ca.vec_id = a.vid JOIN corpus cb ON cb.vec_id = b.vid)
+       |  GROUP BY v1, v2),
+       |drops AS (SELECT DISTINCT v2 FROM sums
+       |          WHERE round(dot/(sqrt(qn)*sqrt(cn)), 6) >= $SemThreshold)
+       |SELECT a.vid AS vec_id, a.cell, (d.v2 IS NULL) AS kept
+       |FROM a2 a LEFT JOIN drops d ON d.v2 = a.vid
+       |ORDER BY vec_id""".stripMargin
   )
 
   /** Recall-targeted nprobe selection: walk the doubling nprobe ladder and
@@ -659,5 +734,5 @@ object Similarity {
   )
 
   val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats,
-    embedQuant, hybridRrf, embedCentroid)
+    embedQuant, hybridRrf, embedCentroid, semanticDedup_)
 }
