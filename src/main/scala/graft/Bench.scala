@@ -57,13 +57,16 @@ object Bench {
     val warm2 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     def passTotal(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
     // Variance guard: BASELINE.md's acceptance band is ≤15% between warm
-    // passes; when the two disagree by >25% one of them hit a host-contention
-    // window, so take a THIRD warm pass and report it alongside — min-of-N
-    // then discards the contaminated sample with a clean one present, and
-    // the recorded pass totals show exactly which samples were used.
+    // passes, and the trigger matches it EXACTLY (the round-9 slip: a 23%
+    // disagreement sailed under a looser 25% trigger, so driver-bench
+    // numbers that round were contended-window upper bounds with no third
+    // sample to discard them). Disagreement beyond the band ⟹ one pass hit
+    // a host-contention window ⟹ take a THIRD warm pass — min-of-N then
+    // discards the contaminated sample, and the recorded pass totals show
+    // exactly which samples were used.
     val disagree = {
       val (a, b) = (passTotal(warm1), passTotal(warm2))
-      a > 0 && b > 0 && math.abs(a - b) / math.min(a, b) > 0.25
+      a > 0 && b > 0 && math.abs(a - b) / math.min(a, b) > 0.15
     }
     val warm3 =
       if (disagree) Some(names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap)

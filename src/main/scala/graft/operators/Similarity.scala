@@ -413,6 +413,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** k-MEANS QA REPORT — the health check run after every index/SemDeDup
+    * build: per cell, member count and mean cosine-to-centroid (cohesion).
+    * A skewed size column says the seeds were bad; a low-cohesion cell says
+    * its members will produce poor ANN recall and unreliable semantic-dedup
+    * verdicts. Same build as q_ann_ivf/q_semantic_dedup; the report itself
+    * is one broadcast argmax pass + one tiny grouped aggregate. The mean
+    * goes through pre-rounded DECIMAL sums (the house partitioning-
+    * invariance contract for float means).
+    */
+  val clusterStats = Q(
+    "q_cluster_stats",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= NQ)
+        .select(col("vec_id"), col("embedding")).persist()
+      val centroids = kmeansCentroids(emb, corpus)
+      val cells = nearestCells(corpus, centroids, "c_id", 1)
+      val cos = round(VecFns.cosine(col("qe"), col("ce")), 6)
+      cells.join(broadcast(centroids.select(col("cent_id").as("cell"), col("ce"))), Seq("cell"))
+        .select(col("cell"), cos.as("coh"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("coh").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+            .cast("double") / count(lit(1)), 6).as("avg_cohesion"),
+          round(min(col("coh")), 6).as("min_cohesion"))
+        .orderBy("cell")
+    },
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NQ),
+       |cent0 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |          WHERE vec_id >= 100 AND vec_id < 116),
+       |${assignSql("corpus", "cent0", "a0")},
+       |${recomputeSql("a0", "corpus", "cent1")},
+       |${assignSql("corpus", "cent1", "a1")},
+       |${recomputeSql("a1", "corpus", "cent2")},
+       |${assignSql("corpus", "cent2", "a2")},
+       |coh_s AS (
+       |  SELECT a.vid, a.cell,
+       |    sum(CAST(x AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT a2.vid, a2.cell, unnest(c.embedding) AS x, unnest(t.ce) AS cx
+       |        FROM a2 JOIN corpus c ON c.vec_id = a2.vid
+       |        JOIN cent2 t ON t.cent_id = a2.cell) a
+       |  GROUP BY a.vid, a.cell),
+       |coh AS (SELECT vid, cell, round(dot/(sqrt(qn)*sqrt(cn)), 6) AS coh FROM coh_s)
+       |SELECT cell, count(*) AS n_vecs,
+       |  round(CAST(sum(CAST(coh AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_cohesion,
+       |  round(min(coh), 6) AS min_cohesion
+       |FROM coh GROUP BY cell ORDER BY cell""".stripMargin
+  )
+
   private val SemThreshold = "0.4"
 
   val semanticDedup_ = Q(
@@ -734,5 +785,5 @@ object Similarity {
   )
 
   val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats,
-    embedQuant, hybridRrf, embedCentroid, semanticDedup_)
+    embedQuant, hybridRrf, embedCentroid, semanticDedup_, clusterStats)
 }

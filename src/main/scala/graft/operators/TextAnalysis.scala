@@ -944,8 +944,46 @@ object TextAnalysis {
       |FROM m""".stripMargin
   )
 
+  /** SEQUENCE PACKING — the step between a cleaned corpus and a training
+    * run: documents are concatenated in a deterministic order and the token
+    * stream is chunked into fixed-length training sequences (the GPT-style
+    * concat-then-chunk packer; a document may straddle a boundary). Emitted
+    * per document: the sequence its first token lands in and the offset
+    * within it — the placement relation a loader shards by. The packing
+    * stream is PER SOURCE (window partitioned by source, ordered by doc_id):
+    * packing is a per-stream contract, so at 100 TB the unit is
+    * (source, shard) and streams pack in parallel — a single global
+    * concatenation order would serialize the corpus through one task and is
+    * exactly what the global-window contract gate forbids. One window over
+    * one scan; the running sum is exact integer math.
+    */
+  val seqPack = Q(
+    "q_seq_pack",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), wsTokens.as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("tokens"),
+          expr("(cum - tokens) div 2048").as("seq_id"),
+          expr("(cum - tokens) % 2048").as("seq_offset"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, source, tokens,
+      |  (cum - tokens) // 2048 AS seq_id, (cum - tokens) % 2048 AS seq_offset
+      |FROM (SELECT doc_id, source,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |        CAST(sum(len(string_split(text, ' '))) OVER (
+      |          PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, qualityClassifier,
     fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
-    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate, zipf)
+    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate, zipf, seqPack)
 }
