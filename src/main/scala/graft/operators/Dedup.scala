@@ -891,7 +891,51 @@ object Dedup {
       |ORDER BY user_id, event_id""".stripMargin
   )
 
+  /** N-GRAM NOVELTY SCAN — the temporal complement of [[dupCoverage]]: not
+    * "is this shingle duplicated anywhere" but "had the corpus already seen
+    * it when this document ARRIVED" (doc_id is ingestion order here). Per
+    * document: distinct 3-gram shingles, how many first occurred in an
+    * EARLIER document, and the novelty fraction — the memorization-risk /
+    * content-freshness signal a crawl pipeline tracks per snapshot (a
+    * collapsing novelty curve means the crawler is re-reading the web).
+    *
+    * Scale shape: one groupBy(shingle) min-aggregate (map-side partial min —
+    * the "first occurrence" relation), one equi-join back on the shingle
+    * key, one per-doc aggregate. Nothing is broadcast (both sides are
+    * corpus-sized), nothing is collected; at 100 TB the first-occurrence
+    * relation is the thing you'd materialize next to the corpus and MERGE
+    * per snapshot, and this plan is exactly that build + probe.
+    */
+  val ngramNovelty = Q(
+    "q_ngram_novelty",
+    (s, d) => {
+      // (doc_id, sh) distinct — checkpointed because it feeds BOTH the
+      // first-occurrence aggregate and the probe side of the join (the
+      // dupCoverage convention; exchange reuse does not collapse the two
+      // consumers' upstream explode)
+      val sh = TextFns.shingles(Tables.documents(s, d), 3).localCheckpoint()
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(3)}),
+       |first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN first.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |       round(1.0 - CAST(sum(CASE WHEN first.first_doc < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS novelty
+       |FROM sh s JOIN first ON s.sh = first.sh
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
     containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap,
-    dedupConsecutive, phashPairs)
+    dedupConsecutive, phashPairs, ngramNovelty)
 }

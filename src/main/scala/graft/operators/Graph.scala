@@ -51,19 +51,34 @@ object Graph {
     */
   def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85,
                maxChunk: Int = MaxAdjChunk, cleanup: Boolean = true): DataFrame = {
-    // The edge relation feeds TWO branches of the adjacency build (the degree
-    // aggregate and the salted join), and the symmetrizing union means the
-    // caller's pair relation appears FOUR times in that plan. Measured
-    // (round 8, same lesson as the triangle probe): exchange reuse does NOT
-    // collapse those branches here — the upstream distinct re-derived per
-    // copy — so one persist of the O(2|E|) 2-column relation saves the
-    // recomputes (~1 s at sf0.1) AND lets AQE broadcast-convert the degree
-    // attach at runtime (the join now sits ABOVE the cache boundary instead
-    // of inside the to-be-cached adjacency subtree, where
-    // canChangeCachedPlanOutputPartitioning=false pins it to sort-merge).
-    // The blocks are released as soon as the adjacency is materialized.
+    // FUSED single-exchange build (round 10): repartition the symmetrized
+    // edge relation by hash(src) ONCE, cache it, and derive EVERYTHING —
+    // the degree aggregate, the salted degree attach, and the chunk
+    // aggregate — exchange-free on that cache:
+    //   - groupBy(src) needs ClusteredDistribution(src): satisfied, no
+    //     exchange, final-only hash aggregate;
+    //   - the degree attach broadcasts the |V|-row side, streaming the
+    //     cached edges through untouched (output partitioning stays
+    //     hash(src));
+    //   - groupBy(src, salt) needs ClusteredDistribution(src, salt), which
+    //     hash(src) ALSO satisfies (partition keys ⊆ grouping keys) — the
+    //     chunk aggregate runs single-stage with no shuffle, and its output
+    //     partitioning is still hash(src), exactly what every iteration's
+    //     adj-side join wants.
+    // The pre-round-10 build paid three big exchanges here (degree shuffle,
+    // chunk-agg shuffle, and a repartition(src) to pin the cache layout);
+    // this one pays exactly one |E|-row exchange. Trade-off, stated
+    // honestly: a hub's RAW edges now co-locate in one partition during the
+    // build, so its chunk aggregation is O(deg) appends in a single task —
+    // bounded WORK any plan pays somewhere (the old plan shuffled those same
+    // rows), never a wide row; the chunk rows themselves stay ≤~maxChunk and
+    // the hub's chunk rows co-locate under hash(src) in either design
+    // (GraphSkewSpec still pins the row bound and split-vs-unsplit rank
+    // equality). The blocks are released as soon as the adjacency is
+    // materialized.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(col("src"))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // |V|-row degree side: broadcast explicitly (same reasoning as
@@ -74,15 +89,6 @@ object Graph {
         greatest(lit(1L), ceil(col("deg").cast("double") / maxChunk)).cast("int")))
       .groupBy(col("src"), col("salt"))
       .agg(collect_list(col("dst")).as("ns"), first(col("deg")).as("deg"))
-      // pin the CACHE's partitioning to hash(src) explicitly: the degree
-      // join's physical form varies with stats (broadcast when the planner
-      // can see deg is small, sort-merge otherwise), so the chunk
-      // aggregate's output partitioning is hash(src, salt) in the broadcast
-      // case — which the per-round join on src can NOT reuse, re-exchanging
-      // the cached adjacency every iteration. One |V|-scale repartition
-      // here buys exchange-free adj sides for every iteration regardless
-      // of how the build was planned.
-      .repartition(col("src"))
       .persist() // lazy — the n count below is the one materialization
     // ONE scalar to the driver: |V|, read off the persisted chunk relation.
     // This count materializes adj, so the edge blocks can be released now —

@@ -982,8 +982,76 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   )
 
+  /** SOURCE-DRIFT KL REPORT — per-source unigram distribution vs the whole
+    * corpus, KL(source ‖ corpus) in nats over the global top-64 tokens plus
+    * an `<other>` residual bucket. This is the distribution-shift audit a
+    * mixture pipeline runs per snapshot: a source whose KL jumps between
+    * crawls changed register (spam influx, template shift, language drift)
+    * before any single quality filter fires. Bucketing to a FIXED top-K +
+    * residual is what makes the statistic well-defined and scale-stable:
+    * the support is the same 65 terms for every source (absent terms
+    * contribute 0 by the 0·log 0 convention — they simply have no row), the
+    * corpus marginal q is strictly positive on all of them, and the
+    * per-source state is ≤65 rows no matter how large the corpus grows.
+    *
+    * Scale shape: one corpus-sized token count (map-side partial), a
+    * TakeOrdered top-64 model broadcast into the token stream, then ALL
+    * remaining grains are (source × 65) — broadcast-joined marginals, no
+    * corpus-sized shuffle after the (source, term) count. The KL terms are
+    * pre-rounded to DECIMAL(28,9) before the group sum (the lm_score
+    * convention) so summation order — across partitions AND engines — can
+    * never move the hash.
+    */
+  val klDrift = Q(
+    "q_kl_drift",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_g"))
+        .orderBy(col("n_g").desc, col("tok")).limit(64)
+        .select(col("tok"), lit(true).as("in_top"))
+      val st = toks.join(broadcast(top), Seq("tok"), "left")
+        .select(col("source"),
+          when(col("in_top").isNotNull, col("tok")).otherwise(lit("<other>")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      val sTot = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+      val tTot = st.groupBy("term").agg(sum(col("n_st")).as("n_t"))
+      val total = st.agg(sum(col("n_st")).as("n_all"))
+      val p = col("n_st").cast("double") / col("n_s").cast("double")
+      val q = col("n_t").cast("double") / col("n_all").cast("double")
+      val term9 = round((p * log(p / q)).cast("double"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+      st.join(broadcast(sTot), Seq("source"))
+        .join(broadcast(tTot), Seq("term"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          round(sum(term9).cast("double"), 6).as("kl_nats"))
+        .orderBy("source")
+    },
+    """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents),
+      |top AS (SELECT tok FROM (SELECT tok, count(*) AS n_g FROM tok GROUP BY 1
+      |                         ORDER BY n_g DESC, tok LIMIT 64)),
+      |st AS (SELECT source,
+      |         CASE WHEN top.tok IS NOT NULL THEN t.tok ELSE '<other>' END AS term,
+      |         count(*) AS n_st
+      |       FROM tok t LEFT JOIN top ON t.tok = top.tok GROUP BY 1, 2),
+      |stot AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+      |ttot AS (SELECT term, sum(n_st) AS n_t FROM st GROUP BY 1),
+      |tot AS (SELECT sum(n_st) AS n_all FROM st)
+      |SELECT st.source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CAST(round(
+      |    (CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |    * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |         / (CAST(n_t AS DOUBLE) / CAST(n_all AS DOUBLE))), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl_nats
+      |FROM st JOIN stot USING (source) JOIN ttot USING (term) CROSS JOIN tot
+      |GROUP BY st.source ORDER BY st.source""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, qualityClassifier,
     fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
-    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate, zipf, seqPack)
+    bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate, zipf, seqPack,
+    klDrift)
 }
