@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Sampling / data-mixing operators for assembling a training corpus.
@@ -323,6 +324,85 @@ object Sampling {
       |FROM k ORDER BY shard, pos""".stripMargin
   )
 
+  /** TOKEN-BUDGET WATER-FILLING — the mixture SOLVER the share reports
+    * (q_domain_mix, q_temperature_mix) feed: given a global token budget
+    * B = ⌊total/2⌋, find the per-source cap τ (the "water level") with
+    * Σ min(n_s, τ) = B and allot each source min(n_s, τ). Small sources
+    * keep everything, large sources are clipped to the common level — the
+    * classic fair-allocation answer to "we can only afford half the corpus,
+    * what do we drop?", and the closed form is exact: sort sources by size
+    * ascending, take the longest prefix that fits under budget with the
+    * remainder levelled (feasible_i ⟺ c_i + n_i·(m−i) ≤ B), then
+    * τ = (B − c_j)/(m − j) for the last feasible j (τ = B/m when even the
+    * smallest source is clipped; full allocation when B ≥ total).
+    *
+    * Scale shape: ONE corpus-sized token count down to |sources| rows
+    * (checkpointed — the solver must not re-scan the corpus per consumer);
+    * everything after is solver algebra on that bounded grain — the
+    * vocab_coverage constant-partition window trick for the sort/cumsum,
+    * broadcast scalars for (total, m) and the chosen (j, c_j). Exact
+    * integer feasibility tests; the single τ division is the only double,
+    * identical in both engines.
+    */
+  /** The water-filling solver over a (source, n_tok) relation — factored out
+    * of [[tokenBudget]] so the edge cases (budget ≥ total, everything
+    * clipped, single source) are unit-testable on crafted inputs. Input must
+    * be SMALL (one row per source); the caller owns reducing the corpus to
+    * that grain. Budget is ⌊total/2⌋.
+    */
+  def waterFill(gIn: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val g = gIn.localCheckpoint()
+      val t = g.agg(sum(col("n_tok")).as("total"), count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("total")).orderBy(col("n_tok").asc, col("source").asc)
+      val ranked = g.crossJoin(broadcast(t))
+        .withColumn("budget", floor(col("total").cast("double") / 2).cast("long"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("c", sum(col("n_tok")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("feasible",
+          col("c") + col("n_tok") * (col("m") - col("i")) <= col("budget"))
+      val sel = ranked.agg(
+        coalesce(max(when(col("feasible"), col("i"))), lit(0L)).as("j"),
+        coalesce(max(when(col("feasible"), col("c"))), lit(0L)).as("cj"))
+      ranked.crossJoin(broadcast(sel))
+        .withColumn("tau",
+          when(col("m") === col("j"), col("n_tok").cast("double"))
+            .otherwise((col("budget") - col("cj")).cast("double")
+              / (col("m") - col("j")).cast("double")))
+        .select(col("source"), col("n_tok").as("n_tokens"),
+          round(least(col("n_tok").cast("double"), col("tau")), 6).as("allotted"),
+          round(least(col("n_tok").cast("double"), col("tau"))
+            / col("n_tok").cast("double"), 6).as("sample_rate"))
+        .orderBy("source")
+  }
+
+  val tokenBudget = Q(
+    "q_token_budget",
+    (s, d) => waterFill(
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))),
+    """WITH g AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tok
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total, count(*) AS m FROM g),
+      |r AS (SELECT source, n_tok, total, m,
+      |        CAST(floor(CAST(total AS DOUBLE)/2) AS BIGINT) AS budget,
+      |        CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS i,
+      |        CAST(sum(n_tok) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      |      FROM g, t),
+      |sel AS (SELECT coalesce(max(CASE WHEN c + n_tok*(m-i) <= budget THEN i END), 0) AS j,
+      |               coalesce(max(CASE WHEN c + n_tok*(m-i) <= budget THEN c END), 0) AS cj
+      |        FROM r)
+      |SELECT source, n_tok AS n_tokens,
+      |  round(least(CAST(n_tok AS DOUBLE), tau), 6) AS allotted,
+      |  round(least(CAST(n_tok AS DOUBLE), tau)/CAST(n_tok AS DOUBLE), 6) AS sample_rate
+      |FROM (SELECT r.*, CASE WHEN m = j THEN CAST(n_tok AS DOUBLE)
+      |                       ELSE CAST(budget - cj AS DOUBLE)/CAST(m - j AS DOUBLE) END AS tau
+      |      FROM r, sel)
+      |ORDER BY source""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(stratifiedSample, domainMix, packSequences, chunkOverlap,
-    weightedSample, temperatureMix, curriculum, shuffleShards)
+    weightedSample, temperatureMix, curriculum, shuffleShards, tokenBudget)
 }

@@ -784,6 +784,83 @@ object Similarity {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
+  /** ANN RECALL REPORT — the retrieval-quality eval harness: per query,
+    * recall@K of the LSH candidate search against the brute-force cosine
+    * ground truth. This is how an index configuration (planes, bands, probe
+    * count) gets ACCEPTED: a 100 TB corpus never runs brute force in
+    * production, but it runs exactly this report on a sampled query set to
+    * certify the approximate index before cutover, and re-runs it per
+    * snapshot to catch recall regressions as the corpus drifts. Both legs
+    * reuse the registered plans verbatim ([[cosineTopK]], [[annLshTopK]]):
+    * the ground-truth leg is one corpus scan × broadcast queries, the LSH
+    * leg is bucket-equi-join candidates — the join of the two top-K lists
+    * is (NQ·K)-row grain, driver never sees a vector.
+    */
+  val annRecall = Q(
+    "q_ann_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = cosineTopK(emb, K).select(col("q_id"), col("c_id"))
+      val approx = annLshTopK(emb, K)
+        .select(col("q_id").as("aq"), col("c_id").as("ac"))
+      truth
+        .join(approx, col("q_id") === col("aq") && col("c_id") === col("ac"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          count(lit(1)).as("n_truth"),
+          sum(when(col("aq").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("q_id"), col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall_at_k"))
+        .orderBy("q_id")
+    },
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= $NQ),
+       |tsums AS (
+       |  SELECT q_id, c_id,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT q_id, c_id, unnest(qe) AS qx, unnest(ce) AS cx FROM q, c)
+       |  GROUP BY q_id, c_id),
+       |truth AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, c_id) AS rank
+       |    FROM tsums) WHERE rank <= $K),
+       |planes AS (
+       |  SELECT CAST(floor(i/$Dims.0) AS BIGINT) AS j, i % $Dims AS k,
+       |    ((${TextFns.hash32Sql(s"'p'||CAST(CAST(floor(i/$Dims.0) AS BIGINT) AS VARCHAR)||'_'||CAST(i%$Dims AS VARCHAR)")} % 2001) - 1000)/1000.0 AS w
+       |  FROM unnest(range(${Planes * Dims})) AS t(i)),
+       |vx AS (SELECT vec_id, unnest(embedding) AS x, unnest(range($Dims)) AS k FROM embeddings),
+       |dotj AS (SELECT vec_id, j, round(sum(CAST(x AS DOUBLE)*w), 9) AS dj
+       |         FROM vx JOIN planes USING(k) GROUP BY vec_id, j),
+       |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dj >= 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM dotj GROUP BY vec_id),
+       |lsums AS (
+       |  SELECT q_id, c_id,
+       |    sum(CAST(qx AS DOUBLE)*CAST(cx AS DOUBLE)) AS dot,
+       |    sum(CAST(qx AS DOUBLE)*CAST(qx AS DOUBLE)) AS qn,
+       |    sum(CAST(cx AS DOUBLE)*CAST(cx AS DOUBLE)) AS cn
+       |  FROM (SELECT q.q_id, c.c_id, unnest(q.qe) AS qx, unnest(c.ce) AS cx
+       |        FROM (SELECT b.vec_id AS q_id, b.bucket, e.embedding AS qe
+       |              FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id WHERE b.vec_id < $NQ) q
+       |        JOIN (SELECT b.vec_id AS c_id, b.bucket, e.embedding AS ce
+       |              FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id WHERE b.vec_id >= $NQ) c
+       |          ON q.bucket = c.bucket)
+       |  GROUP BY q_id, c_id),
+       |approx AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY round(dot/(sqrt(qn)*sqrt(cn)), 6) DESC, c_id) AS rank
+       |    FROM lsums) WHERE rank <= $K)
+       |SELECT t.q_id, count(*) AS n_truth,
+       |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS recall_at_k
+       |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.c_id = a.c_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(annCosine, annLsh, annIvf, dedupEmbed, embedStats,
-    embedQuant, hybridRrf, embedCentroid, semanticDedup_, clusterStats)
+    embedQuant, hybridRrf, embedCentroid, semanticDedup_, clusterStats, annRecall)
 }
