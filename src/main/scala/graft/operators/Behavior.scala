@@ -388,6 +388,62 @@ object Behavior {
       |FROM m ORDER BY event_type""".stripMargin
   )
 
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE per user over the trailing 10
+    * events (pandas `ewm` with a hard truncation) — the decay-smoothed
+    * counterpart of [[movingAvg]]'s flat window: recent events dominate,
+    * history fades geometrically. Two determinism choices make this
+    * hash-comparable across engines where a naive EWMA is not:
+    *  - decay 1/2, so every weight 2⁻ᵏ (k ≤ 9) is EXACT in binary AND has
+    *    ≤ 9 decimal digits — `pow` cannot wobble across libm
+    *    implementations on dyadics, and both weights and weighted terms
+    *    round-trip DECIMAL(28,9) exactly;
+    *  - terms pre-rounded to DECIMAL(28,9) before the group sum (the
+    *    lm_score rule), so partial-aggregation order can't move the hash.
+    *
+    * Scale shape: a window rank per user, then the trailing-window pairs
+    * come from a BLOCK-BANDED equi-join (each right row is published to its
+    * own rn-block and the next one, left probes its own block only — ≤ 20
+    * candidates per row, the q_range_join bin-and-verify discipline), never
+    * an n² per-user residual probe. The oracle states the same pairs with a
+    * plain BETWEEN self-join — the declarative spec; banding is the plan.
+    */
+  val ewma = Q(
+    "q_ewma",
+    (s, d) => {
+      val r = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))).cast("long").as("rn"))
+        .localCheckpoint() // feeds both sides of the self-join
+      val a = r.select(col("user_id"), col("event_id"), col("value").as("xa"),
+        col("rn").as("ra"), expr("rn div 10").as("blk"))
+      val b0 = r.select(col("user_id"), col("value").as("xb"), col("rn").as("rb"))
+      val b = b0.withColumn("blk", expr("rb div 10"))
+        .unionByName(b0.withColumn("blk", expr("rb div 10 + 1")))
+      val k = col("ra") - col("rb")
+      val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+      a.join(b, Seq("user_id", "blk"))
+        .filter(col("rb") <= col("ra") && col("rb") >= col("ra") - 9)
+        .select(col("user_id"), col("event_id"), col("xa"),
+          round(col("xb") * pow(lit(0.5), k), 9).cast(dec9).as("term"),
+          pow(lit(0.5), k).cast(dec9).as("wgt"))
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(max(col("xa")).as("value"), count(lit(1)).as("n_terms"),
+          round(sum(col("term")).cast("double")
+            / sum(col("wgt")).cast("double"), 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    """WITH r AS (SELECT event_id, user_id, value,
+      |             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+      |           FROM events),
+      |p AS (SELECT a.user_id, a.event_id, a.value AS xa, b.value AS xb, a.rn - b.rn AS k
+      |      FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn)
+      |SELECT user_id, event_id, max(xa) AS value, count(*) AS n_terms,
+      |  round(CAST(sum(CAST(round(xb * power(0.5, k), 9) AS DECIMAL(28,9))) AS DOUBLE)
+      |        / CAST(sum(CAST(power(0.5, k) AS DECIMAL(28,9))) AS DOUBLE), 6) AS ewma
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian, corr_)
+    gaps, rollingMedian, corr_, ewma)
 }
