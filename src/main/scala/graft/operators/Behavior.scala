@@ -444,6 +444,79 @@ object Behavior {
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
+  /** BINNED KOLMOGOROV–SMIRNOV DRIFT per event type — the NUMERIC
+    * distribution-shift audit beside q_kl_drift's categorical one: for each
+    * event type, the two-sample KS distance max|F_type − F_global| between
+    * its `value` distribution and the whole stream's, over a fixed 64-bin
+    * grid spanning the global [min, max]. A type whose KS jumps between
+    * windows changed its value regime (pricing shift, sensor drift, bot
+    * traffic) before any single-point z-score fires. Binning is what makes
+    * this scale-clean AND engine-deterministic: the exact KS needs a global
+    * sort of the combined samples; the binned form needs one conditional
+    * count to a (|types| × 64)-row grain and pure algebra after — and every
+    * bin edge, cumulative count and fraction is an exact integer or a
+    * single double division, so the statistic cannot drift between engines.
+    *
+    * Scale shape: one scan → broadcast (lo, hi, n) bounds → one counted
+    * aggregate at the bounded grain (map-side partial); the dense grid,
+    * cumsums (per-type window; constant-partition trick for the global
+    * one) and the max-diff all live on ≤ 64·|types| rows.
+    */
+  val ksDrift = Q(
+    "q_ks_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n_tot"))
+      val bin = when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 64)
+          .cast("long"), lit(63L)))
+      val binned = ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"), bin.as("bin"), col("n_tot"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"), max(col("n_tot")).as("n_tot"))
+        .localCheckpoint() // bounded grain; feeds the per-type AND global legs
+      val binIds = s.range(64).select(col("id").as("bin"))
+      val perType = binned.groupBy("event_type").agg(sum(col("c")).as("n_t"))
+      val globalC = binned.groupBy("bin").agg(sum(col("c")).as("g"), max(col("n_tot")).as("n_tot"))
+        .withColumn("gcum", sum(col("g")).over(
+          Window.partitionBy(col("n_tot")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val grid = perType.crossJoin(broadcast(binIds))
+        .join(binned.select(col("event_type"), col("bin"), col("c")), Seq("event_type", "bin"), "left")
+        .withColumn("ct", sum(coalesce(col("c"), lit(0L))).over(
+          Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      grid.join(broadcast(globalC.select(col("bin"), col("gcum"), col("n_tot"))), Seq("bin"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_t")).as("n_events"),
+          round(max(abs(col("ct").cast("double") / col("n_t").cast("double")
+            - col("gcum").cast("double") / col("n_tot").cast("double"))), 6).as("ks"))
+        .orderBy("event_type")
+    },
+    """WITH b AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n_tot FROM events),
+      |binned AS (
+      |  SELECT event_type,
+      |    CASE WHEN hi = lo THEN 0
+      |         ELSE least(CAST(floor((value - lo)/(hi - lo)*64) AS BIGINT), 63) END AS bin,
+      |    count(*) AS c
+      |  FROM events, b GROUP BY 1, 2),
+      |ptype AS (SELECT event_type, sum(c) AS n_t FROM binned GROUP BY 1),
+      |gcum AS (
+      |  SELECT bin, sum(sum(c)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS gcum
+      |  FROM binned GROUP BY bin),
+      |grid AS (
+      |  SELECT p.event_type, p.n_t, t.i AS bin,
+      |    sum(coalesce(bn.c, 0)) OVER (PARTITION BY p.event_type ORDER BY t.i
+      |                                 ROWS UNBOUNDED PRECEDING) AS ct
+      |  FROM ptype p CROSS JOIN unnest(range(64)) AS t(i)
+      |  LEFT JOIN binned bn ON bn.event_type = p.event_type AND bn.bin = t.i)
+      |SELECT g.event_type, CAST(max(g.n_t) AS BIGINT) AS n_events,
+      |  round(max(abs(CAST(g.ct AS DOUBLE)/CAST(g.n_t AS DOUBLE)
+      |        - CAST(c.gcum AS DOUBLE)/CAST(b.n_tot AS DOUBLE))), 6) AS ks
+      |FROM grid g JOIN gcum c ON g.bin = c.bin CROSS JOIN b
+      |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian, corr_, ewma)
+    gaps, rollingMedian, corr_, ewma, ksDrift)
 }

@@ -935,7 +935,82 @@ object Dedup {
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 
+  /** MINHASH ACCURACY EVAL — the sketch-calibration harness next to the ANN
+    * recall report (Similarity.annRecall): for every LSH candidate pair,
+    * the SIGNATURE-estimated Jaccard (fraction of the 32 permutations whose
+    * minima agree — the unbiased estimator the sketch exists to provide)
+    * against the exact shingle Jaccard, plus the absolute error. This is
+    * how (numPerms, rowsPerBand) gets ACCEPTED for a corpus: at 100 TB the
+    * exact leg never runs in production, but it runs on the candidate
+    * sample to certify the estimator's error before anyone trusts the
+    * threshold, and re-runs per snapshot as the shingle distribution drifts.
+    *
+    * Cost structure: identical to [[minhash]] (same signature build, same
+    * band equi-join) plus one row-local zip_with over the two 32-long
+    * signature arrays per pair — the estimate adds nothing to the shuffle.
+    * n_match/32 is exactly representable (dyadic, ≤ 5 decimals), so the
+    * rounded estimate cannot drift between engines.
+    */
+  val minhashError = Q(
+    "q_minhash_error",
+    (s, d) => {
+      val sig = minhashSignatures(Tables.documents(s, d), 2, 32).persist()
+      val bands = lshBands(sig, 32, 4)
+      val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val shared = size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+      val exactJ = shared.cast("double") /
+        (size(col("hs1")).cast("long") + size(col("hs2")).cast("long") - shared)
+      val nMatch = size(filter(zip_with(col("sg1"), col("sg2"), (x, y) => x === y),
+        b => b)).cast("long")
+      val estJ = nMatch.cast("double") / 32.0d
+      cand
+        .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("sig").as("sg1")), Seq("d1"))
+        .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("sig").as("sg2")), Seq("d2"))
+        .select(col("d1"), col("d2"), nMatch.as("n_match"),
+          round(estJ, 6).as("est_jaccard"), round(exactJ, 6).as("jaccard"),
+          round(abs(estJ - exactJ), 6).as("abs_err"))
+        .orderBy("d1", "d2")
+    },
+    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
+       |hashed AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
+       |shn AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+       |perms AS (
+       |  SELECT j, 2*${TextFns.hash28Sql("'a'||CAST(j AS VARCHAR)")}+1 AS a,
+       |         ${TextFns.hash28Sql("'b'||CAST(j AS VARCHAR)")} AS b
+       |  FROM unnest(range(32)) AS t(j)),
+       |sig AS (SELECT doc_id, j, min((a*h + b) % $P) AS mh FROM hashed, perms GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, CAST(floor(j/4.0) AS BIGINT) AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(floor(j/4.0) AS BIGINT)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id),
+       |m AS (
+       |  SELECT c.d1, c.d2, CAST(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand c JOIN sig s1 ON s1.doc_id = c.d1
+       |              JOIN sig s2 ON s2.doc_id = c.d2 AND s1.j = s2.j
+       |  GROUP BY 1, 2),
+       |sh2 AS (
+       |  SELECT c.d1, c.d2, count(*) AS shared
+       |  FROM cand c JOIN hashed h1 ON h1.doc_id=c.d1 JOIN hashed h2 ON h2.doc_id=c.d2 AND h1.h=h2.h
+       |  GROUP BY 1, 2)
+       |SELECT m.d1, m.d2, m.n_match,
+       |  round(CAST(m.n_match AS DOUBLE)/32, 6) AS est_jaccard,
+       |  round(CAST(coalesce(sh2.shared, 0) AS DOUBLE)
+       |        / (n1.n + n2.n - coalesce(sh2.shared, 0)), 6) AS jaccard,
+       |  round(abs(CAST(m.n_match AS DOUBLE)/32
+       |        - CAST(coalesce(sh2.shared, 0) AS DOUBLE)
+       |          / (n1.n + n2.n - coalesce(sh2.shared, 0))), 6) AS abs_err
+       |FROM m LEFT JOIN sh2 ON m.d1 = sh2.d1 AND m.d2 = sh2.d2
+       |JOIN shn n1 ON n1.doc_id = m.d1 JOIN shn n2 ON n2.doc_id = m.d2
+       |ORDER BY m.d1, m.d2""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
     containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap,
-    dedupConsecutive, phashPairs, ngramNovelty)
+    dedupConsecutive, phashPairs, ngramNovelty, minhashError)
 }

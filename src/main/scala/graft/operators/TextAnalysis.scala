@@ -1005,15 +1005,23 @@ object TextAnalysis {
   val klDrift = Q(
     "q_kl_drift",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      // ONE corpus pass: the (source, tok) count grain is |sources|·|vocab|
+      // rows — already tiny next to the corpus — and BOTH the global top-64
+      // model and the bucketed counts derive from it (the pre-fused form
+      // exploded the corpus twice, once per consumer). Checkpointed because
+      // it genuinely has two consumers.
+      val stRaw = Tables.documents(s, d)
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_g"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val top = stRaw.groupBy("tok").agg(sum(col("n")).as("n_g"))
         .orderBy(col("n_g").desc, col("tok")).limit(64)
         .select(col("tok"), lit(true).as("in_top"))
-      val st = toks.join(broadcast(top), Seq("tok"), "left")
+      val st = stRaw.join(broadcast(top), Seq("tok"), "left")
         .select(col("source"),
-          when(col("in_top").isNotNull, col("tok")).otherwise(lit("<other>")).as("term"))
-        .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+          when(col("in_top").isNotNull, col("tok")).otherwise(lit("<other>")).as("term"),
+          col("n"))
+        .groupBy("source", "term").agg(sum(col("n")).as("n_st"))
       val sTot = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
       val tTot = st.groupBy("term").agg(sum(col("n_st")).as("n_t"))
       val total = st.agg(sum(col("n_st")).as("n_all"))
