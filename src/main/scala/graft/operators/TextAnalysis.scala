@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline: stats, token counting,
@@ -60,20 +61,25 @@ object TextAnalysis {
   /** Language-ID heuristic: marker-word hit counts + argmax (the n-gram
     * heuristic shape; marker sets are over the synthetic vocab).
     */
+  /** Marker counts + the argmax class prediction — the shared relation
+    * behind q_lang_id (per-doc report) and q_langid_confusion (the eval).
+    */
+  private def withPredictedClass(docs: DataFrame): DataFrame = {
+    val withM = markers.foldLeft(docs) { case (df, (name, re)) =>
+      df.withColumn(name, regexp_count(col("text"), lit("\\b" + re + "\\b")).cast("long"))
+    }
+    withM.withColumn("pred_class",
+      when(col("m_common") >= col("m_relational") && col("m_common") >= col("m_engine"), "common")
+        .when(col("m_relational") >= col("m_engine"), "relational")
+        .otherwise("engine"))
+  }
+
   val langId = Q(
     "q_lang_id",
-    (s, d) => {
-      val withM = markers.foldLeft(Tables.documents(s, d)) { case (df, (name, re)) =>
-        df.withColumn(name, regexp_count(col("text"), lit("\\b" + re + "\\b")).cast("long"))
-      }
-      withM.select(
-        col("doc_id"), col("lang"),
-        col("m_common"), col("m_relational"), col("m_engine"),
-        when(col("m_common") >= col("m_relational") && col("m_common") >= col("m_engine"), "common")
-          .when(col("m_relational") >= col("m_engine"), "relational")
-          .otherwise("engine").as("pred_class")
-      ).orderBy("doc_id")
-    }, {
+    (s, d) => withPredictedClass(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        col("m_common"), col("m_relational"), col("m_engine"), col("pred_class"))
+      .orderBy("doc_id"), {
       val ms = markers.map { case (name, re) =>
         s"CAST(len(regexp_extract_all(text, '\\b$re\\b')) AS BIGINT) AS $name"
       }.mkString(", ")
@@ -1057,9 +1063,47 @@ object TextAnalysis {
       |GROUP BY st.source ORDER BY st.source""".stripMargin
   )
 
+  /** LANG-ID CONFUSION MATRIX — the eval harness for the marker classifier
+    * (the third member of the eval family, with the ANN recall report and
+    * the MinHash error report): counts and row-normalized rates per
+    * (labeled lang × predicted class). This is how a heuristic classifier
+    * earns its place in the filter funnel — and how its drift is caught
+    * when a new crawl source breaks the marker assumptions. One classify
+    * pass (pure codegen'd column work) to a (|langs| × |classes|) grain,
+    * broadcast per-lang totals for the rates.
+    */
+  val langidConfusion = Q(
+    "q_langid_confusion",
+    (s, d) => {
+      val cm = withPredictedClass(Tables.documents(s, d))
+        .groupBy(col("lang"), col("pred_class"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      cm.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("pred_class"), col("n"),
+          round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("rate"))
+        .orderBy("lang", "pred_class")
+    }, {
+      val ms = markers.map { case (name, re) =>
+        s"CAST(len(regexp_extract_all(text, '\\b$re\\b')) AS BIGINT) AS $name"
+      }.mkString(", ")
+      s"""WITH pred AS (
+         |  SELECT lang,
+         |    CASE WHEN m_common >= m_relational AND m_common >= m_engine THEN 'common'
+         |         WHEN m_relational >= m_engine THEN 'relational' ELSE 'engine' END AS pred_class
+         |  FROM (SELECT lang, $ms FROM documents)),
+         |cm AS (SELECT lang, pred_class, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(n) AS n_lang FROM cm GROUP BY 1)
+         |SELECT cm.lang, cm.pred_class, cm.n,
+         |  round(CAST(cm.n AS DOUBLE) / CAST(tot.n_lang AS DOUBLE), 6) AS rate
+         |FROM cm JOIN tot ON cm.lang = tot.lang
+         |ORDER BY cm.lang, cm.pred_class""".stripMargin
+    }
+  )
+
   val all: Seq[Q] = Seq(textStats, tokenCount, langId, qualityScore, qualityClassifier,
     fingerprint, redact,
     collocations, vocabCoverage, lmScore, repetition, normalize, tfidf, filterFunnel,
     bm25, importanceWeights, lmBigram, perplexityBuckets, boilerplate, zipf, seqPack,
-    klDrift)
+    klDrift, langidConfusion)
 }
