@@ -517,6 +517,40 @@ object Behavior {
       |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin
   )
 
+  /** TOP EVENT-TYPE TRIGRAMS — sequence MOTIF mining one order above
+    * q_transitions' first-order matrix: the (t₁→t₂→t₃) consecutive triples
+    * across all user timelines, global top-20. Second-order structure is
+    * what the transition matrix cannot see (a→b→c frequent while a→b→d
+    * never happens is invisible at bigram grain) — the signal behind
+    * next-event models and funnel redesigns. Shape: per-user window leads
+    * (row-local after the per-user sort), one partial-aggregated count at
+    * trigram grain — bounded by |types|³ — and a TakeOrdered top-20 with
+    * the tie broken by the triple itself, so the cut is deterministic.
+    */
+  val eventTrigrams = Q(
+    "q_event_trigrams",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    },
+    """WITH tri AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |  FROM events)
+      |SELECT t1, t2, t3, count(*) AS n
+      |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian, corr_, ewma, ksDrift)
+    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams)
 }

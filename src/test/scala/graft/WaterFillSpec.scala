@@ -51,4 +51,29 @@ class WaterFillSpec extends SparkSpec {
     assert(out("huge")._2 == 495.0)
     assert(math.abs(out.values.map(_._2).sum - 505.0) < 1e-6)
   }
+
+  test("property: allocation is feasible, budget-exact, and monotone in size") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sizes = Gen.chooseNum(1, 8).flatMap(m =>
+      Gen.listOfN(m, Gen.chooseNum(1L, 10000L)))
+    val prop = Prop.forAll(sizes) { ns =>
+      val rows = ns.zipWithIndex.map { case (n, i) => (f"s$i%02d", n) }
+      val out = solve(rows)
+      val total = ns.sum
+      val budget = total / 2 // floor, matches the solver
+      val allotted = rows.map { case (k, _) => out(k)._2 }
+      // never exceed the source, never negative
+      val bounded = rows.forall { case (k, n) =>
+        out(k)._2 >= 0.0 && out(k)._2 <= n + 1e-6 }
+      // the allocation spends the budget exactly (1e-4 absorbs the 6-dp
+      // rounding of up to 8 allotted values)
+      val exact = math.abs(allotted.sum - budget) < 1e-4
+      // monotone: a source at least as large never gets less
+      val mono = rows.sortBy(_._2).map { case (k, _) => out(k)._2 }
+        .sliding(2).forall { case Seq(a, b) => b >= a - 1e-6; case _ => true }
+      bounded && exact && mono
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
