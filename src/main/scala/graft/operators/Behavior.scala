@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -462,10 +463,14 @@ object Behavior {
     * cumsums (per-type window; constant-partition trick for the global
     * one) and the max-diff all live on ≤ 64·|types| rows.
     */
-  val ksDrift = Q(
-    "q_ks_drift",
-    (s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+  /** The binned-KS computation behind `q_ks_drift`, reusable on any
+    * (event_type, value) relation — factored so the degenerate guard
+    * (all values identical → every KS is exactly 0) and a planted
+    * regime-shift fixture are unit-testable (KsDriftSpec).
+    */
+  def ksReport(evIn: DataFrame): DataFrame = {
+      val s = evIn.sparkSession
+      val ev = evIn.select(col("event_type"), col("value"))
       val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
         count(lit(1)).as("n_tot"))
       val bin = when(col("hi") === col("lo"), lit(0L)).otherwise(
@@ -492,7 +497,11 @@ object Behavior {
           round(max(abs(col("ct").cast("double") / col("n_t").cast("double")
             - col("gcum").cast("double") / col("n_tot").cast("double"))), 6).as("ks"))
         .orderBy("event_type")
-    },
+  }
+
+  val ksDrift = Q(
+    "q_ks_drift",
+    (s, d) => ksReport(Tables.events(s, d)),
     """WITH b AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n_tot FROM events),
       |binned AS (
       |  SELECT event_type,

@@ -906,25 +906,32 @@ object Dedup {
     * relation is the thing you'd materialize next to the corpus and MERGE
     * per snapshot, and this plan is exactly that build + probe.
     */
+  /** The novelty computation behind `q_ngram_novelty`, reusable on any
+    * (doc_id, text) relation — factored so the planted-duplicate edge cases
+    * (an exact copy scores 0, the first occurrence scores 1) are
+    * unit-testable (NoveltySpec).
+    */
+  def ngramNoveltyReport(documents: DataFrame, n: Int = 3): DataFrame = {
+    // (doc_id, sh) distinct — checkpointed because it feeds BOTH the
+    // first-occurrence aggregate and the probe side of the join (the
+    // dupCoverage convention; exchange reuse does not collapse the two
+    // consumers' upstream explode)
+    val sh = TextFns.shingles(documents, n).localCheckpoint()
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val ngramNovelty = Q(
     "q_ngram_novelty",
-    (s, d) => {
-      // (doc_id, sh) distinct — checkpointed because it feeds BOTH the
-      // first-occurrence aggregate and the probe side of the join (the
-      // dupCoverage convention; exchange reuse does not collapse the two
-      // consumers' upstream explode)
-      val sh = TextFns.shingles(Tables.documents(s, d), 3).localCheckpoint()
-      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
-        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
-          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6)
-            .as("novelty"))
-        .orderBy("doc_id")
-    },
+    (s, d) => ngramNoveltyReport(Tables.documents(s, d)),
     s"""WITH sh AS (${TextFns.shinglesSql(3)}),
        |first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
        |SELECT s.doc_id, count(*) AS n_shingles,
