@@ -59,4 +59,44 @@ object Sketches {
       .head().getAs[Array[Byte]](0)
     org.apache.spark.util.sketch.CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
+
+  /** SKETCH ROLLUP — the re-aggregation pattern that makes sketches the
+    * 100 TB answer to distinct-count CUBES: materialize one Datasketches
+    * HLL sketch per (type, day) — a fixed-size binary column, stored like
+    * any other — and answer every coarser grain (week here; month, quarter,
+    * ad-hoc date ranges identically) by UNIONING the stored sketches
+    * instead of rescanning the fact table. HLL union is lossless: the
+    * register-wise max of the daily sketches is byte-for-byte the sketch of
+    * the union, so the weekly estimate from stored daily sketches is
+    * IDENTICAL to the estimate a full weekly rescan would produce
+    * (SketchRollupSpec pins this equality exactly, plus the error bound vs
+    * exact distinct). An exact-distinct cube cannot do this: distinct
+    * counts do not add, so every grain needs its own scan.
+    */
+  def dailyUserSketches(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+
+  /** Weekly distinct-user estimates derived ONLY from the stored daily
+    * sketches (no fact-table access).
+    */
+  def weeklyFromDaily(daily: DataFrame): DataFrame =
+    daily.withColumn("week", expr("day div 7"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type", "week")
+
+  /** The same weekly grain computed directly from the fact table — the
+    * rescan the rollup makes unnecessary; used by the spec as the equality
+    * witness.
+    */
+  def weeklyDirect(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 604800000000000").as("week"), col("user_id"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type", "week")
 }
