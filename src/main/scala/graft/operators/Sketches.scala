@@ -99,4 +99,28 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
         count_distinct(col("user_id")).as("exact_users"))
       .orderBy("event_type", "week")
+
+  /** RETURNING USERS by INCLUSION–EXCLUSION over stored sketches — the
+    * question sketch stores are usually accused of not answering:
+    * |active(w) ∩ active(w−1)| = |A| + |B| − |A ∪ B|, where all three terms
+    * come from the SAME stored weekly sketches (the union term is one more
+    * hll_union of them — still no fact rescan). The estimate inherits the
+    * error of three estimates, so the spec's tolerance is wider than the
+    * single-sketch bound — that trade, stated, is exactly what a metrics
+    * pipeline signs up for when it serves retention from a sketch store.
+    * Weekly grain is global here (not per type): one row per week pair.
+    */
+  def weeklyReturning(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = graft.Tables.events(spark, dir)
+      .select(expr("ts div 604800000000000").as("week"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val prev = weekly.select((col("week") + 1).as("week"), col("sk").as("sk_prev"))
+    weekly.join(prev, Seq("week"))
+      .select(col("week"),
+        (hll_sketch_estimate(col("sk")) + hll_sketch_estimate(col("sk_prev"))
+          - hll_sketch_estimate(hll_union(col("sk"), col("sk_prev"))))
+          .cast("double").as("approx_returning"))
+      .orderBy("week")
+  }
 }

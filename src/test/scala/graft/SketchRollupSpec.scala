@@ -31,4 +31,25 @@ class SketchRollupSpec extends SparkSpec {
         s"$k: estimate $est outside 5% of exact $exact")
     }
   }
+
+  test("returning users by inclusion-exclusion over stored weekly sketches") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.01")
+    val got = Sketches.weeklyReturning(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty, "fixture must span consecutive weeks")
+    // exact witness computed here, NOT in the production helper (collecting
+    // per-week user sets is a test-only luxury)
+    val weeklySets = Tables.events(spark, dir)
+      .select(expr("ts div 604800000000000").as("week"), col("user_id"))
+      .groupBy("week").agg(collect_set(col("user_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    got.foreach { case (w, est) =>
+      val exact = weeklySets(w).intersect(weeklySets(w - 1)).size.toDouble
+      // three estimates compose, so the envelope is wider than the
+      // single-sketch bound; 10% on a ~1000-user intersection
+      assert(exact > 0 && math.abs(est - exact) / exact <= 0.10,
+        s"week $w: returning estimate $est vs exact $exact")
+    }
+  }
 }
