@@ -141,6 +141,7 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   private var geomKeep: Option[Set[String]] = None
   private var geomNonNull = false
   private var countStar = false
+  private var groupByGeom = false
   private var limit: Option[Int] = None
 
   /** LIMIT pushdown, PARTIAL (per-document): each partition reader stops
@@ -161,10 +162,22 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
     * parallel.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    countStar = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
-    countStar
+    val aggs = aggregation.aggregateExpressions()
+    val gbs = aggregation.groupByExpressions()
+    val oneCountStar = aggs.length == 1 && aggs(0).isInstanceOf[CountStar]
+    countStar = gbs.isEmpty && oneCountStar
+    // GROUP BY geometry_type COUNT(*) — the reference viewer's categorical
+    // count — tallied during the parse into a per-type map (bounded by the
+    // handful of GeoJSON geometry types), one row per (document, type), no
+    // feature row ever materialized. Partial pushdown like the plain count:
+    // Spark sums the per-document tallies, so multi-document reads stay
+    // parallel and the final grouping is exact.
+    groupByGeom = !countStar && oneCountStar && gbs.length == 1 && (gbs(0) match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.sameElements(Array("geometry_type"))
+      case _ => false
+    })
+    countStar || groupByGeom
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -207,6 +220,8 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
     val (gk, gnn) = effectiveGeomKeep
     if (countStar)
       new GeoJsonCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn)
+    else if (groupByGeom)
+      new GeoJsonGroupCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn)
     else
       new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, gk, gnn, limit)
   }
@@ -258,6 +273,71 @@ class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
       true
     }
   override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
+}
+
+/** The GROUP BY geometry_type COUNT(*)-pushed scan: same document pruning as
+  * the row scan; each partition returns one row per geometry type seen in
+  * its document (null included — a feature with no geometry groups under
+  * null exactly as the row scan + aggregate would). Output schema is the
+  * grouping column followed by the count, the layout
+  * `SupportsPushDownAggregates` requires of a partial group-by pushdown.
+  */
+class GeoJsonGroupCountScan(paths: Seq[String], fileKeep: Option[Set[String]],
+                            geomKeep: Option[Set[String]],
+                            geomNonNull: Boolean = false) extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("geometry_type", StringType)
+      .add("count(*)", LongType, nullable = false)
+  override def toBatch: Batch = this
+  private def prunedPaths: Seq[String] =
+    fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedPaths.map(GeoJsonInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonGroupCountReaderFactory(geomKeep, geomNonNull)
+  override def description(): String =
+    s"GeoJsonGroupCountScan docs=${prunedPaths.size}/${paths.size} " +
+      "pushed=GROUP BY geometry_type COUNT(*)" +
+      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}")
+}
+
+class GeoJsonGroupCountReaderFactory(geomKeep: Option[Set[String]],
+                                     geomNonNull: Boolean = false)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonGroupCountReader(partition.asInstanceOf[GeoJsonInputPartition].path,
+      geomKeep, geomNonNull)
+}
+
+/** Tallies matching features per geometry type in one document without
+  * building any feature row; emission order is first-seen (deterministic for
+  * a given document — Spark's final aggregate owns the global order anyway).
+  */
+class GeoJsonGroupCountReader(path: String, geomKeep: Option[Set[String]],
+                              geomNonNull: Boolean = false)
+    extends PartitionReader[InternalRow] {
+  private var rows: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (rows == null) {
+      val tally = new java.util.LinkedHashMap[Option[String], Long]()
+      GeoJsonFeatures.iterate(path).foreach { f =>
+        if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) {
+          val gt = Option(f.get("geometry")).filterNot(_.isNull)
+            .map(_.get("type").asText())
+          tally.merge(gt, 1L, (a, b) => a + b)
+        }
+      }
+      rows = tally.entrySet().iterator().asScala.map { e =>
+        val gt: Any = e.getKey
+          .map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+        new GenericInternalRow(Array[Any](gt, e.getValue)): InternalRow
+      }
+    }
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }
 

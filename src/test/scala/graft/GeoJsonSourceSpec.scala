@@ -193,6 +193,34 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(filtered.select("geometry_type").collect().forall(_.getString(0) == "LineString"))
   }
 
+  test("GROUP BY geometry_type COUNT(*) pushes into the scan as a per-type tally") {
+    val a = tmpFile("g1.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $pointFeature, $feature]}""")
+    val b = tmpFile("g2.json",
+      s"""{"type": "FeatureCollection", "features": [$pointFeature]}""")
+    val df = spark.read.format("geojson").load(a, b)
+      .groupBy("geometry_type").count()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("LineString" -> 2L, "Point" -> 2L), s"wrong tallies: $got")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GeoJsonGroupCountScan"), s"group-by count not pushed:\n$plan")
+    // composes with document pruning — only g1 parsed
+    val pruned = spark.read.format("geojson").load(a, b)
+      .filter(col("source_file") === "g1.json").groupBy("geometry_type").count()
+    assert(pruned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("LineString" -> 2L, "Point" -> 1L))
+    assert(pruned.queryExecution.executedPlan.toString.contains("docs=1/2"),
+      "document pruning lost under group-by count pushdown")
+    // a feature with NO geometry groups under null, exactly like the row path
+    val withNull = tmpFile("g3.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, {"type": "Feature", "geometry": null, "properties": {}}]}""")
+    val nulled = spark.read.format("geojson").load(withNull)
+      .groupBy("geometry_type").count()
+    val gotNull = nulled.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotNull == Map(Some("LineString") -> 1L, None -> 1L), s"null group wrong: $gotNull")
+    assert(nulled.queryExecution.executedPlan.toString.contains("GeoJsonGroupCountScan"))
+  }
+
   test("COUNT(*) pushes into the scan: tallied during parse, no rows materialized") {
     val a = tmpFile("c1.json", s"""{"type": "FeatureCollection", "features": [$feature, $feature]}""")
     val b = tmpFile("c2.json", s"""{"type": "FeatureCollection", "features": [$feature]}""")
