@@ -41,4 +41,26 @@ object StreamJoin {
   def attributionOutcome(views: DataFrame, purchases: DataFrame,
                          windowSpec: String = "INTERVAL 1 HOUR"): DataFrame =
     attributePurchases(views, purchases, windowSpec, joinType = "left_outer")
+
+  /** FULL OUTER attribution ledger — both orphan kinds surface: views that
+    * never converted (null purchase side, the left-outer case) AND
+    * purchases with no preceding view (null view side — direct conversions,
+    * the rows a marketing ledger must still account for). Each unmatched
+    * row emits once the OTHER side's watermark has passed the window in
+    * which a partner could still arrive — the same horizon that bounds the
+    * join state. `user_id` coalesces across sides so orphans keep their
+    * key.
+    */
+  def attributionLedger(views: DataFrame, purchases: DataFrame,
+                        windowSpec: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val v = views
+      .withColumnRenamed("user_id", "v_user")
+      .withWatermark("vt", "2 hours")
+    val p = purchases
+      .withColumnRenamed("user_id", "p_user")
+      .withWatermark("pt", "2 hours")
+    v.join(p, expr(s"v_user = p_user AND pt >= vt AND pt <= vt + $windowSpec"), "full_outer")
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("vt"), col("pt"), col("value"))
+  }
 }

@@ -70,4 +70,40 @@ class StreamJoinSpec extends SparkSpec {
       assert(rows.contains((1L, Some(9.99))))
     } finally q.stop()
   }
+
+  test("full-outer ledger surfaces both orphan kinds once watermarks close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val views = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Double)]
+    val vDf = views.toDF().toDF("user_id", "vsec").withColumn("vt", timestamp_seconds(col("vsec"))).drop("vsec")
+    val pDf = purchases.toDF().toDF("user_id", "psec", "value").withColumn("pt", timestamp_seconds(col("psec"))).drop("psec")
+
+    val q = StreamJoin.attributionLedger(vDf, pDf)
+      .writeStream.format("memory").queryName("ledger").outputMode("append").start()
+    try {
+      // user 1: view + purchase (matched); user 2: view, never converts;
+      // user 3: purchase with NO view — the direct conversion the
+      // left-outer form silently drops
+      views.addData((1L, 1000L), (2L, 1000L))
+      purchases.addData((1L, 2000L, 9.99), (3L, 2000L, 1.00))
+      q.processAllAvailable()
+      // advance both watermarks past every open window (eviction fires on
+      // the trigger after the watermark moves)
+      views.addData((90L, 200000L)); purchases.addData((91L, 200000L, 0.0))
+      q.processAllAvailable()
+      views.addData((92L, 200001L)); purchases.addData((93L, 200001L, 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("ledger")
+        .select(col("user_id"), col("vt").isNull.as("noView"),
+          col("value")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(rows.contains((1L, false, Some(9.99))), s"matched row missing: $rows")
+      assert(rows.contains((2L, false, None)), s"view orphan missing: $rows")
+      assert(rows.contains((3L, true, Some(1.0))), s"purchase orphan missing: $rows")
+    } finally q.stop()
+  }
 }
