@@ -560,6 +560,44 @@ object Behavior {
       |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
   )
 
+  /** LAST-TOUCH ATTRIBUTION — the BATCH twin of the streaming
+    * stream-stream attribution join (streaming/StreamJoin.scala): every
+    * purchase is attributed to the user's most recent preceding `view`
+    * within 1 hour, with the view→purchase lag; purchases outside any
+    * window are kept with attributed = 0 (the ledger contract — direct
+    * conversions stay accountable, exactly the rows the streaming
+    * full-outer form surfaces). One per-user running window computes
+    * "latest view so far" as a conditional MAX — engine-identical where
+    * last(ignoreNulls) frame semantics can drift — so no join at all: the
+    * same-relation case of an as-of join collapses into a window.
+    */
+  val attribution = Q(
+    "q_attribution",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("lv", max(when(col("event_type") === "view", col("ts"))).over(w))
+      val valid = col("lv").isNotNull && col("ts") - col("lv") <= 3600000000000L
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("psec"), col("value"),
+          when(valid, expr("(ts - lv) div 1000000000")).otherwise(lit(null))
+            .cast("long").as("view_lag_s"),
+          when(valid, 1L).otherwise(0L).as("attributed"))
+        .orderBy("event_id")
+    },
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns, value FROM events),
+      |w AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tns END) OVER (
+      |        PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS lv
+      |      FROM ev)
+      |SELECT event_id, user_id, tns // 1000000000 AS psec, value,
+      |  CAST(CASE WHEN lv IS NOT NULL AND tns - lv <= 3600000000000 THEN (tns - lv) // 1000000000 END AS BIGINT) AS view_lag_s,
+      |  CAST(CASE WHEN lv IS NOT NULL AND tns - lv <= 3600000000000 THEN 1 ELSE 0 END AS BIGINT) AS attributed
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams)
+    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution)
 }
