@@ -598,6 +598,64 @@ object Behavior {
       |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
   )
 
+  /** RFM SEGMENTATION — the classic customer-value grid: per user, recency
+    * (latest purchase time), frequency (purchase count) and monetary value
+    * (purchase sum), each cut into quintiles, concatenated into the
+    * three-digit segment label ("555" = bought recently, often, big). Every
+    * quintile window orders with the user id as the final tie-break, so the
+    * cuts — and therefore the labels — are deterministic across engines and
+    * partitionings (ntile on a tied metric is otherwise order-dependent).
+    * The monetary sum goes through the exact-decimal moment convention
+    * before ranking so float summation order can't flip a boundary user
+    * between quintiles. Shape: one filtered aggregate to user grain, three
+    * windows over that |users|-row relation (user-count grain, not event
+    * grain — at 100 TB the windows run over the aggregate, never the
+    * stream).
+    */
+  val rfm = Q(
+    "q_rfm",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+          sum(dec(col("value"))).as("mon_dec"))
+        .select(col("user_id"), expr("last_ts div 1000000000").as("recency_s"),
+          col("freq"), col("mon_dec").cast("double").as("monetary"))
+      // user-grain relation + the vocab_coverage constant-partition trick:
+      // the quintile windows are single-partition over the AGGREGATE (not
+      // the event stream), and partitioning by the non-foldable total keeps
+      // the bounded-input contract visible to the plan gate
+      val t = g.agg(count(lit(1)).as("nu"))
+      def quint(metric: org.apache.spark.sql.Column) =
+        ntile(5).over(Window.partitionBy(col("nu")).orderBy(metric, col("user_id"))).cast("long")
+      g.crossJoin(broadcast(t))
+        .select(col("user_id"), col("recency_s"), col("freq"),
+          round(col("monetary"), 6).as("monetary"),
+          quint(col("recency_s")).as("r_q"),
+          quint(col("freq")).as("f_q"),
+          quint(col("monetary")).as("m_q"))
+        .withColumn("segment",
+          concat(col("r_q").cast("string"), col("f_q").cast("string"),
+            col("m_q").cast("string")))
+        .orderBy("user_id")
+    },
+    """WITH g AS (
+      |  SELECT user_id, epoch_ns(max(ts)) // 1000000000 AS recency_s,
+      |         count(*) AS freq,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT user_id, recency_s, freq, round(monetary, 6) AS monetary,
+      |  r_q, f_q, m_q,
+      |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+      |FROM (SELECT user_id, recency_s, freq, monetary,
+      |        CAST(ntile(5) OVER (ORDER BY recency_s, user_id) AS BIGINT) AS r_q,
+      |        CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
+      |        CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_q
+      |      FROM g)
+      |ORDER BY user_id""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution)
+    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution, rfm)
 }
