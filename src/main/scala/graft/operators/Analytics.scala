@@ -429,6 +429,71 @@ object Analytics {
       |) ORDER BY stage""".stripMargin
   )
 
+  /** STEP-TIMEOUT funnel — the SLA variant of [[eventFunnel]]: each stage
+    * must land within a window of the previous one (click ≤ 7 d after the
+    * first view, purchase ≤ 21 d after that click — windows sized to the
+    * fixture's ~8-day median click lag so the gate genuinely drops users), the form product
+    * analytics actually ships ("converted within the session/day", not
+    * "converted eventually"). Semantics are pinned to FIRST-ANCHOR: the
+    * funnel anchors on the user's first view and the first qualifying event
+    * per stage — under which the greedy time-sorted fold is EXACTLY the
+    * oracle's min-then-filter rounds (events are sorted, so if the first
+    * candidate misses the window every later one does too: the fold freezes
+    * the user at the stage already REACHED — tp jumps to a far-future
+    * sentinel no later event can beat — rather than re-anchoring, so the
+    * reached-stage counts still include users who later missed a window,
+    * exactly like the oracle's per-stage sets). Same single-shuffle
+    * fold-per-user shape as the untimed funnel.
+    */
+  val funnelTimeout = Q(
+    "q_funnel_timeout",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .filter(col("event_id") % 19 === 0 &&
+          col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts").as("t"),
+          col("event_type").as("ty")))).as("evs"))
+        .select(expr(
+          """aggregate(evs,
+            |  named_struct('stage', 0, 'tp', CAST(-1 AS BIGINT)),
+            |  (acc, e) -> CASE
+            |    WHEN acc.stage = 0 AND e.ty = 'view'
+            |      THEN named_struct('stage', 1, 'tp', e.t)
+            |    WHEN acc.stage = 1 AND e.ty = 'click' AND e.t > acc.tp
+            |      THEN IF(e.t - acc.tp <= 604800000000000,
+            |        named_struct('stage', 2, 'tp', e.t),
+            |        named_struct('stage', 1, 'tp', CAST(4611686018427387904 AS BIGINT)))
+            |    WHEN acc.stage = 2 AND e.ty = 'purchase' AND e.t > acc.tp
+            |      THEN IF(e.t - acc.tp <= 1814400000000000,
+            |        named_struct('stage', 3, 'tp', e.t),
+            |        named_struct('stage', 2, 'tp', CAST(4611686018427387904 AS BIGINT)))
+            |    ELSE acc END,
+            |  acc -> acc.stage)""".stripMargin).as("stage"))
+      perUser.agg(
+          sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("s1"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("s2"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("s3"))
+        .select(expr("stack(3, 'a_view', s1, 'b_click', s2, 'c_purchase', s3) " +
+          "as (stage, users)"))
+        .orderBy("stage")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events WHERE event_id % 19 = 0),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c2 AS (SELECT ev.user_id, min(t) AS t2, min(t1) AS t1 FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND t > t1 GROUP BY ev.user_id),
+      |s2 AS (SELECT user_id, t2 FROM c2 WHERE t2 - t1 <= 604800000000000),
+      |c3 AS (SELECT ev.user_id, min(t) AS t3, min(t2) AS t2 FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND t > t2 GROUP BY ev.user_id),
+      |s3 AS (SELECT user_id FROM c3 WHERE t3 - t2 <= 1814400000000000)
+      |SELECT * FROM (
+      |  SELECT 'a_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+      |  UNION ALL SELECT 'b_click', count(*) FROM s2
+      |  UNION ALL SELECT 'c_purchase', count(*) FROM s3
+      |) ORDER BY stage""".stripMargin
+  )
+
   /** TPC-H Q18 (large-volume customers): the HAVING-over-aggregate-feeds-join
     * shape. lineitem aggregates once on l_orderkey (one shuffle); the filtered
     * "big order" set then joins orders on the SAME key — at cluster scale the
@@ -1349,5 +1414,5 @@ object Analytics {
     asofTolerance, sessionize, topKAgg, eventSequences, rangeJoin, tpchQ3, eventFunnel,
     tpchQ18, hopWindow, sessionWindow, tpchQ17, tpchQ5, tpchQ21, tpchQ22, tpchQ16,
     tpchQ12, tpchQ19, jsonProps, transitions, latestPerKey, scd2, pitJoin, resample,
-    rankingFamily, asofForward, conversionLag, mergeUpsert)
+    rankingFamily, asofForward, conversionLag, mergeUpsert, funnelTimeout)
 }
