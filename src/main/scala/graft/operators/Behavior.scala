@@ -656,6 +656,86 @@ object Behavior {
       |ORDER BY user_id""".stripMargin
   )
 
+  /** GINI CONCENTRATION INDEX of per-user value within each event type —
+    * the inequality audit behind "do 1% of users drive 90% of the spend":
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending-sorted per-user
+    * sums (the closed form of the Lorenz-curve area). Engine determinism by
+    * construction: per-user sums go through the exact-decimal convention,
+    * the rank moment Σ i·xᵢ is a DECIMAL×BIGINT sum (exact at any
+    * parallelism; ties in x contribute x·Σi whichever tied user takes
+    * which rank), and the one double formula is applied to the exact
+    * moments. Shape: events → user grain (one shuffle), a per-type window
+    * over THAT grain, one moment aggregate per type — scan → 5 rows.
+    */
+  val gini = Q(
+    "q_gini",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(dec(col("value"))).as("xd"))
+      val w = Window.partitionBy("event_type").orderBy(col("xd"), col("user_id"))
+      val m = g.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
+          sum(col("xd") * col("i")).as("sxi"))
+      val nD = col("n").cast("double")
+      m.select(col("event_type"), col("n").as("n_users"),
+          round(col("sx").cast("double"), 6).as("total"),
+          round((lit(2.0) * col("sxi").cast("double")) / (nD * col("sx").cast("double"))
+            - (nD + 1.0) / nD, 6).as("gini"))
+        .orderBy("event_type")
+    },
+    """WITH g AS (SELECT event_type, user_id,
+      |             sum(CAST(value AS DECIMAL(18,6))) AS xd
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, xd,
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY xd, user_id) AS BIGINT) AS i
+      |      FROM g),
+      |m AS (SELECT event_type, count(*) AS n, sum(xd) AS sx, sum(xd * i) AS sxi
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+      |  round(CAST(sx AS DOUBLE), 6) AS total,
+      |  round((2.0 * CAST(sxi AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+      |FROM m ORDER BY event_type""".stripMargin
+  )
+
+  /** SEASONALITY MATRIX — activity share per (day-of-week × hour-of-day),
+    * the diurnality heatmap behind capacity planning and bot detection (a
+    * human audience has a strong matrix structure; uniform cells are a red
+    * flag — the report-level companion to q_corr's per-type diurnality
+    * coefficient). Time cells come from PURE INTEGER epoch math in UTC
+    * (hour = (ts/3600 s) mod 24, dow anchored to the epoch's Thursday) —
+    * no calendar/timezone functions, so the two engines cannot disagree on
+    * a boundary timestamp. One partial-aggregated count to the fixed
+    * 168-cell grain, one broadcast total for the shares.
+    */
+  val seasonality = Q(
+    "q_seasonality",
+    (s, d) => {
+      val cells = Tables.events(s, d)
+        .select(expr("((ts div 86400000000000) + 4) % 7").as("dow"),
+          expr("(ts div 3600000000000) % 24").as("hour"))
+        .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      val t = cells.agg(sum(col("n")).as("total"))
+      cells.crossJoin(broadcast(t))
+        .select(col("dow"), col("hour"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
+        .orderBy("dow", "hour")
+    },
+    """WITH c AS (
+      |  SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+      |         (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT sum(n) AS total FROM c)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+      |  CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+      |FROM c, t ORDER BY dow, hour""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
-    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution, rfm)
+    gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution, rfm, gini,
+    seasonality)
 }

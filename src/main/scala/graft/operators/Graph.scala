@@ -482,5 +482,64 @@ object Graph {
       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
-  val all: Seq[Q] = Seq(triangles, pagerank, bfs, degreeDist, sssp)
+  /** ASSOCIATION RULES over co-purchase baskets — level-2 Apriori stated
+    * relationally: for the top-20 item pairs by support, the
+    * support / confidence(A→B) / lift report that drives "bought together"
+    * recommendations. Pair counts come from the same row-local per-order
+    * pair generation as [[copurchaseEdgesBuild]] (sorted distinct item
+    * arrays → bounded transform explode — never an order-keyed self-join),
+    * aggregated WITH multiplicity this time (one count per order
+    * containing the pair); item supports are one count aggregate broadcast
+    * into the 20-row report. All ratios are single divisions of exact
+    * integer counts, rounded 6 — engine-identical by construction. The
+    * top-20 cut breaks ties by the pair itself, so it is deterministic.
+    */
+  val assocRules = Q(
+    "q_assoc_rules",
+    (s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("n_uv"))
+        .orderBy(col("n_uv").desc, col("u"), col("v"))
+        .limit(20)
+      val item = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val nOrders = Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("l_partkey").as("u"), col("n_i").as("n_u"))), Seq("u"))
+        .join(broadcast(item.select(col("l_partkey").as("v"), col("n_i").as("n_v"))), Seq("v"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("n_uv"), col("n_u"), col("n_v"),
+          round(col("n_uv").cast("double") / col("n_orders").cast("double"), 6).as("support"),
+          round(col("n_uv").cast("double") / col("n_u").cast("double"), 6).as("confidence"),
+          round((col("n_uv").cast("double") * col("n_orders").cast("double"))
+            / (col("n_u").cast("double") * col("n_v").cast("double")), 6).as("lift"))
+        .orderBy(col("n_uv").desc, col("u"), col("v"))
+    },
+    """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS u, b.p AS v, count(*) AS n_uv
+      |  FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2 ORDER BY n_uv DESC, u, v LIMIT 20),
+      |item AS (SELECT p, count(*) AS n_i FROM pl GROUP BY 1),
+      |t AS (SELECT count(DISTINCT ok) AS n_orders FROM pl)
+      |SELECT u, v, n_uv,
+      |  CAST(iu.n_i AS BIGINT) AS n_u, CAST(iv.n_i AS BIGINT) AS n_v,
+      |  round(CAST(n_uv AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+      |  round(CAST(n_uv AS DOUBLE) / CAST(iu.n_i AS DOUBLE), 6) AS confidence,
+      |  round((CAST(n_uv AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |        / (CAST(iu.n_i AS DOUBLE) * CAST(iv.n_i AS DOUBLE)), 6) AS lift
+      |FROM pairs JOIN item iu ON pairs.u = iu.p JOIN item iv ON pairs.v = iv.p
+      |CROSS JOIN t
+      |ORDER BY n_uv DESC, u, v""".stripMargin
+  )
+
+  val all: Seq[Q] = Seq(triangles, pagerank, bfs, degreeDist, sssp, assocRules)
 }
