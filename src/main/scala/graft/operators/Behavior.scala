@@ -735,7 +735,92 @@ object Behavior {
       |FROM c, t ORDER BY dow, hour""".stripMargin
   )
 
+  /** MUTUAL INFORMATION between event type and hour-of-day — the
+    * categorical DEPENDENCE audit completing the drift family: KL asks "did
+    * a marginal move", MI asks "are two dimensions entangled" (types firing
+    * at characteristic hours ⇒ MI > 0; a bot re-playing uniformly ⇒ MI ≈ 0).
+    * I(T;H) = Σ p(t,h)·ln(p(t,h)/(p(t)p(h))) over the fixed 5×24 grain —
+    * joint and marginals are exact integer counts off ONE aggregate
+    * (checkpointed, three consumers), the log terms are pre-rounded to
+    * DECIMAL(28,9) before the sum (the q_kl_drift convention), and the
+    * whole statistic is one row out of a corpus-sized scan.
+    */
+  val mutualInfo = Q(
+    "q_mutual_info",
+    (s, d) => {
+      val jt = Tables.events(s, d)
+        .select(col("event_type"), expr("(ts div 3600000000000) % 24").as("hour"))
+        .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val pt = jt.groupBy("event_type").agg(sum(col("n")).as("n_t"))
+      val ph = jt.groupBy("hour").agg(sum(col("n")).as("n_h"))
+      val tot = jt.agg(sum(col("n")).as("n_all"))
+      val term9 = round((col("n").cast("double") / col("n_all").cast("double"))
+        * log((col("n").cast("double") * col("n_all").cast("double"))
+          / (col("n_t").cast("double") * col("n_h").cast("double"))), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+      jt.join(broadcast(pt), Seq("event_type"))
+        .join(broadcast(ph), Seq("hour"))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n_all")).as("n_events"),
+          round(sum(term9).cast("double"), 6).as("mi_nats"))
+        .select(col("n_events"), col("mi_nats"))
+    },
+    """WITH jt AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |              count(*) AS n
+      |            FROM events GROUP BY 1, 2),
+      |pt AS (SELECT event_type, sum(n) AS n_t FROM jt GROUP BY 1),
+      |ph AS (SELECT hour, sum(n) AS n_h FROM jt GROUP BY 1),
+      |t AS (SELECT sum(n) AS n_all FROM jt)
+      |SELECT CAST(max(n_all) AS BIGINT) AS n_events,
+      |  round(CAST(sum(CAST(round(
+      |    (CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE))
+      |    * ln((CAST(n AS DOUBLE) * CAST(n_all AS DOUBLE))
+      |         / (CAST(n_t AS DOUBLE) * CAST(n_h AS DOUBLE))), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi_nats
+      |FROM jt JOIN pt USING (event_type) JOIN ph USING (hour) CROSS JOIN t""".stripMargin
+  )
+
+  /** WEEK-OVER-WEEK CHANGEPOINT — per event type, the largest absolute jump
+    * between consecutive OBSERVED weeks (volume regression/spike detection,
+    * the report a monitoring pipeline pages on). One count to the
+    * (type × week) grain, a per-type lag over that bounded grain, and the
+    * winning week per type via a deterministic rank (|Δ| desc, then week) —
+    * never a sort of the event stream.
+    */
+  val changepoint = Q(
+    "q_changepoint",
+    (s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts div 604800000000000").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      val lagged = weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .filter(col("prev_n").isNotNull)
+        .withColumn("delta", col("n") - col("prev_n"))
+      lagged
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(abs(col("delta")).desc, col("week"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("week"), col("prev_n"), col("n"), col("delta"))
+        .orderBy("event_type")
+    },
+    """WITH weekly AS (
+      |  SELECT event_type, epoch_ns(ts) // 604800000000000 AS week, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, week, lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n, n
+      |  FROM weekly),
+      |d AS (SELECT event_type, CAST(week AS BIGINT) AS week, CAST(prev_n AS BIGINT) AS prev_n,
+      |        CAST(n AS BIGINT) AS n, CAST(n - prev_n AS BIGINT) AS delta,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY abs(n - prev_n) DESC, week) AS rk
+      |      FROM lagged WHERE prev_n IS NOT NULL)
+      |SELECT event_type, week, prev_n, n, delta FROM d WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
     gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution, rfm, gini,
-    seasonality)
+    seasonality, mutualInfo, changepoint)
 }
