@@ -820,7 +820,95 @@ object Behavior {
       |ORDER BY event_type""".stripMargin
   )
 
+  /** LORENZ DECILE TABLE — the tabulated curve behind [[gini]]'s single
+    * number: users cut into spend deciles (ascending), each decile's share
+    * and the cumulative share of total value. "The top decile owns 34% of
+    * the spend" is this table's last row gap; the Gini is its integral.
+    * Same determinism kit as q_rfm/q_gini: user-grain aggregate through
+    * exact decimals, constant-partition ntile with user_id tie-break,
+    * decile sums as exact decimal moments, shares as single divisions.
+    */
+  val lorenz = Q(
+    "q_lorenz",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(sum(dec(col("value"))).as("xd"))
+      val t = g.agg(count(lit(1)).as("nu"))
+      val ranked = g.crossJoin(broadcast(t))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("nu")).orderBy(col("xd"), col("user_id"))).cast("long"))
+      val byDecile = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("xd")).as("sx"))
+      val tot = byDecile.agg(sum(col("sx")).as("stot"))
+      byDecile.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("sx")).over(
+          Window.partitionBy(col("stot")).orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_users"),
+          round(col("sx").cast("double"), 6).as("decile_value"),
+          round(col("sx").cast("double") / col("stot").cast("double"), 6).as("share"),
+          round(col("cum").cast("double") / col("stot").cast("double"), 6).as("cum_share"))
+        .orderBy("decile")
+    },
+    """WITH g AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS xd
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT xd, CAST(ntile(10) OVER (ORDER BY xd, user_id) AS BIGINT) AS decile FROM g),
+      |b AS (SELECT decile, count(*) AS n_users, sum(xd) AS sx FROM r GROUP BY 1),
+      |t AS (SELECT sum(sx) AS stot FROM b),
+      |c AS (SELECT decile, n_users, sx,
+      |        sum(sx) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM b)
+      |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+      |  round(CAST(sx AS DOUBLE), 6) AS decile_value,
+      |  round(CAST(sx AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS share,
+      |  round(CAST(cum AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS cum_share
+      |FROM c, t ORDER BY decile""".stripMargin
+  )
+
+  /** WAU / rolling-MAU STICKINESS — the engagement ratio product teams
+    * track weekly: per observed week, distinct weekly actives and distinct
+    * actives over the trailing 4 weeks, plus wau/mau. The rolling distinct
+    * CANNOT be summed from weekly counts (users overlap) — it is re-derived
+    * exactly from the (user, week) grain: that bounded relation joins a
+    * 4-row-per-week window spine (row-local explode, the hop-window
+    * pattern) and deduplicates per target week. Everything after the one
+    * events→(user, week) aggregate runs at user-week grain, never the
+    * event stream.
+    */
+  val activeUsers = Q(
+    "q_active_users",
+    (s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .distinct()
+        .localCheckpoint() // feeds the weekly counts AND the rolling spine
+      val wau = uw.groupBy("week").agg(count(lit(1)).as("wau"))
+      // publish each (user, week) row to the 4 target weeks it supports —
+      // bounded fan-out, then exact distinct per target week
+      val mau = uw
+        .select(col("user_id"), explode(expr(
+          "transform(sequence(0, 3), k -> week + k)")).as("tweek"))
+        .join(broadcast(wau.select(col("week").as("tweek"))), Seq("tweek"))
+        .select(col("tweek").as("week"), col("user_id")).distinct()
+        .groupBy("week").agg(count(lit(1)).as("mau4"))
+      wau.join(mau, Seq("week"))
+        .select(col("week"), col("wau"), col("mau4"),
+          round(col("wau").cast("double") / col("mau4").cast("double"), 6).as("stickiness"))
+        .orderBy("week")
+    },
+    """WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+      |wau AS (SELECT week, count(*) AS wau FROM uw GROUP BY 1),
+      |mau AS (
+      |  SELECT w.week, count(DISTINCT u.user_id) AS mau4
+      |  FROM wau w JOIN uw u ON u.week BETWEEN w.week - 3 AND w.week
+      |  GROUP BY 1)
+      |SELECT CAST(w.week AS BIGINT) AS week, CAST(w.wau AS BIGINT) AS wau,
+      |  CAST(m.mau4 AS BIGINT) AS mau4,
+      |  round(CAST(w.wau AS DOUBLE) / CAST(m.mau4 AS DOUBLE), 6) AS stickiness
+      |FROM wau w JOIN mau m ON w.week = m.week ORDER BY week""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
     gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution, rfm, gini,
-    seasonality, mutualInfo, changepoint)
+    seasonality, mutualInfo, changepoint, lorenz, activeUsers)
 }
