@@ -908,7 +908,63 @@ object Behavior {
       |FROM wau w JOIN mau m ON w.week = m.week ORDER BY week""".stripMargin
   )
 
+  /** GROWTH ACCOUNTING — the weekly active-user ledger (new / retained /
+    * resurrected / churned) that decomposes every WAU movement: new = first
+    * week ever, retained = also active the previous week, resurrected =
+    * active before but not last week, churned(w) = active at w−1 but not
+    * at w (so wau(w) − wau(w−1) = new + resurrected − churned, the identity
+    * growth teams reconcile against). Everything derives from the bounded
+    * (user, week) grain: per-user first week and previous-active-week via
+    * one user-partitioned window, the weekly rollup one aggregate, churn a
+    * self-join of the weekly counts on (week−1). Exact integers
+    * throughout — nothing to round, nothing engine-divergent.
+    */
+  val growthAccounting = Q(
+    "q_growth_accounting",
+    (s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("week")
+      val tagged = uw
+        .withColumn("first_w", min(col("week")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_w", lag(col("week"), 1).over(w))
+      val weekly = tagged.groupBy(col("week")).agg(
+        count(lit(1)).as("wau"),
+        sum(when(col("week") === col("first_w"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_w") === col("week") - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("prev_w").isNotNull && col("prev_w") < col("week") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      weekly.join(
+          weekly.select((col("week") + 1).as("week"), col("wau").as("prev_wau")),
+          Seq("week"), "left")
+        .select(col("week"), col("wau"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("prev_wau") - col("n_retained"), lit(0L)).as("n_churned"))
+        .orderBy("week")
+    },
+    """WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+      |tagged AS (
+      |  SELECT week,
+      |    min(week) OVER (PARTITION BY user_id ORDER BY week ROWS UNBOUNDED PRECEDING) AS first_w,
+      |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w
+      |  FROM uw),
+      |weekly AS (
+      |  SELECT week, count(*) AS wau,
+      |    sum(CASE WHEN week = first_w THEN 1 ELSE 0 END) AS n_new,
+      |    sum(CASE WHEN prev_w = week - 1 THEN 1 ELSE 0 END) AS n_retained,
+      |    sum(CASE WHEN prev_w IS NOT NULL AND prev_w < week - 1 THEN 1 ELSE 0 END) AS n_resurrected
+      |  FROM tagged GROUP BY 1)
+      |SELECT CAST(a.week AS BIGINT) AS week, CAST(a.wau AS BIGINT) AS wau,
+      |  CAST(a.n_new AS BIGINT) AS n_new, CAST(a.n_retained AS BIGINT) AS n_retained,
+      |  CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+      |  CAST(coalesce(b.wau - a.n_retained, 0) AS BIGINT) AS n_churned
+      |FROM weekly a LEFT JOIN weekly b ON b.week = a.week - 1
+      |ORDER BY a.week""".stripMargin
+  )
+
   val all: Seq[Q] = Seq(cohortRetention, movingAvg, anomalyZscore, trend, runningTotal,
     gaps, rollingMedian, corr_, ewma, ksDrift, eventTrigrams, attribution, rfm, gini,
-    seasonality, mutualInfo, changepoint, lorenz, activeUsers)
+    seasonality, mutualInfo, changepoint, lorenz, activeUsers, growthAccounting)
 }
