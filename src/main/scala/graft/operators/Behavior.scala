@@ -601,16 +601,24 @@ object Behavior {
   /** RFM SEGMENTATION — the classic customer-value grid: per user, recency
     * (latest purchase time), frequency (purchase count) and monetary value
     * (purchase sum), each cut into quintiles, concatenated into the
-    * three-digit segment label ("555" = bought recently, often, big). Every
-    * quintile window orders with the user id as the final tie-break, so the
-    * cuts — and therefore the labels — are deterministic across engines and
-    * partitionings (ntile on a tied metric is otherwise order-dependent).
-    * The monetary sum goes through the exact-decimal moment convention
-    * before ranking so float summation order can't flip a boundary user
-    * between quintiles. Shape: one filtered aggregate to user grain, three
-    * windows over that |users|-row relation (user-count grain, not event
-    * grain — at 100 TB the windows run over the aggregate, never the
-    * stream).
+    * three-digit segment label ("555" = bought recently, often, big).
+    * Quintiles come from a BROADCAST BOUNDARY MODEL, not ntile: one exact-
+    * percentile aggregate emits the 4 cut points per metric as a single
+    * tiny row, and each user's quintile is a row-local count of boundaries
+    * below its metric — the `q_equidepth_bins` contract. The round-10 form
+    * ran three ntile windows over the full user-grain relation under a
+    * constant partition key: a single-task global sort of every user,
+    * invisible at sf0.1 and fatal at 10⁹ users. Boundary-exclusive bins
+    * change the tie semantics (tied metric values share a quintile instead
+    * of splitting by user id) — stated identically in the oracle, and the
+    * right contract anyway: a segment label should be a function of the
+    * metric VALUE, not of which side of an ntile seam a tie lands on.
+    * Cuts are rounded to 4 dp on both engines before comparison so the
+    * bins are bit-identical; at 100 TB the exact percentile swaps for
+    * `approx_percentile` in the same one-row model without touching the
+    * assignment side. Shape: one filtered aggregate to user grain, one
+    * bounded boundary aggregate, one broadcast join back — no window at
+    * all, nothing single-task.
     */
   val rfm = Q(
     "q_rfm",
@@ -622,19 +630,23 @@ object Behavior {
           sum(dec(col("value"))).as("mon_dec"))
         .select(col("user_id"), expr("last_ts div 1000000000").as("recency_s"),
           col("freq"), col("mon_dec").cast("double").as("monetary"))
-      // user-grain relation + the vocab_coverage constant-partition trick:
-      // the quintile windows are single-partition over the AGGREGATE (not
-      // the event stream), and partitioning by the non-foldable total keeps
-      // the bounded-input contract visible to the plan gate
-      val t = g.agg(count(lit(1)).as("nu"))
-      def quint(metric: org.apache.spark.sql.Column) =
-        ntile(5).over(Window.partitionBy(col("nu")).orderBy(metric, col("user_id"))).cast("long")
-      g.crossJoin(broadcast(t))
+        .localCheckpoint() // feeds the boundary model AND the assignment scan
+      val cuts = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+      val bounds = g.agg(
+        expr(s"transform(percentile(recency_s, $cuts), p -> round(p, 4))").as("rb"),
+        expr(s"transform(percentile(freq, $cuts), p -> round(p, 4))").as("fb"),
+        expr(s"transform(percentile(monetary, $cuts), p -> round(p, 4))").as("mb"))
+      // quintile = 1 + |{boundaries below the metric}| — 4 codegen'd
+      // comparisons against the broadcast 1-row model, no sort anywhere
+      def quint(x: org.apache.spark.sql.Column, bs: String) =
+        (lit(1) +: (0 until 4).map(k =>
+          when(x > col(bs).getItem(k), 1).otherwise(0))).reduce(_ + _).cast("long")
+      g.crossJoin(broadcast(bounds))
         .select(col("user_id"), col("recency_s"), col("freq"),
           round(col("monetary"), 6).as("monetary"),
-          quint(col("recency_s")).as("r_q"),
-          quint(col("freq")).as("f_q"),
-          quint(col("monetary")).as("m_q"))
+          quint(col("recency_s"), "rb").as("r_q"),
+          quint(col("freq"), "fb").as("f_q"),
+          quint(col("monetary"), "mb").as("m_q"))
         .withColumn("segment",
           concat(col("r_q").cast("string"), col("f_q").cast("string"),
             col("m_q").cast("string")))
@@ -644,16 +656,29 @@ object Behavior {
       |  SELECT user_id, epoch_ns(max(ts)) // 1000000000 AS recency_s,
       |         count(*) AS freq,
       |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
-      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |b AS (SELECT quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS rb,
+      |             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+      |             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+      |      FROM g),
+      |a AS (SELECT user_id, recency_s, freq, monetary,
+      |        1 + (CASE WHEN recency_s > round(rb[1], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN recency_s > round(rb[2], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN recency_s > round(rb[3], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN recency_s > round(rb[4], 4) THEN 1 ELSE 0 END) AS r_q,
+      |        1 + (CASE WHEN freq > round(fb[1], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN freq > round(fb[2], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN freq > round(fb[3], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN freq > round(fb[4], 4) THEN 1 ELSE 0 END) AS f_q,
+      |        1 + (CASE WHEN monetary > round(mb[1], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN monetary > round(mb[2], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN monetary > round(mb[3], 4) THEN 1 ELSE 0 END
+      |           + CASE WHEN monetary > round(mb[4], 4) THEN 1 ELSE 0 END) AS m_q
+      |      FROM g, b)
       |SELECT user_id, recency_s, freq, round(monetary, 6) AS monetary,
-      |  r_q, f_q, m_q,
+      |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
       |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
-      |FROM (SELECT user_id, recency_s, freq, monetary,
-      |        CAST(ntile(5) OVER (ORDER BY recency_s, user_id) AS BIGINT) AS r_q,
-      |        CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
-      |        CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_q
-      |      FROM g)
-      |ORDER BY user_id""".stripMargin
+      |FROM a ORDER BY user_id""".stripMargin
   )
 
   /** GINI CONCENTRATION INDEX of per-user value within each event type —
@@ -664,8 +689,23 @@ object Behavior {
     * the rank moment Σ i·xᵢ is a DECIMAL×BIGINT sum (exact at any
     * parallelism; ties in x contribute x·Σi whichever tied user takes
     * which rank), and the one double formula is applied to the exact
-    * moments. Shape: events → user grain (one shuffle), a per-type window
-    * over THAT grain, one moment aggregate per type — scan → 5 rows.
+    * moments.
+    *
+    * The global rank runs as a TWO-LEVEL BUCKETED RANK (the
+    * [[prefixSum]] scheme), never a per-type single-task sort: a per-type
+    * percentile boundary model (15 cuts, broadcast) buckets users by value
+    * range row-locally; global rank = within-bucket `row_number` + the
+    * exclusive offset of lower buckets' counts — the offsets live on the
+    * bounded (|types| × 16) grain. Ties always share a bucket (bucketing
+    * is a function of xd alone) and Σ i·xᵢ is tie-permutation-invariant,
+    * so the bucketed moment equals the oracle's sequential row_number form
+    * exactly — the oracle below deliberately keeps the textbook global
+    * window an engine at scale must NOT execute. Each within-bucket window
+    * holds ~1/16 of one type's users; at 100 TB, widen the cut array and
+    * swap the boundary model to `approx_percentile` — the assignment and
+    * moment algebra are unchanged. Shape: events → user grain (one
+    * shuffle), bounded boundary aggregate, bucket-partitioned windows,
+    * one moment aggregate per type — scan → 5 rows.
     */
   val gini = Q(
     "q_gini",
@@ -673,11 +713,30 @@ object Behavior {
       val g = Tables.events(s, d)
         .groupBy(col("event_type"), col("user_id"))
         .agg(sum(dec(col("value"))).as("xd"))
-      val w = Window.partitionBy("event_type").orderBy(col("xd"), col("user_id"))
-      val m = g.withColumn("i", row_number().over(w).cast("long"))
+        .localCheckpoint() // feeds the boundary model AND the ranked scan
+      val cuts = (1 to 15).map(k => s"${k / 16.0}D").mkString("array(", ", ", ")")
+      val bounds = g.groupBy(col("event_type")).agg(expr(
+        s"transform(percentile(CAST(xd AS DOUBLE), $cuts), p -> round(p, 6))").as("bs"))
+      val bkt = (lit(1) +: (0 until 15).map(k =>
+        when(col("xd").cast("double") > col("bs").getItem(k), 1).otherwise(0)))
+        .reduce(_ + _)
+      val a = g.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("xd"), bkt.as("bkt"))
+      // level 1: bucket sizes → exclusive rank offsets on the bounded grain
+      val per = a.groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"), sum(col("xd")).as("sxb"))
+      val withOff = per.withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.partitionBy("event_type").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // level 2: within-bucket ranks j; global moment Σ i·x = Σ_b (Σ j·x + off_b·Σx)
+      val wIn = Window.partitionBy("event_type", "bkt").orderBy(col("xd"), col("user_id"))
+      val inner = a.withColumn("j", row_number().over(wIn).cast("long"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(sum(col("xd") * col("j")).as("sxj"))
+      val m = inner.join(withOff, Seq("event_type", "bkt"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
-          sum(col("xd") * col("i")).as("sxi"))
+        .agg(sum(col("cnt")).as("n"), sum(col("sxb")).as("sx"),
+          sum(col("sxj") + col("sxb") * col("off")).as("sxi"))
       val nD = col("n").cast("double")
       m.select(col("event_type"), col("n").as("n_users"),
           round(col("sx").cast("double"), 6).as("total"),
@@ -824,26 +883,40 @@ object Behavior {
     * number: users cut into spend deciles (ascending), each decile's share
     * and the cumulative share of total value. "The top decile owns 34% of
     * the spend" is this table's last row gap; the Gini is its integral.
-    * Same determinism kit as q_rfm/q_gini: user-grain aggregate through
-    * exact decimals, constant-partition ntile with user_id tie-break,
-    * decile sums as exact decimal moments, shares as single divisions.
+    * Deciles come from the [[rfm]]/`q_equidepth_bins` BROADCAST BOUNDARY
+    * MODEL — one exact-percentile row (9 cuts rounded to 6 dp on both
+    * engines), decile = row-local count of boundaries below the user's
+    * spend — replacing round 10's ntile under a constant partition key (a
+    * single-task sort of every user; see [[rfm]] for why boundary-
+    * exclusive bins are also the better tie contract). The ≤10-row decile
+    * rollup gets its cumulative sums from a broadcast non-equi self-join,
+    * so the plan has NO window at all; decile sums stay exact decimal
+    * moments, shares are single divisions. At 100 TB the boundary model
+    * swaps to `approx_percentile` unchanged.
     */
   val lorenz = Q(
     "q_lorenz",
     (s, d) => {
       val g = Tables.events(s, d)
         .groupBy(col("user_id")).agg(sum(dec(col("value"))).as("xd"))
-      val t = g.agg(count(lit(1)).as("nu"))
-      val ranked = g.crossJoin(broadcast(t))
-        .withColumn("decile", ntile(10).over(
-          Window.partitionBy(col("nu")).orderBy(col("xd"), col("user_id"))).cast("long"))
-      val byDecile = ranked.groupBy(col("decile"))
+        .localCheckpoint() // feeds the boundary model AND the assignment scan
+      val cuts = (1 to 9).map(k => s"${k / 10.0}D").mkString("array(", ", ", ")")
+      val bounds = g.agg(expr(
+        s"transform(percentile(CAST(xd AS DOUBLE), $cuts), p -> round(p, 6))").as("bs"))
+      val decile = (lit(1) +: (0 until 9).map(k =>
+        when(col("xd").cast("double") > col("bs").getItem(k), 1).otherwise(0)))
+        .reduce(_ + _).cast("long")
+      val byDecile = g.crossJoin(broadcast(bounds))
+        .select(decile.as("decile"), col("xd"))
+        .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"), sum(col("xd")).as("sx"))
       val tot = byDecile.agg(sum(col("sx")).as("stot"))
-      byDecile.crossJoin(broadcast(tot))
-        .withColumn("cum", sum(col("sx")).over(
-          Window.partitionBy(col("stot")).orderBy(col("decile"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cum = byDecile
+        .join(broadcast(byDecile.select(col("decile").as("d2"), col("sx").as("sx2"))),
+          col("d2") <= col("decile"))
+        .groupBy(col("decile"), col("n_users"), col("sx"))
+        .agg(sum(col("sx2")).as("cum"))
+      cum.crossJoin(broadcast(tot))
         .select(col("decile"), col("n_users"),
           round(col("sx").cast("double"), 6).as("decile_value"),
           round(col("sx").cast("double") / col("stot").cast("double"), 6).as("share"),
@@ -852,13 +925,25 @@ object Behavior {
     },
     """WITH g AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS xd
       |           FROM events GROUP BY 1),
-      |r AS (SELECT xd, CAST(ntile(10) OVER (ORDER BY xd, user_id) AS BIGINT) AS decile FROM g),
-      |b AS (SELECT decile, count(*) AS n_users, sum(xd) AS sx FROM r GROUP BY 1),
+      |q AS (SELECT quantile_cont(CAST(xd AS DOUBLE),
+      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |      FROM g),
+      |a AS (SELECT xd,
+      |        1 + (CASE WHEN CAST(xd AS DOUBLE) > round(bs[1], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[2], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[3], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[4], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[5], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[6], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[7], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[8], 6) THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[9], 6) THEN 1 ELSE 0 END) AS decile
+      |      FROM g, q),
+      |b AS (SELECT decile, count(*) AS n_users, sum(xd) AS sx FROM a GROUP BY 1),
       |t AS (SELECT sum(sx) AS stot FROM b),
-      |c AS (SELECT decile, n_users, sx,
-      |        sum(sx) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum
-      |      FROM b)
-      |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+      |c AS (SELECT x.decile, x.n_users, x.sx, sum(y.sx) AS cum
+      |      FROM b x JOIN b y ON y.decile <= x.decile GROUP BY 1, 2, 3)
+      |SELECT CAST(decile AS BIGINT) AS decile, CAST(n_users AS BIGINT) AS n_users,
       |  round(CAST(sx AS DOUBLE), 6) AS decile_value,
       |  round(CAST(sx AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS share,
       |  round(CAST(cum AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS cum_share

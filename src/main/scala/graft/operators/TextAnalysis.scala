@@ -954,37 +954,46 @@ object TextAnalysis {
     * run: documents are concatenated in a deterministic order and the token
     * stream is chunked into fixed-length training sequences (the GPT-style
     * concat-then-chunk packer; a document may straddle a boundary). Emitted
-    * per document: the sequence its first token lands in and the offset
-    * within it — the placement relation a loader shards by. The packing
-    * stream is PER SOURCE (window partitioned by source, ordered by doc_id):
-    * packing is a per-stream contract, so at 100 TB the unit is
-    * (source, shard) and streams pack in parallel — a single global
-    * concatenation order would serialize the corpus through one task and is
-    * exactly what the global-window contract gate forbids. One window over
-    * one scan; the running sum is exact integer math.
+    * per document: the packing stream it belongs to, the sequence its
+    * first token lands in and the offset within it — the placement
+    * relation a loader shards by. The packing unit is (source, shard) —
+    * shard an md5 slice of (doc_id, source), the `q_shuffle_shards`
+    * convention — so streams pack in parallel and each window holds
+    * ~1/8 of one source (round 10 partitioned by source alone, which
+    * serialized each source's whole token stream through one task; at
+    * 100 TB the shard count rises with corpus size, same plan). A single
+    * global concatenation order would be exactly what the global-window
+    * contract gate forbids. One window over one scan; the running sum is
+    * exact integer math, and placement stays fully deterministic (the
+    * shard hash and the within-shard doc_id order are both data-derived).
     */
   val seqPack = Q(
     "q_seq_pack",
     (s, d) => {
+      val shard = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("source"))), 9, 6), 16, 10).cast("long") % 8L).as("shard")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
+        .partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), wsTokens.as("tokens"))
+        .select(col("doc_id"), col("source"), shard, wsTokens.as("tokens"))
         .withColumn("cum", sum(col("tokens")).over(w))
-        .select(col("doc_id"), col("source"), col("tokens"),
+        .select(col("doc_id"), col("source"), col("shard"), col("tokens"),
           expr("(cum - tokens) div 2048").as("seq_id"),
           expr("(cum - tokens) % 2048").as("seq_offset"))
         .orderBy("doc_id")
     },
-    """SELECT doc_id, source, tokens,
+    """SELECT doc_id, source, shard, tokens,
       |  (cum - tokens) // 2048 AS seq_id, (cum - tokens) % 2048 AS seq_offset
-      |FROM (SELECT doc_id, source,
+      |FROM (SELECT doc_id, source, shard,
       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
       |        CAST(sum(len(string_split(text, ' '))) OVER (
-      |          PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
-      |      FROM documents)
+      |          PARTITION BY source, shard ORDER BY doc_id) AS BIGINT) AS cum
+      |      FROM (SELECT doc_id, source, text,
+      |              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 9, 6))::BIGINT % 8
+      |                AS shard
+      |            FROM documents))
       |ORDER BY doc_id""".stripMargin
   )
 

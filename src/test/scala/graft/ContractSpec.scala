@@ -68,23 +68,63 @@ class ContractSpec extends SparkSpec {
   test("no query has a global window over unbounded input") {
     // An unpartitioned (or constant-partitioned) window moves its ENTIRE
     // input to one task — fine over a limit-bounded relation, a scale-killer
-    // over anything data-sized (the round-4 q_vocab_coverage defect). Gate:
-    // every Window whose partition spec has no data-dependent expression must
-    // sit above a Limit somewhere in its input subtree.
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LocalRelation, OneRowRelation, Window => LWindow}
-    val d = sf()
+    // over anything data-sized (the round-4 q_vocab_coverage defect).
+    //
+    // Tightened in round 11: the round-10 q_rfm/q_lorenz forms evaded the
+    // foldable-only check by partitioning on a column crossJoined in from a
+    // 1-row aggregate — non-foldable, constant in value. The gate now TRACES
+    // constancy: outputs of global (or constant-grouped) aggregates, and
+    // aliases computed only from those, count as constant partition keys.
+    // A flagged window must either sit above a Limit, or demonstrate its
+    // input is a BOUNDED MODEL rather than a data-grain relation: the child
+    // row count must not grow materially between sf0.001 and sf0.01 (a
+    // per-source / fixed-grid input is SF-invariant; a per-user one grows
+    // ~10× with the data and is exactly the single-task sort this gate
+    // exists to forbid).
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, d).queryExecution.optimizedPlan
-      plan.foreach {
-        case w: LWindow if w.partitionSpec.forall(_.foldable) =>
-          val bounded = w.child.collectFirst {
-            case _: GlobalLimit | _: LocalLimit | _: LocalRelation | _: OneRowRelation => ()
-          }.nonEmpty
-          assert(bounded,
-            s"$name has a global window over unbounded input:\n${w.treeString.take(2000)}")
-        case _ => ()
+      val unbounded = WindowGate.unboundedFlagged(fn(spark, sf()).queryExecution.optimizedPlan)
+      if (unbounded.nonEmpty) {
+        // scale-invariance check: pair flagged windows positionally with the
+        // sf0.01 build of the same query (plans are structurally identical)
+        val big = WindowGate.unboundedFlagged(fn(spark, sf("sf0.01")).queryExecution.optimizedPlan)
+        assert(big.size == unbounded.size,
+          s"$name: flagged-window count differs across SFs (${unbounded.size} vs ${big.size})")
+        unbounded.zip(big).foreach { case (ws, wb) =>
+          val nSmall = org.apache.spark.sql.graftglue.Bridge.ofRows(spark, ws.child).count()
+          val nBig = org.apache.spark.sql.graftglue.Bridge.ofRows(spark, wb.child).count()
+          assert(nBig <= nSmall * 2 + 16 && nBig <= 4096,
+            s"$name has a constant-partitioned window whose input GROWS with " +
+              s"the data ($nSmall rows at sf0.001 → $nBig at sf0.01) — a " +
+              s"single-task sort at scale:\n${ws.treeString.take(2000)}")
+        }
       }
     }
+  }
+
+  test("window gate flags the round-10 constant-partition evasion") {
+    // Negative fixture pinning the tightened gate: the EXACT round-10 q_rfm
+    // shape — user-grain aggregate, 1-row count crossJoined in, ntile
+    // partitioned by that constant column. The gate must (a) flag the window
+    // despite its non-foldable partition key and (b) see its input GROW
+    // between SFs, i.e. fail the scale-invariance escape that legitimate
+    // bounded models (per-source solver grains, fixed KS grids) pass.
+    import org.apache.spark.sql.expressions.Window
+    def build(d: String) = {
+      val g = Tables.events(spark, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("freq"))
+      val t = g.agg(count(lit(1)).as("nu"))
+      g.crossJoin(broadcast(t)).withColumn("q",
+        ntile(5).over(Window.partitionBy(col("nu")).orderBy(col("freq"), col("user_id"))))
+    }
+    val small = WindowGate.unboundedFlagged(build(sf()).queryExecution.optimizedPlan)
+    assert(small.nonEmpty, "gate failed to flag the constant-partition window")
+    val big = WindowGate.unboundedFlagged(build(sf("sf0.01")).queryExecution.optimizedPlan)
+    assert(big.nonEmpty)
+    val nSmall = org.apache.spark.sql.graftglue.Bridge.ofRows(spark, small.head.child).count()
+    val nBig = org.apache.spark.sql.graftglue.Bridge.ofRows(spark, big.head.child).count()
+    assert(nBig > nSmall * 2 + 16,
+      s"fixture no longer demonstrates data-grain growth ($nSmall → $nBig)")
   }
 
   test("typed schema conforms to Dataset[CyclingRoute]") {
