@@ -798,19 +798,48 @@ object Dedup {
        |ORDER BY s1, s2""".stripMargin
   )
 
+  /** Banded hamming near-dup pairs over a (doc_id, ph) fingerprint relation —
+    * the candidate-generation + verify half of the perceptual-hash family,
+    * shared by [[phashPairs]]' oracle-checked 32-bit signature path and the
+    * REAL javax.imageio dHash64 path ([[Multimodal.dhashMedia]],
+    * spec-verified in MultimodalSpec): the fingerprint is split into
+    * `nBands` bands of `bandBits` bits via exact bit shifts (never
+    * float pow — a 64-bit hash overflows a double mantissa), candidates come
+    * from the band equi-join (pigeonhole: hamming ≤ nBands−1 guarantees an
+    * intact band), and exact `bit_count(xor)` verifies ≤ `maxHamming`.
+    */
+  def hammingPairs(ph: DataFrame, nBands: Int, bandBits: Int,
+                   maxHamming: Long): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val blocks = ph
+      .select(col("doc_id"), col("ph"), explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+      .withColumn("bv", expr(s"shiftrightunsigned(ph, CAST(b AS INT) * $bandBits) & ${mask}L"))
+    val hamming = bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long")
+    blocks.select(col("doc_id").as("d1"), col("ph").as("p1"), col("b"), col("bv"))
+      .join(blocks.select(col("doc_id").as("d2"), col("ph").as("p2"), col("b"), col("bv")),
+        Seq("b", "bv"))
+      .filter(col("d1") < col("d2") && hamming <= maxHamming)
+      .select(col("d1"), col("d2"), hamming.as("hamming"))
+      .distinct()
+  }
+
   /** PERCEPTUAL-HASH near-dup pairs — the IMAGE modality of the dedup family
     * (text: MinHash/SimHash/n-gram; embeddings: cosine; images: THIS). The
     * dHash construction: a per-payload locality-sensitive vector stands in
-    * for the downsampled grayscale grid (the pixel decode is codec-bound,
-    * like every media stub here — the 32-perm minhash signature has exactly
-    * the property dHash needs: similar payloads agree on most components),
-    * and the hash bit j is the GRADIENT comparison v[j] < v[(j+1) mod 32] —
-    * a 32-bit fingerprint whose hamming distance tracks payload similarity.
-    * Near-dup candidates come from a 4×8-bit BAND equi-join (pigeonhole:
-    * hamming ≤ 3 ⟹ at least one intact band, covering the ≤ 2 threshold
-    * with margin) — never all-pairs — and exact hamming verifies. A real
-    * image decoder swaps in for the signature without touching the hash,
-    * the banding, or the join.
+    * for the downsampled grayscale grid (the 32-perm minhash signature has
+    * exactly the property dHash needs: similar payloads agree on most
+    * components), and the hash bit j is the GRADIENT comparison
+    * v[j] < v[(j+1) mod 32] — a 32-bit fingerprint whose hamming distance
+    * tracks payload similarity. Near-dup candidates come from a 4×8-bit
+    * BAND equi-join (pigeonhole: hamming ≤ 3 ⟹ at least one intact band,
+    * covering the ≤ 2 threshold with margin) — never all-pairs — and exact
+    * hamming verifies, all via the shared [[hammingPairs]]. The REAL image
+    * decoder exists and feeds the SAME pipeline: [[Multimodal.dhashMedia]]
+    * decodes actual PNG pixels with javax.imageio, box-downsamples to the
+    * canonical 9×8 luma grid and emits a 64-bit dHash that flows through
+    * [[hammingPairs]] unchanged (MultimodalSpec pins it on crafted
+    * fixtures); this query keeps the hash-derived signature so the stage
+    * stays oracle-checkable bit-for-bit.
     */
   val phashPairs = Q(
     "q_phash_pairs",
@@ -822,17 +851,7 @@ object Dedup {
             |             < element_at(sig, CAST((j + 1) % 32 AS INT) + 1),
             |           shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin).as("ph"))
         .localCheckpoint()
-      val blocks = sig
-        .select(col("doc_id"), col("ph"), explode(sequence(lit(0), lit(3))).as("b"))
-        .select(col("doc_id"), col("ph"), col("b"),
-          (floor(col("ph") / pow(lit(2.0), col("b") * 8)).cast("long") % 256L).as("bv"))
-      val hamming = bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long")
-      blocks.select(col("doc_id").as("d1"), col("ph").as("p1"), col("b"), col("bv"))
-        .join(blocks.select(col("doc_id").as("d2"), col("ph").as("p2"), col("b"), col("bv")),
-          Seq("b", "bv"))
-        .filter(col("d1") < col("d2") && hamming <= 2L)
-        .select(col("d1"), col("d2"), hamming.as("hamming"))
-        .distinct()
+      hammingPairs(sig, nBands = 4, bandBits = 8, maxHamming = 2L)
         .orderBy("d1", "d2")
     },
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),

@@ -10,12 +10,75 @@ import org.apache.spark.sql.functions._
   * The decode is REAL for the container layer: PNG / GIF / BMP width, height
   * and format are parsed from the file's leading bytes (fixed header offsets —
   * see [[graft.functions.MediaHeader]]), both as pure column expressions and
-  * as a typed `mapPartitions` path. Only pixel decode (which needs a codec
-  * library this environment doesn't have) is out of scope; at production
-  * scale that slots into [[decodeMedia]]'s iterator body without touching the
-  * schema, the partitioning, or the header parse.
+  * as a typed `mapPartitions` path. PIXEL decode is real too, for the formats
+  * the JDK ships codecs for (PNG/GIF/BMP/JPEG via `javax.imageio`, no extra
+  * dependency): [[dhashMedia]] decodes actual pixels partition-parallel and
+  * emits the canonical 64-bit dHash, feeding the SAME banded hamming join as
+  * the oracle-checked signature path ([[Dedup.hammingPairs]]). Only formats
+  * needing external codecs (webp, video, audio PCM) remain behind the
+  * documented seam; they slot into the same iterator bodies without touching
+  * schema, partitioning, or the header parse.
   */
 object Multimodal {
+
+  /** REAL pixel decode via the JDK's built-in codecs. Returns None for
+    * payloads ImageIO has no codec for (or corrupt files) — the caller
+    * decides drop-vs-quarantine; decode never throws on bad bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Box-downsample to a (gw × gh) luma grid: each cell is the integer mean
+    * of the BT.601 luma (299r+587g+114b)/1000 over the source pixels it
+    * covers — the standard pre-hash reduction, deterministic integer math.
+    */
+  def lumaGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Array[Long]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(gh, gw) { (cy, cx) =>
+      val (x0, x1) = (cx * w / gw, math.max((cx + 1) * w / gw, cx * w / gw + 1))
+      val (y0, y1) = (cy * h / gh, math.max((cy + 1) * h / gh, cy * h / gh + 1))
+      var sum = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)) / 1000L
+          x += 1
+        }
+        y += 1
+      }
+      sum / ((x1 - x0).toLong * (y1 - y0))
+    }
+  }
+
+  /** Canonical 64-bit DIFFERENCE HASH over real pixels: 9×8 luma grid, bit
+    * r·8+c set iff cell (r, c+1) is brighter than (r, c). Hamming distance
+    * between two dHashes tracks visual similarity — the production twin of
+    * `q_phash_pairs`' hash-derived 32-bit signature.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var ph = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (g(r)(c + 1) > g(r)(c)) ph |= 1L << (r * 8 + c)
+    ph
+  }
+
+  /** Partition-parallel REAL featurizer: payload → ImageIO pixel decode →
+    * dHash64. Undecodable payloads are dropped (None-filtered) — same
+    * iterator-to-iterator shape as [[decodeMedia]], and the output
+    * (doc_id, ph) relation flows straight into [[Dedup.hammingPairs]]'
+    * banded near-dup join with no adaptation.
+    */
+  def dhashMedia(blobs: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) => decodeImage(bytes).map(img => (id, dHash64(img))) }
+    }
+  }
 
   /** Decoded-media metadata record produced by the decode stage. */
   final case class MediaMeta(doc_id: Long, byte_len: Long, img_format: String,

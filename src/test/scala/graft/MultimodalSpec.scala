@@ -71,6 +71,48 @@ class MultimodalSpec extends SparkSpec {
     assert(res.passed, s"header round-trip property failed: ${res.status}")
   }
 
+  test("real PNG pixel decode feeds the dHash band-join pipeline unchanged") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // craft real PNGs in memory with the JDK encoder; decode reads actual
+    // pixels back (no shared expressions with the synthesis)
+    def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = pngOf((x, _) => x * 4)                              // horizontal gradient
+    val near = pngOf((x, y) => if (x == 0 && y == 0) 255 else x * 4) // 1-px perturbation
+    val far = pngOf((x, y) => ((x / 8 + y / 8) % 2) * 255)         // checkerboard
+    val blobs = Seq((1L, base), (2L, near), (3L, far), (4L, "not an image".getBytes("UTF-8"))).toDS()
+
+    // the header parser agrees with the real encoder's output
+    val metas = Multimodal.decodeMedia(blobs.filter(_._1 <= 3L)).collect()
+    assert(metas.forall(m => m.img_format == "png" && m.width == 64 && m.height == 64))
+
+    // real pixel decode → dHash64; undecodable payload dropped, near-dup
+    // hamming-close, structurally different image hamming-far
+    val ph = Multimodal.dhashMedia(blobs)
+    val hs = ph.collect().toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), s"decode set wrong: ${hs.keySet}")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 2,
+      s"near-dup hamming too large: ${java.lang.Long.bitCount(hs(1L) ^ hs(2L))}")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 8,
+      s"distinct images hamming too small: ${java.lang.Long.bitCount(hs(1L) ^ hs(3L))}")
+
+    // the SAME banded pipeline as q_phash_pairs consumes the 64-bit real
+    // hash unchanged — only the band geometry widens (4×16 ⊇ hamming ≤ 3)
+    val pairs = operators.Dedup.hammingPairs(
+        ph.toDF("doc_id", "ph"), nBands = 4, bandBits = 16, maxHamming = 2L)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the near-dup pair: $pairs")
+  }
+
   test("decodeMedia Dataset path parses headers partition-parallel") {
     import spark.implicits._
     val blobs = Seq(
