@@ -977,29 +977,40 @@ object Dedup {
     * n_match/32 is exactly representable (dyadic, ≤ 5 decimals), so the
     * rounded estimate cannot drift between engines.
     */
+  /** [[minhashError]]'s body plus a release handle for its internal
+    * signature cache — the [[minhashNearDupsWithCache]] convention: non-bench
+    * callers (no session clearCache between queries) invoke the handle after
+    * an action has consumed the report, instead of leaking executor cache
+    * blocks.
+    */
+  private[graft] def minhashErrorWithCache(
+      documents: DataFrame): (DataFrame, () => Unit) = {
+    val sig = minhashSignatures(documents, 2, 32).persist()
+    val bands = lshBands(sig, 32, 4)
+    val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val shared = size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+    val exactJ = shared.cast("double") /
+      (size(col("hs1")).cast("long") + size(col("hs2")).cast("long") - shared)
+    val nMatch = size(filter(zip_with(col("sg1"), col("sg2"), (x, y) => x === y),
+      b => b)).cast("long")
+    val estJ = nMatch.cast("double") / 32.0d
+    cand
+      .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("sig").as("sg1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("sig").as("sg2")), Seq("d2"))
+      .select(col("d1"), col("d2"), nMatch.as("n_match"),
+        round(estJ, 6).as("est_jaccard"), round(exactJ, 6).as("jaccard"),
+        round(abs(estJ - exactJ), 6).as("abs_err"))
+      .orderBy("d1", "d2") -> (() => { sig.unpersist(); () })
+  }
+
   val minhashError = Q(
     "q_minhash_error",
-    (s, d) => {
-      val sig = minhashSignatures(Tables.documents(s, d), 2, 32).persist()
-      val bands = lshBands(sig, 32, 4)
-      val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("d2"), col("band"), col("bkey")), Seq("band", "bkey"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      val shared = size(array_intersect(col("hs1"), col("hs2"))).cast("long")
-      val exactJ = shared.cast("double") /
-        (size(col("hs1")).cast("long") + size(col("hs2")).cast("long") - shared)
-      val nMatch = size(filter(zip_with(col("sg1"), col("sg2"), (x, y) => x === y),
-        b => b)).cast("long")
-      val estJ = nMatch.cast("double") / 32.0d
-      cand
-        .join(sig.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("sig").as("sg1")), Seq("d1"))
-        .join(sig.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("sig").as("sg2")), Seq("d2"))
-        .select(col("d1"), col("d2"), nMatch.as("n_match"),
-          round(estJ, 6).as("est_jaccard"), round(exactJ, 6).as("jaccard"),
-          round(abs(estJ - exactJ), 6).as("abs_err"))
-        .orderBy("d1", "d2")
-    },
+    // cache lifetime owned by the Bench/Verify clearCache convention here;
+    // mid-pipeline callers use [[minhashErrorWithCache]]'s release handle
+    (s, d) => minhashErrorWithCache(Tables.documents(s, d))._1,
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
        |hashed AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
        |shn AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),

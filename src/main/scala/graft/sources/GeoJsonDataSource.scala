@@ -324,9 +324,7 @@ class GeoJsonGroupCountReader(path: String, geomKeep: Option[Set[String]],
       val tally = new java.util.LinkedHashMap[Option[String], Long]()
       GeoJsonFeatures.iterate(path).foreach { f =>
         if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) {
-          val gt = Option(f.get("geometry")).filterNot(_.isNull)
-            .map(_.get("type").asText())
-          tally.merge(gt, 1L, (a, b) => a + b)
+          tally.merge(GeoJsonFeatures.geometryType(f), 1L, (a, b) => a + b)
         }
       }
       rows = tally.entrySet().iterator().asScala.map { e =>
@@ -682,14 +680,24 @@ private[sources] object GeoJsonFeatures {
     }
   }
 
+  /** Geometry type of a feature: None when the geometry is absent, JSON
+    * null, or lacks a "type" field. The single accessor shared by filter
+    * matching, the row reader and the group-count reader — a malformed
+    * feature degrades to a null type everywhere instead of NPE-aborting
+    * one reader's whole partition.
+    */
+  def geometryType(f: JsonNode): Option[String] =
+    Option(f.get("geometry")).filterNot(_.isNull)
+      .flatMap(g => Option(g.get("type"))).filterNot(_.isNull)
+      .map(_.asText())
+
   /** Pushed geometry_type filter semantics: a feature with no geometry has a
     * null type and never matches an equality, same as Spark's EqualTo null
     * semantics; `geomNonNull` enforces a pushed bare IsNotNull the same way.
     */
   def matches(f: JsonNode, geomKeep: Option[Set[String]],
               geomNonNull: Boolean = false): Boolean = {
-    lazy val geomType = Option(f.get("geometry")).filterNot(_.isNull)
-      .map(_.get("type").asText())
+    lazy val geomType = geometryType(f)
     (!geomNonNull || geomType.nonEmpty) &&
       geomKeep.forall(g => geomType.exists(g.contains))
   }
@@ -716,7 +724,7 @@ class GeoJsonPartitionReader(path: String, required: StructType,
     def pt(n: JsonNode): Array[Double] = Array(n.get(0).asDouble(), n.get(1).asDouble())
     def line(n: JsonNode): Array[Array[Double]] = n.elements().asScala.map(pt).toArray
     val c = geom.get("coordinates")
-    geom.get("type").asText() match {
+    Option(geom.get("type")).filterNot(_.isNull).map(_.asText()).getOrElse("") match {
       case "Point"                         => Array(Array(pt(c)))
       case "LineString"                    => Array(line(c))
       case "MultiPoint"                    => Array(line(c))
@@ -732,7 +740,7 @@ class GeoJsonPartitionReader(path: String, required: StructType,
     val values: Array[Any] = required.fields.map(_.name).map {
       case "feature_idx" => idx
       case "geometry_type" =>
-        geom.map(g => UTF8String.fromString(g.get("type").asText())).orNull
+        GeoJsonFeatures.geometryType(f).map(UTF8String.fromString).orNull
       case "parts" =>
         geom.map { g =>
           new GenericArrayData(partsOf(g).map(part =>

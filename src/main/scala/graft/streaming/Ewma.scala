@@ -12,8 +12,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * holding one double per user, not a window of events).
   *
   * α is pinned to 1/2 like the batch query: every update is an exact
-  * dyadic-scaled add, so replaying the same events always reproduces the
-  * same doubles (no libm, no summation-order sensitivity inside a key).
+  * dyadic-scaled add, so there is no libm and no summation-order
+  * sensitivity inside one fold. Determinism is GIVEN IDENTICAL BATCHING
+  * (or in-order arrival per key): [[advance]] sorts by ts only WITHIN a
+  * micro-batch, so an event that arrives in a later batch than a
+  * larger-ts sibling is folded after it — replaying the same events
+  * with different batch boundaries can produce different doubles for
+  * the rows after the inversion. The recursive accumulator cannot
+  * retro-insert without keeping the event history that O(1) state
+  * exists to avoid; late events needing exact placement belong to the
+  * batch `q_ewma` form (or an upstream watermark + sort stage).
   */
 object Ewma {
 

@@ -12,19 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** Watermark delay DERIVED from the attribution window: the window length
+    * plus a 1-hour late-arrival slack. A fixed delay shorter than the window
+    * would evict a view's state while partners could still legally arrive,
+    * silently emitting false orphans in the outer forms — so the delay must
+    * track `windowSpec`, whatever the caller passes. Day/time intervals
+    * only (a month has no fixed microsecond length to bound state by).
+    */
+  private[graft] def watermarkFor(windowSpec: String): String = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(windowSpec))
+    require(iv != null && iv.months == 0,
+      s"attribution window must be a day/time interval: $windowSpec")
+    val seconds = iv.days * 86400L + iv.microseconds / 1000000L
+    require(seconds > 0, s"attribution window must be positive: $windowSpec")
+    s"${seconds + 3600L} seconds"
+  }
+
   /** Join purchases to views of the same user where the purchase happens
     * within `windowSpec` (SQL interval, e.g. "INTERVAL 1 HOUR") after the
     * view. Inputs: views(user_id, vt), purchases(user_id, pt, value).
+    * Both watermarks ride [[watermarkFor]] so state eviction always covers
+    * the attribution window regardless of its length.
     */
   def attributePurchases(views: DataFrame, purchases: DataFrame,
                          windowSpec: String = "INTERVAL 1 HOUR",
                          joinType: String = "inner"): DataFrame = {
     val v = views
       .withColumnRenamed("user_id", "v_user")
-      .withWatermark("vt", "2 hours")
+      .withWatermark("vt", watermarkFor(windowSpec))
     val p = purchases
       .withColumnRenamed("user_id", "p_user")
-      .withWatermark("pt", "2 hours")
+      .withWatermark("pt", watermarkFor(windowSpec))
     v.join(p, expr(s"v_user = p_user AND pt >= vt AND pt <= vt + $windowSpec"), joinType)
       .select(col("v_user").as("user_id"), col("vt"), col("pt"), col("value"))
   }
@@ -55,10 +74,10 @@ object StreamJoin {
                         windowSpec: String = "INTERVAL 1 HOUR"): DataFrame = {
     val v = views
       .withColumnRenamed("user_id", "v_user")
-      .withWatermark("vt", "2 hours")
+      .withWatermark("vt", watermarkFor(windowSpec))
     val p = purchases
       .withColumnRenamed("user_id", "p_user")
-      .withWatermark("pt", "2 hours")
+      .withWatermark("pt", watermarkFor(windowSpec))
     v.join(p, expr(s"v_user = p_user AND pt >= vt AND pt <= vt + $windowSpec"), "full_outer")
       .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
         col("vt"), col("pt"), col("value"))

@@ -18,6 +18,22 @@ class GeoJsonSourceSpec extends SparkSpec {
       | "properties": {"route_id": "R1", "local_authority": "Edinburgh", "route_type": "Cycle Lane"},
       | "geometry": {"type": "LineString", "coordinates": [[325000.0, 673000.0], [325300.0, 673400.0]]}}""".stripMargin
 
+  test("geometry without a type field degrades to null instead of aborting the partition") {
+    val broken =
+      """{"type": "Feature", "properties": {"route_id": "RX"},
+        | "geometry": {"coordinates": [[0.0, 0.0], [1.0, 1.0]]}}""".stripMargin
+    val fc = tmpFile("fc-notype.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $broken]}""")
+    val df = spark.read.format("geojson").load(fc)
+    // row path: null geometry_type, parts fall through to empty
+    val types = df.select("geometry_type").collect().map(r => Option(r.getString(0))).toSet
+    assert(types == Set(Some("LineString"), None))
+    // group-count path (aggregate pushdown) tallies the typeless feature
+    val counts = df.groupBy("geometry_type").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts == Map(Option("LineString") -> 1L, Option.empty[String] -> 1L))
+  }
+
   test("reads a FeatureCollection") {
     val path = tmpFile("fc.json", s"""{"type": "FeatureCollection", "features": [$feature, $feature]}""")
     val df = GeoJson.read(spark, path)

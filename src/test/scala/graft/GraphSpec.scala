@@ -86,4 +86,18 @@ class GraphSpec extends SparkSpec {
     // regress the hub's distance
     assert(byDist == Map(0 -> 1L, 1 -> n.toLong))
   }
+
+  test("edge table materializes under the managed spark.graft.warehouseDir") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-test-").toString
+    spark.conf.set("spark.graft.warehouseDir", root)
+    try {
+      val e = Graph.copurchaseEdges(spark, sf())
+      assert(e.columns.toSeq == Seq("u", "v") && e.count() > 0)
+      val sub = new java.io.File(s"$root/copurchase_edges")
+      assert(sub.isDirectory && sub.listFiles().nonEmpty,
+        s"edge table not materialized under the configured warehouse: $root")
+      // second consumer reads the materialized table (same path, no rebuild)
+      assert(Graph.copurchaseEdges(spark, sf()).count() == e.count())
+    } finally spark.conf.unset("spark.graft.warehouseDir")
+  }
 }

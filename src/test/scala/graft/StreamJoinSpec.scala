@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 
 class StreamJoinSpec extends SparkSpec {
 
+  test("watermark delay tracks the attribution window (window + 1h slack)") {
+    assert(StreamJoin.watermarkFor("INTERVAL 1 HOUR") == "7200 seconds")
+    assert(StreamJoin.watermarkFor("INTERVAL 30 MINUTES") == "5400 seconds")
+    // the round-10 defect shape: a window LONGER than the old fixed 2h
+    // watermark must widen the delay, not silently under-cover
+    assert(StreamJoin.watermarkFor("INTERVAL 1 DAY") == s"${86400 + 3600} seconds")
+    intercept[IllegalArgumentException](StreamJoin.watermarkFor("INTERVAL 1 MONTH"))
+    intercept[IllegalArgumentException](StreamJoin.watermarkFor("not an interval"))
+  }
+
   test("stream-stream interval join attributes purchases to preceding views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
