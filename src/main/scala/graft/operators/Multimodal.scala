@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * the JDK ships codecs for (PNG/GIF/BMP/JPEG via `javax.imageio`, no extra
   * dependency): [[dhashMedia]] decodes actual pixels partition-parallel and
   * emits the canonical 64-bit dHash, feeding the SAME banded hamming join as
-  * the oracle-checked signature path ([[Dedup.hammingPairs]]). Only formats
-  * needing external codecs (webp, video, audio PCM) remain behind the
+  * the oracle-checked signature path ([[Dedup.hammingPairs]]). AUDIO decode
+  * is real as well ([[decodePcm]]/[[audioFeatures]], `javax.sound.sampled`):
+  * WAV payloads yield normalized samples, RMS energy and zero-crossing
+  * counts, spec-verified against a synthesized sine's closed-form values.
+  * Only formats needing external codecs (webp, video) remain behind the
   * documented seam; they slot into the same iterator bodies without touching
   * schema, partitioning, or the header parse.
   */
@@ -98,6 +101,59 @@ object Multimodal {
         val hex = md.digest(bytes).map("%02x".format(_)).mkString
         val (fmt, w, h) = MediaHeader.parseBytes(bytes)
         MediaMeta(id, bytes.length.toLong, fmt, w, h, hex)
+      }
+    }
+  }
+
+  /** REAL PCM decode for WAV payloads via `javax.sound.sampled` (JDK
+    * built-in — the audio twin of [[decodeImage]]): sample rate, channel
+    * count and the samples normalized to [-1, 1]. Canonical 8/16-bit PCM;
+    * anything the JDK has no codec for returns None rather than throwing.
+    */
+  def decodePcm(bytes: Array[Byte]): Option[(Float, Int, Array[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      val samples: Option[Array[Double]] = fmt.getSampleSizeInBits match {
+        case 16 =>
+          val n = data.length / 2
+          Some(Array.tabulate(n) { i =>
+            val (b0, b1) = (data(2 * i), data(2 * i + 1))
+            val s = if (fmt.isBigEndian) ((b0 << 8) | (b1 & 0xff)).toShort
+                    else ((b1 << 8) | (b0 & 0xff)).toShort
+            s / 32768.0
+          })
+        case 8 => Some(data.map(b => ((b & 0xff) - 128) / 128.0))
+        case _ => None
+      }
+      samples.map(s => (fmt.getSampleRate, fmt.getChannels, s))
+    } catch { case _: Exception => None }
+
+  /** Decoded-audio features from REAL samples. */
+  final case class AudioFeat(doc_id: Long, sample_rate: Double, channels: Long,
+                             n_samples: Long, rms: Double, zero_crossings: Long)
+
+  /** Partition-parallel REAL audio featurizer: payload → PCM decode → RMS
+    * energy + zero-crossing count (the two classic first-pass audio quality
+    * signals — silence/clipping detection and a pitch proxy). Undecodable
+    * payloads are dropped; same iterator shape as [[dhashMedia]].
+    */
+  def audioFeatures(blobs: Dataset[(Long, Array[Byte])]): Dataset[AudioFeat] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodePcm(bytes).map { case (rate, ch, s) =>
+          val rms = math.sqrt(s.map(x => x * x).sum / math.max(s.length, 1))
+          var zc = 0L
+          var i = 1
+          while (i < s.length) {
+            if ((s(i - 1) < 0 && s(i) >= 0) || (s(i - 1) >= 0 && s(i) < 0)) zc += 1
+            i += 1
+          }
+          AudioFeat(id, rate.toDouble, ch.toLong, s.length.toLong, rms, zc)
+        }
       }
     }
   }

@@ -113,6 +113,40 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"expected only the near-dup pair: $pairs")
   }
 
+  test("real WAV PCM decode extracts verifiable signal features") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // craft real WAVs with the JDK encoder: a 440 Hz sine and pure silence
+    def wavOf(sample: Int => Double, n: Int, rate: Float): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = math.round(sample(i) * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rate = 8000f
+    val amp = 0.5
+    val sine = wavOf(i => amp * math.sin(2 * math.Pi * 440 * i / rate), 8000, rate)
+    val silence = wavOf(_ => 0.0, 8000, rate)
+    // the RIFF header parser agrees with the real encoder's output
+    assert(MediaHeader.parseWavBytes(sine) === (("wav", 1L, 8000L, 16L)))
+    val blobs = Seq((1L, sine), (2L, silence), (3L, "not audio".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.audioFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == Set(1L, 2L)) // non-audio payload dropped, not thrown
+    val s = feats(1L)
+    assert(s.sample_rate == 8000.0 && s.channels == 1L && s.n_samples == 8000L)
+    // RMS of a sine = A/sqrt(2); one second of 440 Hz crosses zero ~880 times
+    assert(math.abs(s.rms - amp / math.sqrt(2)) < 0.01, s"rms ${s.rms}")
+    assert(math.abs(s.zero_crossings - 880L) <= 2, s"zc ${s.zero_crossings}")
+    assert(feats(2L).rms == 0.0 && feats(2L).zero_crossings == 0L)
+  }
+
   test("decodeMedia Dataset path parses headers partition-parallel") {
     import spark.implicits._
     val blobs = Seq(

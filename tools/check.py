@@ -96,6 +96,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                     i = neq.idxmax()
                     print(f"  col={c} row={i} got={g[c][i]!r} want={w[c][i]!r}")
             failures += 1
+    # SURVEY contract hygiene: the §2 footer states the oracle-query count;
+    # a stale number there is a doc defect (the round-10 "84 queries" slip).
+    import re
+    try:
+        with open("SURVEY.md") as f:
+            m = re.search(r"\*\*(\d+) oracle-checked queries", f.read())
+        if m and int(m.group(1)) != len(oracles):
+            print(f"FAIL SURVEY.md footer: states {m.group(1)} oracle-checked "
+                  f"queries, registry has {len(oracles)}")
+            failures += 1
+    except OSError:
+        pass
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} "
           f"({len(oracles)} queries)")
     return 1 if failures else 0
