@@ -17,6 +17,18 @@ object Behavior {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
+  /** Row-local boundary-exclusive bin assignment against a broadcast cut
+    * array: bin = 1 + |{k : x > bs[k]}|, unrolled to nCuts codegen'd
+    * comparisons. The ONE definition of the boundary-model semantics
+    * (strict `>`, pre-rounded cuts) shared by [[rfm]], [[gini]], [[lorenz]]
+    * and the BoundaryModelSpec acceptance harness — so the spec certifies
+    * exactly the production expression, not a copy that can drift.
+    */
+  def boundaryBin(x: org.apache.spark.sql.Column, bs: org.apache.spark.sql.Column,
+                  nCuts: Int): org.apache.spark.sql.Column =
+    (lit(1) +: (0 until nCuts).map(k =>
+      when(x > bs.getItem(k), 1).otherwise(0))).reduce(_ + _)
+
   /** Cohort retention matrix: users bucketed by their first-active week, then
     * distinct-user counts per (cohort week, active week). Plan: one shuffle on
     * user_id for the min-week window, then a standard two-phase distinct
@@ -392,14 +404,22 @@ object Behavior {
   /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE per user over the trailing 10
     * events (pandas `ewm` with a hard truncation) — the decay-smoothed
     * counterpart of [[movingAvg]]'s flat window: recent events dominate,
-    * history fades geometrically. Two determinism choices make this
-    * hash-comparable across engines where a naive EWMA is not:
-    *  - decay 1/2, so every weight 2⁻ᵏ (k ≤ 9) is EXACT in binary AND has
-    *    ≤ 9 decimal digits — `pow` cannot wobble across libm
-    *    implementations on dyadics, and both weights and weighted terms
-    *    round-trip DECIMAL(28,9) exactly;
-    *  - terms pre-rounded to DECIMAL(28,9) before the group sum (the
-    *    lm_score rule), so partial-aggregation order can't move the hash.
+    * history fades geometrically. The whole statistic is PURE INTEGER
+    * arithmetic end to end, which is what makes it hash-comparable across
+    * engines where a naive EWMA is not:
+    *  - values are exact cents (the generator writes 2-dp prices), so
+    *    v100 = round(value·100) recovers the integer on both engines;
+    *  - decay 1/2 with a k ≤ 9 truncation means every weight scales to the
+    *    integer 2^(9−k) — the weighted sum N = Σ v100·2^(9−k) and weight
+    *    sum D = Σ 2^(9−k) are exact BIGINTs;
+    *  - the 6-dp result is the half-up integer division
+    *    E = (2·N·10⁴ + D) div (2·D), and E/10⁶ is one exact double
+    *    conversion + one IEEE division — bit-identical everywhere.
+    * (The previous DECIMAL(28,9) formulation rounded each double term to
+    * 9 dp first, and at sf0.1 one term landed on the shortest-repr
+    * half-boundary where Spark's HALF_UP and DuckDB's binary round
+    * disagree — found by the full sf0.1 certification, round 11. Integer
+    * math has no such boundary anywhere.)
     *
     * Scale shape: a window rank per user, then the trailing-window pairs
     * come from a BLOCK-BANDED equi-join (each right row is published to its
@@ -421,27 +441,28 @@ object Behavior {
       val b0 = r.select(col("user_id"), col("value").as("xb"), col("rn").as("rb"))
       val b = b0.withColumn("blk", expr("rb div 10"))
         .unionByName(b0.withColumn("blk", expr("rb div 10 + 1")))
-      val k = col("ra") - col("rb")
-      val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+      val w = expr("shiftleft(CAST(1 AS BIGINT), CAST(9 - (ra - rb) AS INT))")
       a.join(b, Seq("user_id", "blk"))
         .filter(col("rb") <= col("ra") && col("rb") >= col("ra") - 9)
         .select(col("user_id"), col("event_id"), col("xa"),
-          round(col("xb") * pow(lit(0.5), k), 9).cast(dec9).as("term"),
-          pow(lit(0.5), k).cast(dec9).as("wgt"))
+          (round(col("xb") * 100).cast("long") * w).as("ti"), w.as("wi"))
         .groupBy(col("user_id"), col("event_id"))
         .agg(max(col("xa")).as("value"), count(lit(1)).as("n_terms"),
-          round(sum(col("term")).cast("double")
-            / sum(col("wgt")).cast("double"), 6).as("ewma"))
+          expr("(2 * sum(ti) * 10000 + sum(wi)) div (2 * sum(wi))").as("e6"))
+        .select(col("user_id"), col("event_id"), col("value"), col("n_terms"),
+          (col("e6").cast("double") / lit(1000000.0d)).as("ewma"))
         .orderBy("user_id", "event_id")
     },
     """WITH r AS (SELECT event_id, user_id, value,
       |             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
       |           FROM events),
-      |p AS (SELECT a.user_id, a.event_id, a.value AS xa, b.value AS xb, a.rn - b.rn AS k
+      |p AS (SELECT a.user_id, a.event_id, a.value AS xa,
+      |        CAST(round(b.value * 100) AS BIGINT)
+      |          * (CAST(1 AS BIGINT) << CAST(9 - (a.rn - b.rn) AS INT)) AS ti,
+      |        CAST(1 AS BIGINT) << CAST(9 - (a.rn - b.rn) AS INT) AS wi
       |      FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn)
       |SELECT user_id, event_id, max(xa) AS value, count(*) AS n_terms,
-      |  round(CAST(sum(CAST(round(xb * power(0.5, k), 9) AS DECIMAL(28,9))) AS DOUBLE)
-      |        / CAST(sum(CAST(power(0.5, k) AS DECIMAL(28,9))) AS DOUBLE), 6) AS ewma
+      |  CAST((2 * sum(ti) * 10000 + sum(wi)) // (2 * sum(wi)) AS DOUBLE) / 1000000.0 AS ewma
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
@@ -614,11 +635,15 @@ object Behavior {
     * right contract anyway: a segment label should be a function of the
     * metric VALUE, not of which side of an ntile seam a tie lands on.
     * Cuts are rounded to 4 dp on both engines before comparison so the
-    * bins are bit-identical; at 100 TB the exact percentile swaps for
-    * `approx_percentile` in the same one-row model without touching the
-    * assignment side. Shape: one filtered aggregate to user grain, one
-    * bounded boundary aggregate, one broadcast join back — no window at
-    * all, nothing single-task.
+    * bins are bit-identical. The EXACT percentile itself buffers distinct
+    * metric values into one final merge — fine at demonstration scale and
+    * needed for oracle exactness, but the 100 TB form is
+    * `approx_percentile` (fixed-size mergeable sketch, map-side
+    * combinable) dropped into the same one-row model without touching the
+    * assignment side — BoundaryModelSpec certifies that swap's quintile
+    * agreement on real data. Shape: one filtered aggregate to user grain,
+    * one bounded boundary aggregate, one broadcast join back — no window
+    * at all, no sort anywhere.
     */
   val rfm = Q(
     "q_rfm",
@@ -636,11 +661,8 @@ object Behavior {
         expr(s"transform(percentile(recency_s, $cuts), p -> round(p, 4))").as("rb"),
         expr(s"transform(percentile(freq, $cuts), p -> round(p, 4))").as("fb"),
         expr(s"transform(percentile(monetary, $cuts), p -> round(p, 4))").as("mb"))
-      // quintile = 1 + |{boundaries below the metric}| — 4 codegen'd
-      // comparisons against the broadcast 1-row model, no sort anywhere
       def quint(x: org.apache.spark.sql.Column, bs: String) =
-        (lit(1) +: (0 until 4).map(k =>
-          when(x > col(bs).getItem(k), 1).otherwise(0))).reduce(_ + _).cast("long")
+        boundaryBin(x, col(bs), 4).cast("long")
       g.crossJoin(broadcast(bounds))
         .select(col("user_id"), col("recency_s"), col("freq"),
           round(col("monetary"), 6).as("monetary"),
@@ -717,9 +739,7 @@ object Behavior {
       val cuts = (1 to 15).map(k => s"${k / 16.0}D").mkString("array(", ", ", ")")
       val bounds = g.groupBy(col("event_type")).agg(expr(
         s"transform(percentile(CAST(xd AS DOUBLE), $cuts), p -> round(p, 6))").as("bs"))
-      val bkt = (lit(1) +: (0 until 15).map(k =>
-        when(col("xd").cast("double") > col("bs").getItem(k), 1).otherwise(0)))
-        .reduce(_ + _)
+      val bkt = boundaryBin(col("xd").cast("double"), col("bs"), 15)
       val a = g.join(broadcast(bounds), Seq("event_type"))
         .select(col("event_type"), col("user_id"), col("xd"), bkt.as("bkt"))
       // level 1: bucket sizes → exclusive rank offsets on the bounded grain
@@ -903,9 +923,7 @@ object Behavior {
       val cuts = (1 to 9).map(k => s"${k / 10.0}D").mkString("array(", ", ", ")")
       val bounds = g.agg(expr(
         s"transform(percentile(CAST(xd AS DOUBLE), $cuts), p -> round(p, 6))").as("bs"))
-      val decile = (lit(1) +: (0 until 9).map(k =>
-        when(col("xd").cast("double") > col("bs").getItem(k), 1).otherwise(0)))
-        .reduce(_ + _).cast("long")
+      val decile = boundaryBin(col("xd").cast("double"), col("bs"), 9).cast("long")
       val byDecile = g.crossJoin(broadcast(bounds))
         .select(decile.as("decile"), col("xd"))
         .groupBy(col("decile"))

@@ -272,9 +272,25 @@ object Graph {
     edgeTableMemo.computeIfAbsent(path, _ => {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) // another JVM sharing the warehouse may have built it
+      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      // publish ATOMICALLY: gate on _SUCCESS (a bare exists() would trust a
+      // crashed half-write forever), build into a unique temp dir, rename
+      // into place. A racing JVM either wins the rename or reads the
+      // winner's table; a stale _SUCCESS-less dir is replaced.
+      if (!fs.exists(success)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + ".tmp-" + java.util.UUID.randomUUID().toString)
         copurchaseEdgesBuild(s, d).repartition(col("u"))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, hp)) {
+          if (fs.exists(success)) fs.delete(tmp, true) // lost the race — reuse winner's
+          else {
+            fs.delete(hp, true) // stale incomplete dir from a crashed build
+            if (!fs.rename(tmp, hp)) { fs.delete(tmp, true); sys.error(
+              s"cannot publish co-purchase edge table at $path") }
+          }
+        }
+      }
       path
     })
     s.read.parquet(path)

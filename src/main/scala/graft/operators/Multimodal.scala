@@ -29,8 +29,11 @@ object Multimodal {
     * decides drop-vs-quarantine; decode never throws on bad bytes.
     */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    // catch Exception, not just IOException: the JDK readers throw
+    // ArrayIndexOutOfBounds / IllegalArgument / CMMException on corrupt
+    // payloads, and one bad blob must drop, not kill the partition
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Box-downsample to a (gw × gh) luma grid: each cell is the integer mean
     * of the BT.601 luma (299r+587g+114b)/1000 over the source pixels it
@@ -135,16 +138,27 @@ object Multimodal {
   final case class AudioFeat(doc_id: Long, sample_rate: Double, channels: Long,
                              n_samples: Long, rms: Double, zero_crossings: Long)
 
-  /** Partition-parallel REAL audio featurizer: payload → PCM decode → RMS
-    * energy + zero-crossing count (the two classic first-pass audio quality
-    * signals — silence/clipping detection and a pitch proxy). Undecodable
-    * payloads are dropped; same iterator shape as [[dhashMedia]].
+  /** Partition-parallel REAL audio featurizer: payload → PCM decode →
+    * per-frame mono DOWNMIX (channel mean — decodePcm returns interleaved
+    * samples, and a zero-crossing count across the L/R seam of a stereo
+    * stream would count phase differences, not pitch) → RMS energy +
+    * zero-crossing count (the two classic first-pass audio quality
+    * signals — silence/clipping detection and a pitch proxy). `n_samples`
+    * is FRAMES (per-channel length). Undecodable payloads are dropped;
+    * same iterator shape as [[dhashMedia]].
     */
   def audioFeatures(blobs: Dataset[(Long, Array[Byte])]): Dataset[AudioFeat] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        decodePcm(bytes).map { case (rate, ch, s) =>
+        decodePcm(bytes).map { case (rate, ch, interleaved) =>
+          val frames = interleaved.length / math.max(ch, 1)
+          val s = Array.tabulate(frames) { f =>
+            var sum = 0.0
+            var c = 0
+            while (c < ch) { sum += interleaved(f * ch + c); c += 1 }
+            sum / ch
+          }
           val rms = math.sqrt(s.map(x => x * x).sum / math.max(s.length, 1))
           var zc = 0L
           var i = 1

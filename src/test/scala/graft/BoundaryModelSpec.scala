@@ -21,9 +21,10 @@ class BoundaryModelSpec extends SparkSpec {
 
   private val cuts = "array(0.2D, 0.4D, 0.6D, 0.8D)"
 
+  // the PRODUCTION assignment expression, not a copy — the spec certifies
+  // what q_rfm/q_lorenz/q_gini actually execute
   private def quint(x: org.apache.spark.sql.Column, bs: String) =
-    (lit(1) +: (0 until 4).map(k =>
-      when(x > col(bs).getItem(k), 1).otherwise(0))).reduce(_ + _)
+    operators.Behavior.boundaryBin(x, col(bs), 4)
 
   test("approx_percentile boundary model reproduces the exact model's quintiles") {
     val g = userGrain(sf("sf0.01")).localCheckpoint()

@@ -130,21 +130,45 @@ class MultimodalSpec extends SparkSpec {
       AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+    // stereo twin: interleaved 2-channel frames
+    def stereoWavOf(l: Int => Double, r: Int => Double, n: Int, rate: Float): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, 2, true, false)
+      val pcm = new Array[Byte](n * 4)
+      for (i <- 0 until n; (v, c) <- Seq((l(i), 0), (r(i), 1))) {
+        val s = math.round(v * 32767).toInt
+        pcm(4 * i + 2 * c) = (s & 0xff).toByte
+        pcm(4 * i + 2 * c + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
     val rate = 8000f
     val amp = 0.5
-    val sine = wavOf(i => amp * math.sin(2 * math.Pi * 440 * i / rate), 8000, rate)
+    def sig(i: Int) = amp * math.sin(2 * math.Pi * 440 * i / rate)
+    val sine = wavOf(sig, 8000, rate)
     val silence = wavOf(_ => 0.0, 8000, rate)
+    // L = sine, R = -sine: the mono downmix cancels exactly — an interleaved
+    // (non-downmixed) zero-crossing count would instead see ~16k crossings
+    val antiphase = stereoWavOf(sig, i => -sig(i), 8000, rate)
     // the RIFF header parser agrees with the real encoder's output
     assert(MediaHeader.parseWavBytes(sine) === (("wav", 1L, 8000L, 16L)))
-    val blobs = Seq((1L, sine), (2L, silence), (3L, "not audio".getBytes("UTF-8"))).toDS()
+    val blobs = Seq((1L, sine), (2L, silence), (3L, "not audio".getBytes("UTF-8")),
+      (4L, antiphase)).toDS()
     val feats = Multimodal.audioFeatures(blobs).collect().map(f => f.doc_id -> f).toMap
-    assert(feats.keySet == Set(1L, 2L)) // non-audio payload dropped, not thrown
+    assert(feats.keySet == Set(1L, 2L, 4L)) // non-audio payload dropped, not thrown
     val s = feats(1L)
     assert(s.sample_rate == 8000.0 && s.channels == 1L && s.n_samples == 8000L)
     // RMS of a sine = A/sqrt(2); one second of 440 Hz crosses zero ~880 times
     assert(math.abs(s.rms - amp / math.sqrt(2)) < 0.01, s"rms ${s.rms}")
     assert(math.abs(s.zero_crossings - 880L) <= 2, s"zc ${s.zero_crossings}")
     assert(feats(2L).rms == 0.0 && feats(2L).zero_crossings == 0L)
+    val st = feats(4L)
+    assert(st.channels == 2L && st.n_samples == 8000L, s"stereo meta $st")
+    // ±1-lsb quantization asymmetry keeps the downmix from being exactly 0
+    assert(st.rms < 0.001 && st.zero_crossings < 50L,
+      s"downmix failed: rms ${st.rms} zc ${st.zero_crossings}")
   }
 
   test("decodeMedia Dataset path parses headers partition-parallel") {

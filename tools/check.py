@@ -99,15 +99,16 @@ def main(sf_dir: str, out_dir: str) -> int:
     # SURVEY contract hygiene: the §2 footer states the oracle-query count;
     # a stale number there is a doc defect (the round-10 "84 queries" slip).
     import re
+    from pathlib import Path
     try:
-        with open("SURVEY.md") as f:
+        with open(Path(__file__).resolve().parent.parent / "SURVEY.md") as f:
             m = re.search(r"\*\*(\d+) oracle-checked queries", f.read())
         if m and int(m.group(1)) != len(oracles):
             print(f"FAIL SURVEY.md footer: states {m.group(1)} oracle-checked "
                   f"queries, registry has {len(oracles)}")
             failures += 1
-    except OSError:
-        pass
+    except OSError as e:
+        print(f"WARN could not check SURVEY.md footer count: {e}")
     print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} "
           f"({len(oracles)} queries)")
     return 1 if failures else 0
