@@ -96,4 +96,39 @@ class PosturePlanSpec extends SparkSpec {
         _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])),
       "a merge side reached the join unreduced")
   }
+
+  test("rfm and lorenz: boundary-model plans contain NO window operator at all") {
+    // the round-11 rewrite's headline: quintile/decile assignment is a
+    // broadcast boundary model + row-local comparisons; a Window reappearing
+    // here means someone reintroduced a sort-based cut
+    Seq("q_rfm", "q_lorenz").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf())
+      df.collect()
+      val wins = nodes(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.isEmpty, s"$q grew a window: ${wins.map(_.windowExpression)}")
+    }
+  }
+
+  test("gini: every window partitions on the data-dependent (type, bucket) key") {
+    val df = SparkEntry.queries("q_gini")(spark, sf())
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty && w.partitionSpec.forall(!_.foldable),
+        s"gini window lost its data-dependent partitioning: ${w.partitionSpec}")
+    }
+  }
+
+  test("seq_pack: the packing window partitions by (source, shard)") {
+    val df = SparkEntry.queries("q_seq_pack")(spark, sf())
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.size == 2),
+      s"packing window no longer sharded: ${wins.map(_.partitionSpec)}")
+  }
 }

@@ -5,8 +5,9 @@ Usage: python3 tools/oracle_bench.py <sf_dir> <oracle_sql.json from Verify>
 Prints one JSON line: {"total": s, "queries": {name: s, ...}}
 
 Protocol mirrors graft.Bench exactly: threads=32, one warmup execution per
-query, then TWO timed executions reported as their MIN — the same
-contention-spike rejection the Spark side uses, so neither engine's total
+query, then THREE timed executions reported as their MIN (round 11: the
+Spark side made its third pass unconditional, so the oracle side matches) —
+the same contention-spike rejection on both engines, so neither total
 absorbs a shared-host load spike the other discards. fetchall() forces full
 materialization.
 """
@@ -35,7 +36,7 @@ def main() -> None:
         try:
             con.execute(sql).fetchall()  # warmup
             samples = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.monotonic()
                 con.execute(sql).fetchall()
                 samples.append(time.monotonic() - t0)
