@@ -713,46 +713,67 @@ object Behavior {
     * which rank), and the one double formula is applied to the exact
     * moments.
     *
-    * The global rank runs as a TWO-LEVEL BUCKETED RANK (the
-    * [[prefixSum]] scheme), never a per-type single-task sort: a per-type
-    * percentile boundary model (15 cuts, broadcast) buckets users by value
-    * range row-locally; global rank = within-bucket `row_number` + the
-    * exclusive offset of lower buckets' counts — the offsets live on the
-    * bounded (|types| × 16) grain. Ties always share a bucket (bucketing
-    * is a function of xd alone) and Σ i·xᵢ is tie-permutation-invariant,
-    * so the bucketed moment equals the oracle's sequential row_number form
+    * The global rank runs as a TWO-LEVEL BUCKETED RANK over the
+    * TIE-COLLAPSED value grain, never a per-type single-task sort:
+    *
+    *  1. ties collapse FIRST — Σ i·xᵢ is tie-permutation-invariant, so a
+    *     group of c users sharing one xd contributes
+    *     xd·(c·start + c(c+1)/2) whatever order they take, and the scan
+    *     reduces to (event_type, xd, c) rows. This is what makes the plan
+    *     robust to BOTH tails: heavily tied data (many identical spends —
+    *     where value-range buckets would collapse onto one cut) shrinks to
+    *     a few rows per value, while continuous data leaves ties ≈ 1 and
+    *     relies on the buckets instead;
+    *  2. a per-type percentile boundary model (15 cuts, broadcast) buckets
+    *     the distinct values row-locally ([[boundaryBin]] — ties always
+    *     share a bucket since bucketing is a function of xd alone);
+    *  3. within-bucket cumulative counts rank the ≤1/16-of-distinct-values
+    *     grain; exclusive bucket offsets live on the bounded
+    *     (|types| × 16) grain; the tied-group closed form assembles the
+    *     exact moment.
+    *
+    * The bucketed moment equals the oracle's sequential row_number form
     * exactly — the oracle below deliberately keeps the textbook global
-    * window an engine at scale must NOT execute. Each within-bucket window
-    * holds ~1/16 of one type's users; at 100 TB, widen the cut array and
-    * swap the boundary model to `approx_percentile` — the assignment and
-    * moment algebra are unchanged. Shape: events → user grain (one
-    * shuffle), bounded boundary aggregate, bucket-partitioned windows,
-    * one moment aggregate per type — scan → 5 rows.
+    * window an engine at scale must NOT execute. At 100 TB, widen the cut
+    * array and swap the boundary model to `approx_percentile`; assignment
+    * and moment algebra are unchanged. Shape: events → user grain (one
+    * shuffle) → distinct-value grain, bounded boundary aggregate,
+    * bucket-partitioned windows over collapsed rows, one moment aggregate
+    * per type — scan → 5 rows.
     */
-  val gini = Q(
-    "q_gini",
-    (s, d) => {
-      val g = Tables.events(s, d)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(sum(dec(col("value"))).as("xd"))
+  /** The bucketed-rank Gini body over a (event_type, xd DECIMAL) user-grain
+    * relation — factored from the Q so the heavy-tie tail is unit-testable
+    * on crafted inputs (GiniSpec: 90%-tied fixture vs a local exact
+    * reference).
+    */
+  def giniOf(g: DataFrame): DataFrame = {
+      // ties collapse before anything else — the distinct-value grain
+      val tied = g.groupBy(col("event_type"), col("xd"))
+        .agg(count(lit(1)).as("c"))
         .localCheckpoint() // feeds the boundary model AND the ranked scan
       val cuts = (1 to 15).map(k => s"${k / 16.0}D").mkString("array(", ", ", ")")
-      val bounds = g.groupBy(col("event_type")).agg(expr(
-        s"transform(percentile(CAST(xd AS DOUBLE), $cuts), p -> round(p, 6))").as("bs"))
-      val bkt = boundaryBin(col("xd").cast("double"), col("bs"), 15)
-      val a = g.join(broadcast(bounds), Seq("event_type"))
-        .select(col("event_type"), col("user_id"), col("xd"), bkt.as("bkt"))
-      // level 1: bucket sizes → exclusive rank offsets on the bounded grain
+      // weighted percentiles over the collapsed grain = percentiles of the
+      // underlying user multiset (frequency argument), so the cut points
+      // bucket values exactly as a user-grain model would
+      val bounds = tied.groupBy(col("event_type")).agg(expr(
+        s"transform(percentile(CAST(xd AS DOUBLE), $cuts, c), p -> round(p, 6))").as("bs"))
+      val a = tied.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("xd"), col("c"),
+          boundaryBin(col("xd").cast("double"), col("bs"), 15).as("bkt"))
+      // level 1: bucket user-counts → exclusive rank offsets, bounded grain
       val per = a.groupBy(col("event_type"), col("bkt"))
-        .agg(count(lit(1)).as("cnt"), sum(col("xd")).as("sxb"))
+        .agg(sum(col("c")).as("cnt"), sum(col("xd") * col("c")).as("sxb"))
       val withOff = per.withColumn("off", coalesce(
         sum(col("cnt")).over(Window.partitionBy("event_type").orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // level 2: within-bucket ranks j; global moment Σ i·x = Σ_b (Σ j·x + off_b·Σx)
-      val wIn = Window.partitionBy("event_type", "bkt").orderBy(col("xd"), col("user_id"))
-      val inner = a.withColumn("j", row_number().over(wIn).cast("long"))
+      // level 2: within-bucket exclusive user-count before each distinct
+      // value; tied-group moment xd·(c·cb + c(c+1)/2) with bucket-local cb
+      val wIn = Window.partitionBy("event_type", "bkt").orderBy(col("xd"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inner = a.withColumn("cb", coalesce(sum(col("c")).over(wIn), lit(0L)))
         .groupBy(col("event_type"), col("bkt"))
-        .agg(sum(col("xd") * col("j")).as("sxj"))
+        .agg(sum(col("xd") * (col("c") * col("cb") + expr("c * (c + 1) div 2")))
+          .as("sxj"))
       val m = inner.join(withOff, Seq("event_type", "bkt"))
         .groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("n"), sum(col("sxb")).as("sx"),
@@ -763,7 +784,14 @@ object Behavior {
           round((lit(2.0) * col("sxi").cast("double")) / (nD * col("sx").cast("double"))
             - (nD + 1.0) / nD, 6).as("gini"))
         .orderBy("event_type")
-    },
+  }
+
+  val gini = Q(
+    "q_gini",
+    (s, d) => giniOf(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(dec(col("value"))).as("xd"))),
     """WITH g AS (SELECT event_type, user_id,
       |             sum(CAST(value AS DECIMAL(18,6))) AS xd
       |           FROM events GROUP BY 1, 2),
