@@ -122,6 +122,31 @@ class PosturePlanSpec extends SparkSpec {
     }
   }
 
+  test("ranking family: every window partitions by (nation, bucket), never nation alone") {
+    // 25 nations over an unbounded customer table is a low-cardinality
+    // partition key — the two-level bucketed rank must keep every window on
+    // the (n_name, bkt) grain
+    val df = SparkEntry.queries("q_ranking_family")(spark, sf())
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    val rowLevel = wins.filter(_.partitionSpec.size < 2)
+    // the only sub-2-column windows allowed are the bounded offset grain
+    // (≤ nations × 16 rows); those sit under an Exchange reading the
+    // aggregated `per` relation, never the customer scan
+    rowLevel.foreach { w =>
+      val hasAgg = nodes(w.child).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]) ||
+        nodes(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]) ||
+        nodes(w.child).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+      assert(hasAgg,
+        s"nation-partitioned window over the raw customer grain:\n${w.simpleStringWithNodeId()}")
+    }
+  }
+
   test("seq_pack: the packing window partitions by (source, shard)") {
     val df = SparkEntry.queries("q_seq_pack")(spark, sf())
     df.collect()
