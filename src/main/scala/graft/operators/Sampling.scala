@@ -282,19 +282,23 @@ object Sampling {
     * test split by hash bucket (90/5/5 — reproducible, incremental, no
     * coordination), (b) a shard assignment from an INDEPENDENT hash slice
     * (8 shards), and (c) its position inside the shard by hash order — the
-    * SGD shuffle, without a global sort: ordering is per-shard (one window
-    * keyed by the shard), which is exactly the order a shard writer needs
-    * and all it needs. At 100 TB the shard count scales with the cluster
-    * and each shard sorts independently after one hash exchange; no stage
-    * ever sees a global order. The two hash slices come from different
-    * md5 offsets so split and shard are independent (and the order key is a
-    * third slice): a val doc doesn't land on a fixed shard subset.
+    * SGD shuffle, without a global sort. The per-shard position runs as a
+    * TWO-LEVEL RANK (round 11 — 8 shards is a low-cardinality partition
+    * key, so a plain per-shard window put n/8 docs through one task): the
+    * order key's own first hex byte is an ORDER-PRESERVING bucket (fixed-
+    * width hex, lexicographic == numeric), within-(shard, bucket) windows
+    * rank ~1/256 of a shard, and exclusive bucket offsets live on the
+    * bounded 8×256 grain — pos = offset + local row_number, exact integers,
+    * hash-identical to the oracle's sequential per-shard window. The three
+    * hash slices come from different md5 offsets so split, shard and order
+    * are independent: a val doc doesn't land on a fixed shard subset.
     */
   val shuffleShards = Q(
     "q_shuffle_shards",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val hx = md5(concat(col("doc_id").cast("string"), lit(":"), col("source")))
-      Tables.documents(s, d)
+      val k = Tables.documents(s, d)
         .select(col("doc_id"), hx.as("hx"))
         .select(col("doc_id"),
           (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 100L).as("b"),
@@ -302,9 +306,17 @@ object Sampling {
           substring(col("hx"), 15, 12).as("ord"))
         .withColumn("split",
           when(col("b") < 90L, "train").when(col("b") < 95L, "val").otherwise("test"))
+        .withColumn("obkt", conv(substring(col("ord"), 1, 2), 16, 10).cast("long"))
+        .localCheckpoint() // feeds the offset grain AND the ranked scan
+      val offs = k.groupBy(col("shard"), col("obkt")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.partitionBy("shard").orderBy("obkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("obkt"), col("off"))
+      k.join(broadcast(offs), Seq("shard", "obkt"))
         .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("shard").orderBy(col("ord"), col("doc_id"))).cast("long"))
+          Window.partitionBy("shard", "obkt").orderBy(col("ord"), col("doc_id")))
+          .cast("long") + col("off"))
         .select(col("doc_id"), col("split"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
     },

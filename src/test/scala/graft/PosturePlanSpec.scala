@@ -69,17 +69,25 @@ class PosturePlanSpec extends SparkSpec {
       "window is not above the count aggregate — it would sort raw events")
   }
 
-  test("shuffle shards: exactly one exchange, keyed by shard") {
+  test("shuffle shards: ranking windows run on the (shard, obkt) grain, never shard alone") {
+    // 8 shards is a low-cardinality partition key; the two-level rank keeps
+    // every corpus-grain window on (shard, order-bucket) — ~1/256 of a shard
+    // per task — with only the bounded 8×256 offset grain allowed narrower
     val df = SparkEntry.queries("q_shuffle_shards")(spark, sf())
     df.collect()
-    val shuffles = nodes(df.queryExecution.executedPlan).collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-    // one hash(shard) exchange for the window + the final presentation sort's
-    // range exchange; nothing else (no global sort of the corpus before it)
-    val parts = shuffles.map(_.outputPartitioning.toString)
-    val hashEx = parts.filter(p => p.startsWith("hashpartitioning") && p.contains("shard"))
-    assert(hashEx.size == 1 && parts.size <= 2,
-      s"expected one shard hash exchange (+ presentation range sort only), got $parts")
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      val hasAgg = nodes(w.child).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(hasAgg,
+        s"shard-partitioned window over the raw corpus grain:\n${w.simpleStringWithNodeId()}")
+    }
   }
 
   test("merge upsert: both sides reduce per-key before the full-outer join") {
