@@ -71,38 +71,47 @@ object Sampling {
   )
 
   /** Training-sequence PACKING: assign documents to fixed-token-budget bins
-    * (512 tokens) within each source shard by start-offset packing — a doc
-    * goes to the bin its running-token offset falls in. This is the
-    * deterministic, order-stable packing real pretraining pipelines use to
-    * batch variable-length documents into fixed-length sequences. Scale
-    * shape: ONE window partitioned by source (shards are bounded — there is
-    * no global ordering or global cumulative sum anywhere), then a grouped
-    * aggregate over (source, bin). At 100 TB the per-shard running sum is the
-    * same per-partition sequential pass a sort within the shard already pays.
+    * (512 tokens) within each (source, shard) packing stream by start-offset
+    * packing — a doc goes to the bin its running-token offset falls in. This
+    * is the deterministic, order-stable packing real pretraining pipelines
+    * use to batch variable-length documents into fixed-length sequences.
+    * The packing unit is (source, shard) — the same md5 shard slice as
+    * `q_seq_pack`/`q_shuffle_shards` (round 11: a window keyed by source
+    * alone serialized each source's whole token stream through one task);
+    * streams pack in parallel, shard count rises with corpus size, and the
+    * running sum inside one stream is the same per-partition sequential
+    * pass a sort within the stream already pays. Grouped aggregate over
+    * (source, shard, bin) finishes the report.
     */
   val packSequences = Q(
     "q_pack_sequences",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val shard = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("source"))), 9, 6), 16, 10).cast("long") % 8L).as("shard")
       val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), shard,
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
         .withColumn("bin_id", expr("off div 512"))
-        .groupBy("source", "bin_id")
+        .groupBy("source", "shard", "bin_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
-        .orderBy("source", "bin_id")
+        .orderBy("source", "shard", "bin_id")
     },
-    """WITH t AS (SELECT doc_id, source, len(split(text, ' ')) AS n_tok FROM documents),
-      |c AS (SELECT doc_id, source, n_tok,
-      |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+    """WITH t AS (SELECT doc_id, source,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 9, 6))::BIGINT % 8
+      |          AS shard,
+      |        len(split(text, ' ')) AS n_tok
+      |      FROM documents),
+      |c AS (SELECT doc_id, source, shard, n_tok,
+      |        sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
       |                         ROWS UNBOUNDED PRECEDING) - n_tok AS off
       |      FROM t)
-      |SELECT source, CAST(off // 512 AS BIGINT) AS bin_id,
+      |SELECT source, shard, CAST(off // 512 AS BIGINT) AS bin_id,
       |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 
   /** Sliding token-window chunking — the context-length prep step every
