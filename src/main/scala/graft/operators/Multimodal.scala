@@ -119,8 +119,13 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
       val data = ais.readAllBytes()
-      val samples: Option[Array[Double]] = fmt.getSampleSizeInBits match {
-        case 16 =>
+      // Gate on (encoding, width) PAIRS, not width alone: a 16-bit
+      // PCM_UNSIGNED stream read as signed would flip the sign bit (full-scale
+      // DC error), and 8-bit PCM_SIGNED read as offset-binary likewise — both
+      // must fall to None, not decode wrong.
+      import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+      val samples: Option[Array[Double]] = (fmt.getEncoding, fmt.getSampleSizeInBits) match {
+        case (PCM_SIGNED, 16) =>
           val n = data.length / 2
           Some(Array.tabulate(n) { i =>
             val (b0, b1) = (data(2 * i), data(2 * i + 1))
@@ -128,7 +133,7 @@ object Multimodal {
                     else ((b1 << 8) | (b0 & 0xff)).toShort
             s / 32768.0
           })
-        case 8 => Some(data.map(b => ((b & 0xff) - 128) / 128.0))
+        case (PCM_UNSIGNED, 8) => Some(data.map(b => ((b & 0xff) - 128) / 128.0))
         case _ => None
       }
       samples.map(s => (fmt.getSampleRate, fmt.getChannels, s))
