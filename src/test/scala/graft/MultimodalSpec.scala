@@ -171,6 +171,37 @@ class MultimodalSpec extends SparkSpec {
       s"downmix failed: rms ${st.rms} zc ${st.zero_crossings}")
   }
 
+  test("hammingPairs equals brute force on clustered random 64-bit hashes") {
+    import spark.implicits._
+    // Pigeonhole: 4 bands of 16 bits and hamming <= 3 flipped bits leave at
+    // least one band intact, so the band join must find EXACTLY the
+    // brute-force pair set (completeness from the pigeonhole, soundness from
+    // the exact bit_count verify). Clustered fixtures (<=3-bit perturbations
+    // of shared bases) populate the positive case densely; a fixed seed
+    // keeps the certificate reproducible.
+    val rnd = new scala.util.Random(0xD1FF5EED)
+    val bases = Seq.fill(10)(rnd.nextLong())
+    val near = bases.flatMap { b =>
+      Seq.fill(4) {
+        var h = b
+        (0 until rnd.nextInt(4)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+        h
+      }
+    }
+    val hashes = (bases ++ near ++ Seq.fill(20)(rnd.nextLong()))
+      .distinct.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val expected = (for {
+      (d1, h1) <- hashes; (d2, h2) <- hashes
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2)).toSet
+    assert(expected.size >= 30, s"fixture too sparse: ${expected.size} pairs")
+    val got = operators.Dedup.hammingPairs(
+        hashes.toDF("doc_id", "ph"), nBands = 4, bandBits = 16, maxHamming = 3L)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missed ${(expected -- got).take(5)} extra ${(got -- expected).take(5)}")
+  }
+
   test("decodeMedia Dataset path parses headers partition-parallel") {
     import spark.implicits._
     val blobs = Seq(
