@@ -530,6 +530,14 @@ object Graph {
     * into the 20-row report. All ratios are single divisions of exact
     * integer counts, rounded 6 — engine-identical by construction. The
     * top-20 cut breaks ties by the pair itself, so it is deterministic.
+    *
+    * ONE fact scan total: the basket relation (order grain, localCheckpoint
+    * — three consumers, and exchange reuse does not collapse such branches)
+    * feeds the pair counts, the item supports (explode of the basket set is
+    * exactly one row per distinct (order, item) — the DISTINCT the oracle
+    * states) and the order count. The previous form re-scanned lineitem for
+    * each — three passes over the fact table at 100 TB for relations the
+    * basket build already holds.
     */
   val assocRules = Q(
     "q_assoc_rules",
@@ -537,6 +545,7 @@ object Graph {
       val baskets = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .localCheckpoint()
       val pairs = baskets
         .select(explode(expr(
           "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
@@ -544,11 +553,10 @@ object Graph {
         .agg(count(lit(1)).as("n_uv"))
         .orderBy(col("n_uv").desc, col("u"), col("v"))
         .limit(20)
-      val item = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val item = baskets
+        .select(explode(col("ps")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
-      val nOrders = Tables.lineitem(s, d)
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
         .join(broadcast(item.select(col("l_partkey").as("u"), col("n_i").as("n_u"))), Seq("u"))
         .join(broadcast(item.select(col("l_partkey").as("v"), col("n_i").as("n_v"))), Seq("v"))
