@@ -79,8 +79,6 @@ object Tpch {
   val tpchQ2 = Q(
     "q_tpch_q2",
     (s, d) => {
-      val ps = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val eu = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
@@ -89,8 +87,16 @@ object Tpch {
       val p = Tables.part(s, d)
         .filter(col("p_size") === 15 && col("p_type") === "SMALL")
         .select(col("p_partkey"))
-      val cand = ps
+      // the selective part filter goes BELOW the pair dedup: the broadcast
+      // join prunes the fact rows before the distinct's shuffle, so the
+      // exchange carries only the ~1/200 surviving pairs (dedup grain is
+      // unchanged — p_partkey is the join key itself). The previous form
+      // deduped ALL (part, supp) pairs first: a full-corpus shuffle at
+      // 100 TB for rows the next join would discard.
+      val cand = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .distinct()
         .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
       val minb = cand.groupBy(col("p_partkey").as("m_partkey"))
         .agg(min(col("s_acctbal")).as("min_bal"))
