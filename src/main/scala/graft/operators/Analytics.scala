@@ -766,22 +766,31 @@ object Analytics {
     * column) and counts DISTINCT remaining suppliers per (brand, type). The
     * engine answers NOT IN with a LEFT ANTI join against the tiny blacklist
     * (sound here because s_suppkey is non-null on both sides — the NOT IN
-    * null trap documented where it's dodged), reduces lineitem to distinct
-    * (partkey, suppkey) pairs FIRST (map-side combine bounds hot parts
-    * before any join), then broadcasts the part dimension onto the deduped
-    * pairs for the final two-phase distinct aggregate. The fact table is
-    * shuffled once, at pair grain.
+    * null trap documented where it's dodged), prunes the fact rows with a
+    * broadcast semi-join on the filtered part keys BEFORE the pair dedup
+    * (the filter is on the dedup key, so the grain is unchanged and the
+    * dedup exchange carries only surviving pairs; map-side combine still
+    * bounds hot parts inside the scan stage), then broadcasts the part
+    * dimension onto the deduped pairs for the final two-phase distinct
+    * aggregate. The fact table is shuffled once, at filtered pair grain.
     */
   val tpchQ16 = Q(
     "q_tpch_q16",
     (s, d) => {
-      val pairs = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val bad = Tables.supplier(s, d)
         .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
       val part = Tables.part(s, d)
         .filter(col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      // the size filter prunes BELOW the pair dedup (broadcast semi on the
+      // filtered part keys — ~16% of parts survive, so the dedup exchange
+      // carries ~6× fewer pairs; the filter is on the dedup key, so the
+      // grain is unchanged); part attributes broadcast back on afterwards
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(part.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct()
       pairs
         .join(bad, pairs("l_suppkey") === bad("s_suppkey"), "left_anti")
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
