@@ -765,9 +765,13 @@ object Dedup {
     * an engineered-overlap corpus by SourceOverlapSpec).
     */
   def sourceOverlapMatrix(docs: DataFrame, n: Int = 2): DataFrame = {
+    // checkpointed: the two-shuffle (source, sh) distinct feeds BOTH the
+    // per-source sizes and the intersection explode (the dupCoverage
+    // convention — exchange reuse does not collapse such branches)
     val ss = TextFns.shingles(docs, n)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("sh")).distinct()
+      .localCheckpoint()
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
