@@ -274,26 +274,53 @@ object Graph {
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
       // publish ATOMICALLY: gate on _SUCCESS (a bare exists() would trust a
-      // crashed half-write forever), build into a unique temp dir, rename
-      // into place. A racing JVM either wins the rename or reads the
-      // winner's table; a stale _SUCCESS-less dir is replaced.
+      // crashed half-write forever), build into a unique temp dir, then
+      // rename into place via FileContext with Options.Rename.NONE —
+      // STRICT no-destination semantics. FileSystem.rename must not be
+      // used here: with an existing destination DIRECTORY it moves the
+      // source INSIDE it and returns true, so a racing loser would nest a
+      // duplicate table under the winner's published dir. With Rename.NONE
+      // an existing destination throws instead, so the loser deterministically
+      // falls through to reuse the winner's table (gated on its _SUCCESS).
       if (!fs.exists(success)) {
         val tmp = new org.apache.hadoop.fs.Path(
           path + ".tmp-" + java.util.UUID.randomUUID().toString)
         copurchaseEdgesBuild(s, d).repartition(col("u"))
           .write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, hp)) {
-          if (fs.exists(success)) fs.delete(tmp, true) // lost the race — reuse winner's
-          else {
-            fs.delete(hp, true) // stale incomplete dir from a crashed build
-            if (!fs.rename(tmp, hp)) { fs.delete(tmp, true); sys.error(
-              s"cannot publish co-purchase edge table at $path") }
-          }
-        }
+        publishStrict(s.sparkContext.hadoopConfiguration, tmp, hp)
       }
       path
     })
     s.read.parquet(path)
+  }
+
+  /** Publish a fully-built temp dir at `hp` with STRICT no-destination
+    * rename semantics. `FileContext.rename(…, Options.Rename.NONE)` throws
+    * when the destination exists — unlike `FileSystem.rename`, which with an
+    * existing destination DIRECTORY moves the source INSIDE it and returns
+    * true, so a racing loser would nest a duplicate table under the winner's
+    * published dir and poison every later `read.parquet`. A destination
+    * without `_SUCCESS` is a crashed half-write and is removed first; a
+    * strict-rename failure means another JVM completed a publish in the
+    * window, so the loser deletes its temp dir and reuses the winner's table
+    * (gated on the winner's `_SUCCESS` — anything else is a genuine error).
+    * Package-private so the race spec can drive both arms deterministically.
+    */
+  private[graft] def publishStrict(
+      conf: org.apache.hadoop.conf.Configuration,
+      tmp: org.apache.hadoop.fs.Path,
+      hp: org.apache.hadoop.fs.Path): Unit = {
+    val fs = hp.getFileSystem(conf)
+    val success = new org.apache.hadoop.fs.Path(hp, "_SUCCESS")
+    if (fs.exists(hp) && !fs.exists(success)) fs.delete(hp, true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(hp.toUri, conf)
+    try fc.rename(tmp, hp, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: java.io.IOException =>
+        fs.delete(tmp, true)
+        if (!fs.exists(success)) sys.error(s"cannot publish table at $hp")
+      // else: lost the race to a completed publish — reuse winner's
+    }
   }
 
   /** Triangle count over the co-purchase graph (parts appearing in the same

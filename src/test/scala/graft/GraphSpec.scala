@@ -100,4 +100,50 @@ class GraphSpec extends SparkSpec {
       assert(Graph.copurchaseEdges(spark, sf()).count() == e.count())
     } finally spark.conf.unset("spark.graft.warehouseDir")
   }
+
+  test("publishStrict: a lost race never nests the loser's table inside the winner's") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("graft-pub-race-").toString
+    val hp = new Path(s"$root/table")
+    val fs = hp.getFileSystem(conf)
+    // winner already published: dir with _SUCCESS + one data file
+    fs.mkdirs(hp)
+    fs.create(new Path(hp, "_SUCCESS")).close()
+    fs.create(new Path(hp, "part-winner.parquet")).close()
+    // loser finished its build into a temp dir and now tries to publish
+    val tmp = new Path(s"$root/table.tmp-loser")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "_SUCCESS")).close()
+    fs.create(new Path(tmp, "part-loser.parquet")).close()
+    Graph.publishStrict(conf, tmp, hp)
+    // loser's temp dir is gone, winner's table is intact, and — the round-11
+    // advisory's exact failure mode — NO subdirectory was nested inside the
+    // published dir (FileSystem.rename onto an existing dir would have moved
+    // tmp INSIDE hp and returned true)
+    assert(!fs.exists(tmp), "loser's temp dir must be cleaned up")
+    val entries = fs.listStatus(hp).map(s => (s.getPath.getName, s.isDirectory)).toSeq
+    assert(entries.forall(!_._2), s"published dir must contain no nested dirs: $entries")
+    assert(entries.map(_._1).contains("part-winner.parquet"))
+    assert(!entries.map(_._1).contains("part-loser.parquet"))
+  }
+
+  test("publishStrict: a crashed half-write (_SUCCESS-less dir) is replaced") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("graft-pub-crash-").toString
+    val hp = new Path(s"$root/table")
+    val fs = hp.getFileSystem(conf)
+    // crashed build: data file but no _SUCCESS
+    fs.mkdirs(hp)
+    fs.create(new Path(hp, "part-halfwrite.parquet")).close()
+    val tmp = new Path(s"$root/table.tmp-rebuild")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "_SUCCESS")).close()
+    fs.create(new Path(tmp, "part-rebuild.parquet")).close()
+    Graph.publishStrict(conf, tmp, hp)
+    val names = fs.listStatus(hp).map(_.getPath.getName).toSet
+    assert(names == Set("_SUCCESS", "part-rebuild.parquet"),
+      s"stale half-write must be replaced by the rebuilt table: $names")
+  }
 }
