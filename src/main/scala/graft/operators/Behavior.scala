@@ -29,6 +29,71 @@ object Behavior {
     (lit(1) +: (0 until nCuts).map(k =>
       when(x > bs.getItem(k), 1).otherwise(0))).reduce(_ + _)
 
+  /** EXACT INTEGER rank-based quantile boundary model over an INTEGER
+    * metric — the all-BIGINT replacement for `percentile`-derived cuts in
+    * [[rfm]] and [[lorenz]]. The round-11 advisory's point: when the bin IS
+    * the output, cross-engine equality must not rest on two engines
+    * producing bit-identical interpolated doubles plus agreeing 4/6-dp
+    * rounds at half-boundaries (the failure class the EWMA rewrite
+    * eliminated). Here the type-7 cut at q = j/m over n sorted values
+    * s₀ ≤ … ≤ s₍ₙ₋₁₎ is h = (n−1)·j/m, k = ⌊h⌋, and the boundary SCALED BY
+    * m is the exact BIGINT  cutm_j = m·s_k + ((n−1)·j mod m)·(s_{k+1} − s_k).
+    * Assignment compares m·x > cutm_j — pure integer comparisons, no
+    * floating point anywhere, so the engines agree by construction.
+    *
+    * Order statistics s_k/s_{k+1} come from the [[giniOf]] TWO-LEVEL
+    * BUCKETED RANK, never a global sort: ties collapse to the distinct-value
+    * grain, an `approx_percentile` model (bucketing ONLY — exactness is
+    * unaffected by its error) splits that grain into 16 rank-offset
+    * buckets, within-bucket windows assign each distinct value its global
+    * rank RANGE, and the ≤ 2(m−1) needed positions join against those
+    * ranges as a broadcast nested loop. Returns one row, `bs` =
+    * array<long> of cutm_j ordered by j.
+    */
+  private[graft] def exactCutsM(gx: DataFrame, m: Int): DataFrame = {
+    val tied = gx.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds per-bucket counts AND within-bucket ranks
+    val b15 = (1 to 15).map(k => s"${k / 16.0}D").mkString("array(", ", ", ")")
+    val bcuts = gx.agg(expr(s"approx_percentile(CAST(x AS DOUBLE), $b15)").as("bs15"))
+    val a = tied.crossJoin(broadcast(bcuts))
+      .select(col("x"), col("c"),
+        boundaryBin(col("x").cast("double"), col("bs15"), 15).as("bkt"))
+      .localCheckpoint()
+    // level 1: bucket counts → exclusive offsets via a broadcast non-equi
+    // self-join over the bounded ≤16-row grain (no global window)
+    val per = a.groupBy(col("bkt")).agg(sum(col("c")).as("cnt"))
+    val off = per
+      .join(broadcast(per.select(col("bkt").as("b2"), col("cnt").as("c2"))),
+        col("b2") < col("bkt"), "left")
+      .groupBy(col("bkt")).agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+    // level 2: within-bucket exclusive cumulative count → each distinct
+    // value's global 0-indexed rank range [rlo, rhi]
+    val wIn = Window.partitionBy("bkt").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = a.withColumn("cb", coalesce(sum(col("c")).over(wIn), lit(0L)))
+      .join(broadcast(off), Seq("bkt"))
+      .select(col("x"), (col("off") + col("cb")).as("rlo"),
+        (col("off") + col("cb") + col("c") - 1).as("rhi"))
+    // the ≤ 2(m−1) order-statistic positions, derived from n without any
+    // driver-side collect
+    val nDf = per.agg(sum(col("cnt")).as("n"))
+    val pos = gx.sparkSession.range(1, m.toLong).toDF("j")
+      .crossJoin(broadcast(nDf))
+      .select(col("j"), expr(s"(n - 1) * j div $m").as("k"),
+        expr(s"(n - 1) * j % $m").as("r"), (col("n") - 1).as("n1"))
+      .select(col("j"), col("k"), col("r"),
+        explode(array(col("k"), least(col("k") + 1, col("n1")))).as("p"))
+    val sv = ranked.join(broadcast(pos),
+        col("p") >= col("rlo") && col("p") <= col("rhi"))
+      .groupBy(col("j"), col("k"), col("r"))
+      .agg(max(when(col("p") === col("k"), col("x"))).as("sk"),
+        max(when(col("p") =!= col("k"), col("x"))).as("sk1"))
+    sv.select(col("j"), (lit(m.toLong) * col("sk")
+        + col("r") * (coalesce(col("sk1"), col("sk")) - col("sk"))).as("cutm"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, cutm))), s -> s.cutm)")
+        .as("bs"))
+  }
+
   /** Cohort retention matrix: users bucketed by their first-active week, then
     * distinct-user counts per (cohort week, active week). Plan: one shuffle on
     * user_id for the min-week window, then a standard two-phase distinct
@@ -412,9 +477,16 @@ object Behavior {
     *  - decay 1/2 with a k ≤ 9 truncation means every weight scales to the
     *    integer 2^(9−k) — the weighted sum N = Σ v100·2^(9−k) and weight
     *    sum D = Σ 2^(9−k) are exact BIGINTs;
-    *  - the 6-dp result is the half-up integer division
-    *    E = (2·N·10⁴ + D) div (2·D), and E/10⁶ is one exact double
-    *    conversion + one IEEE division — bit-identical everywhere.
+    *  - the 6-dp result is the sign-correct half-away-from-zero integer
+    *    division E = (2·N·10⁴ + sign(N)·D) div (2·D), and E/10⁶ is one
+    *    exact double conversion + one IEEE division — bit-identical
+    *    everywhere. The sign term matters: Spark's `div` AND DuckDB's
+    *    integer `//` both truncate toward zero (measured: -7//2 = -3 in
+    *    DuckDB 1.0, not the floored -4), so a bare `+D` bias would turn
+    *    half-up into half-down for negative numerators. The generator
+    *    currently writes only non-negative cents, but the statistic no
+    *    longer leans on that invariant — refund/adjustment rows with
+    *    negative values round identically on both engines.
     * (The previous DECIMAL(28,9) formulation rounded each double term to
     * 9 dp first, and at sf0.1 one term landed on the shortest-repr
     * half-boundary where Spark's HALF_UP and DuckDB's binary round
@@ -448,7 +520,9 @@ object Behavior {
           (round(col("xb") * 100).cast("long") * w).as("ti"), w.as("wi"))
         .groupBy(col("user_id"), col("event_id"))
         .agg(max(col("xa")).as("value"), count(lit(1)).as("n_terms"),
-          expr("(2 * sum(ti) * 10000 + sum(wi)) div (2 * sum(wi))").as("e6"))
+          expr("""(2 * sum(ti) * 10000 +
+                 | CASE WHEN sum(ti) < 0 THEN -sum(wi) ELSE sum(wi) END)
+                 | div (2 * sum(wi))""".stripMargin.replace("\n", " ")).as("e6"))
         .select(col("user_id"), col("event_id"), col("value"), col("n_terms"),
           (col("e6").cast("double") / lit(1000000.0d)).as("ewma"))
         .orderBy("user_id", "event_id")
@@ -462,7 +536,9 @@ object Behavior {
       |        CAST(1 AS BIGINT) << CAST(9 - (a.rn - b.rn) AS INT) AS wi
       |      FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn)
       |SELECT user_id, event_id, max(xa) AS value, count(*) AS n_terms,
-      |  CAST((2 * sum(ti) * 10000 + sum(wi)) // (2 * sum(wi)) AS DOUBLE) / 1000000.0 AS ewma
+      |  CAST((2 * sum(ti) * 10000 +
+      |        CASE WHEN sum(ti) < 0 THEN -sum(wi) ELSE sum(wi) END)
+      |       // (2 * sum(wi)) AS DOUBLE) / 1000000.0 AS ewma
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
@@ -634,16 +710,19 @@ object Behavior {
     * of splitting by user id) — stated identically in the oracle, and the
     * right contract anyway: a segment label should be a function of the
     * metric VALUE, not of which side of an ntile seam a tie lands on.
-    * Cuts are rounded to 4 dp on both engines before comparison so the
-    * bins are bit-identical. The EXACT percentile itself buffers distinct
-    * metric values into one final merge — fine at demonstration scale and
-    * needed for oracle exactness, but the 100 TB form is
-    * `approx_percentile` (fixed-size mergeable sketch, map-side
-    * combinable) dropped into the same one-row model without touching the
-    * assignment side — BoundaryModelSpec certifies that swap's quintile
-    * agreement on real data. Shape: one filtered aggregate to user grain,
-    * one bounded boundary aggregate, one broadcast join back — no window
-    * at all, no sort anywhere.
+    * Quintile boundaries are the [[exactCutsM]] EXACT-BIGINT rank model —
+    * all three metrics are integral (seconds, counts, and monetary scaled
+    * to exact micros off the DECIMAL(18,6) sum of exact-cent values), the
+    * scaled cut m·q_j is an exact integer, and assignment compares
+    * 5·x > cut — NO floating-point interpolation or rounding anywhere, so
+    * the round-11 advisory's half-boundary failure class (Spark
+    * `percentile` vs DuckDB `quantile_cont` last-ulp divergence, HALF_UP vs
+    * binary rounding at 4-dp boundaries) cannot occur by construction.
+    * The oracle states the same cuts with the textbook row_number order
+    * statistics — the declarative spec; the bucketed rank is the plan. At
+    * 100 TB the bucketing model inside [[exactCutsM]] is already
+    * `approx_percentile` (mergeable sketch); only the ≤ 8 exact order
+    * statistics per metric ride the two-level rank.
     */
   val rfm = Q(
     "q_rfm",
@@ -654,53 +733,69 @@ object Behavior {
         .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
           sum(dec(col("value"))).as("mon_dec"))
         .select(col("user_id"), expr("last_ts div 1000000000").as("recency_s"),
-          col("freq"), col("mon_dec").cast("double").as("monetary"))
-        .localCheckpoint() // feeds the boundary model AND the assignment scan
-      val cuts = "array(0.2D, 0.4D, 0.6D, 0.8D)"
-      val bounds = g.agg(
-        expr(s"transform(percentile(recency_s, $cuts), p -> round(p, 4))").as("rb"),
-        expr(s"transform(percentile(freq, $cuts), p -> round(p, 4))").as("fb"),
-        expr(s"transform(percentile(monetary, $cuts), p -> round(p, 4))").as("mb"))
+          col("freq"), col("mon_dec").cast("double").as("monetary"),
+          (col("mon_dec") * 1000000).cast("long").as("mon6"))
+        .localCheckpoint() // feeds the boundary models AND the assignment scan
+      val bounds = exactCutsM(g.select(col("recency_s").as("x")), 5)
+        .select(col("bs").as("rb"))
+        .crossJoin(exactCutsM(g.select(col("freq").as("x")), 5)
+          .select(col("bs").as("fb")))
+        .crossJoin(exactCutsM(g.select(col("mon6").as("x")), 5)
+          .select(col("bs").as("mb")))
       def quint(x: org.apache.spark.sql.Column, bs: String) =
-        boundaryBin(x, col(bs), 4).cast("long")
+        boundaryBin(x * 5, col(bs), 4).cast("long")
       g.crossJoin(broadcast(bounds))
         .select(col("user_id"), col("recency_s"), col("freq"),
           round(col("monetary"), 6).as("monetary"),
           quint(col("recency_s"), "rb").as("r_q"),
           quint(col("freq"), "fb").as("f_q"),
-          quint(col("monetary"), "mb").as("m_q"))
+          quint(col("mon6"), "mb").as("m_q"))
         .withColumn("segment",
           concat(col("r_q").cast("string"), col("f_q").cast("string"),
             col("m_q").cast("string")))
         .orderBy("user_id")
-    },
-    """WITH g AS (
-      |  SELECT user_id, epoch_ns(max(ts)) // 1000000000 AS recency_s,
-      |         count(*) AS freq,
-      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
-      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-      |b AS (SELECT quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS rb,
-      |             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
-      |             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
-      |      FROM g),
-      |a AS (SELECT user_id, recency_s, freq, monetary,
-      |        1 + (CASE WHEN recency_s > round(rb[1], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN recency_s > round(rb[2], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN recency_s > round(rb[3], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN recency_s > round(rb[4], 4) THEN 1 ELSE 0 END) AS r_q,
-      |        1 + (CASE WHEN freq > round(fb[1], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN freq > round(fb[2], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN freq > round(fb[3], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN freq > round(fb[4], 4) THEN 1 ELSE 0 END) AS f_q,
-      |        1 + (CASE WHEN monetary > round(mb[1], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN monetary > round(mb[2], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN monetary > round(mb[3], 4) THEN 1 ELSE 0 END
-      |           + CASE WHEN monetary > round(mb[4], 4) THEN 1 ELSE 0 END) AS m_q
-      |      FROM g, b)
-      |SELECT user_id, recency_s, freq, round(monetary, 6) AS monetary,
-      |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
-      |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
-      |FROM a ORDER BY user_id""".stripMargin
+    }, {
+      // exact type-7 cut scaled by 5: cutm_j = 5·s_k + r·(s_{k+1} − s_k),
+      // k = (n−1)·j // 5, r = (n−1)·j % 5 — textbook order statistics via
+      // row_number (the declarative spec of exactCutsM's bucketed rank)
+      def cutsSql(metric: String): String =
+        s"""(WITH rr AS (SELECT $metric AS x,
+           |               row_number() OVER (ORDER BY $metric) - 1 AS p FROM g),
+           |  nn AS (SELECT count(*) - 1 AS n1 FROM g),
+           |  rc AS (SELECT j, n1 * j // 5 AS k, n1 * j % 5 AS r, n1
+           |         FROM (SELECT unnest([1, 2, 3, 4]) AS j), nn),
+           |  rcut AS (SELECT c.j, 5 * a.x + c.r * (b.x - a.x) AS cutm
+           |           FROM rc c JOIN rr a ON a.p = c.k
+           |                     JOIN rr b ON b.p = least(c.k + 1, c.n1))
+           |  SELECT list(cutm ORDER BY j) FROM rcut)""".stripMargin
+      s"""WITH g AS (
+         |  SELECT user_id, epoch_ns(max(ts)) // 1000000000 AS recency_s,
+         |         count(*) AS freq,
+         |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary,
+         |         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mon6
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |b AS (SELECT ${cutsSql("recency_s")} AS rb,
+         |             ${cutsSql("freq")} AS fb,
+         |             ${cutsSql("mon6")} AS mb),
+         |a AS (SELECT user_id, recency_s, freq, monetary,
+         |        1 + (CASE WHEN 5 * recency_s > rb[1] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * recency_s > rb[2] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * recency_s > rb[3] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * recency_s > rb[4] THEN 1 ELSE 0 END) AS r_q,
+         |        1 + (CASE WHEN 5 * freq > fb[1] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * freq > fb[2] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * freq > fb[3] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * freq > fb[4] THEN 1 ELSE 0 END) AS f_q,
+         |        1 + (CASE WHEN 5 * mon6 > mb[1] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * mon6 > mb[2] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * mon6 > mb[3] THEN 1 ELSE 0 END
+         |           + CASE WHEN 5 * mon6 > mb[4] THEN 1 ELSE 0 END) AS m_q
+         |      FROM g, b)
+         |SELECT user_id, recency_s, freq, round(monetary, 6) AS monetary,
+         |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, CAST(m_q AS BIGINT) AS m_q,
+         |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+         |FROM a ORDER BY user_id""".stripMargin
+    }
   )
 
   /** GINI CONCENTRATION INDEX of per-user value within each event type —
@@ -931,27 +1026,28 @@ object Behavior {
     * number: users cut into spend deciles (ascending), each decile's share
     * and the cumulative share of total value. "The top decile owns 34% of
     * the spend" is this table's last row gap; the Gini is its integral.
-    * Deciles come from the [[rfm]]/`q_equidepth_bins` BROADCAST BOUNDARY
-    * MODEL — one exact-percentile row (9 cuts rounded to 6 dp on both
-    * engines), decile = row-local count of boundaries below the user's
-    * spend — replacing round 10's ntile under a constant partition key (a
+    * Deciles come from the [[exactCutsM]] EXACT-BIGINT rank model — spend
+    * scaled to exact micros off the DECIMAL(18,6) sum of exact-cent values,
+    * decile = row-local count of scaled integer boundaries below 10·spend —
+    * replacing round 10's ntile under a constant partition key (a
     * single-task sort of every user; see [[rfm]] for why boundary-
-    * exclusive bins are also the better tie contract). The ≤10-row decile
+    * exclusive bins are also the better tie contract, and for why the
+    * integer cuts remove the percentile/round half-boundary failure class
+    * entirely). The ≤10-row decile
     * rollup gets its cumulative sums from a broadcast non-equi self-join,
     * so the plan has NO window at all; decile sums stay exact decimal
-    * moments, shares are single divisions. At 100 TB the boundary model
-    * swaps to `approx_percentile` unchanged.
+    * moments, shares are single divisions. At 100 TB the bucketing model
+    * inside [[exactCutsM]] is already `approx_percentile`.
     */
   val lorenz = Q(
     "q_lorenz",
     (s, d) => {
       val g = Tables.events(s, d)
         .groupBy(col("user_id")).agg(sum(dec(col("value"))).as("xd"))
+        .select(col("xd"), (col("xd") * 1000000).cast("long").as("x6"))
         .localCheckpoint() // feeds the boundary model AND the assignment scan
-      val cuts = (1 to 9).map(k => s"${k / 10.0}D").mkString("array(", ", ", ")")
-      val bounds = g.agg(expr(
-        s"transform(percentile(CAST(xd AS DOUBLE), $cuts), p -> round(p, 6))").as("bs"))
-      val decile = boundaryBin(col("xd").cast("double"), col("bs"), 9).cast("long")
+      val bounds = exactCutsM(g.select(col("x6").as("x")), 10)
+      val decile = boundaryBin(col("x6") * 10, col("bs"), 9).cast("long")
       val byDecile = g.crossJoin(broadcast(bounds))
         .select(decile.as("decile"), col("xd"))
         .groupBy(col("decile"))
@@ -969,21 +1065,27 @@ object Behavior {
           round(col("cum").cast("double") / col("stot").cast("double"), 6).as("cum_share"))
         .orderBy("decile")
     },
-    """WITH g AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS xd
+    """WITH g AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS xd,
+      |             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x6
       |           FROM events GROUP BY 1),
-      |q AS (SELECT quantile_cont(CAST(xd AS DOUBLE),
-      |               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
-      |      FROM g),
+      |q AS (WITH rr AS (SELECT x6 AS x, row_number() OVER (ORDER BY x6) - 1 AS p FROM g),
+      |        nn AS (SELECT count(*) - 1 AS n1 FROM g),
+      |        rc AS (SELECT j, n1 * j // 10 AS k, n1 * j % 10 AS r, n1
+      |               FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS j), nn),
+      |        rcut AS (SELECT c.j, 10 * a.x + c.r * (b.x - a.x) AS cutm
+      |                 FROM rc c JOIN rr a ON a.p = c.k
+      |                           JOIN rr b ON b.p = least(c.k + 1, c.n1))
+      |      SELECT list(cutm ORDER BY j) AS bs FROM rcut),
       |a AS (SELECT xd,
-      |        1 + (CASE WHEN CAST(xd AS DOUBLE) > round(bs[1], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[2], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[3], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[4], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[5], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[6], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[7], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[8], 6) THEN 1 ELSE 0 END
-      |           + CASE WHEN CAST(xd AS DOUBLE) > round(bs[9], 6) THEN 1 ELSE 0 END) AS decile
+      |        1 + (CASE WHEN 10 * x6 > bs[1] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[2] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[3] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[4] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[5] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[6] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[7] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[8] THEN 1 ELSE 0 END
+      |           + CASE WHEN 10 * x6 > bs[9] THEN 1 ELSE 0 END) AS decile
       |      FROM g, q),
       |b AS (SELECT decile, count(*) AS n_users, sum(xd) AS sx FROM a GROUP BY 1),
       |t AS (SELECT sum(sx) AS stot FROM b),

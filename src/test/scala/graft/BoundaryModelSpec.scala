@@ -59,4 +59,49 @@ class BoundaryModelSpec extends SparkSpec {
         s"quintile $q population $n vs ideal $ideal — equi-depth property lost: $pops")
     }
   }
+
+  // local exact type-7 reference: cutm_j = m·s_k + ((n−1)·j mod m)·(s_{k+1}−s_k)
+  private def refCutsM(xs: Seq[Long], m: Int): Seq[Long] = {
+    val s = xs.sorted.toIndexedSeq
+    val n1 = (s.length - 1).toLong
+    (1 until m).map { j =>
+      val k = (n1 * j / m).toInt
+      val r = n1 * j % m
+      val sk1 = s(math.min(k + 1, s.length - 1))
+      m * s(k) + r * (sk1 - s(k))
+    }
+  }
+
+  test("exactCutsM matches the local type-7 reference on a heavy-tie fixture") {
+    import spark.implicits._
+    // 90% of mass tied on three values, a continuous tail, n not divisible
+    // by m — exercises tie collapse, bucket offsets AND the r != 0 arm
+    val xs: Seq[Long] =
+      Seq.fill(300)(1000L) ++ Seq.fill(250)(2000L) ++ Seq.fill(250)(7000L) ++
+        (1L to 123L).map(i => 7000L + i * 13)
+    val got = operators.Behavior.exactCutsM(xs.toDF("x"), 5)
+      .head().getSeq[Long](0)
+    assert(got == refCutsM(xs, 5), s"got $got want ${refCutsM(xs, 5)}")
+  }
+
+  test("exactCutsM matches the reference on the real monetary-micros grain") {
+    val g = userGrain(sf("sf0.01"))
+      .select((col("monetary") * 1000000).cast("long").as("x"))
+    val xs = g.collect().map(_.getLong(0)).toSeq
+    val got = operators.Behavior.exactCutsM(g, 10).head().getSeq[Long](0)
+    assert(got == refCutsM(xs, 10), s"got $got want ${refCutsM(xs, 10)}")
+  }
+
+  test("exactCutsM quintiles are a pure function of the metric value (ties share a bin)") {
+    import spark.implicits._
+    val xs = (Seq.fill(77)(5L) ++ Seq.fill(23)(9L) ++ (10L to 40L)).toDF("x")
+      .localCheckpoint()
+    val bounds = operators.Behavior.exactCutsM(xs, 5)
+    val assigned = xs.crossJoin(broadcast(bounds))
+      .select(col("x"),
+        operators.Behavior.boundaryBin(col("x") * 5, col("bs"), 4).as("q"))
+    val perValue = assigned.groupBy("x").agg(countDistinct(col("q")).as("nq"))
+      .filter(col("nq") > 1).count()
+    assert(perValue == 0, "tied values were split across quintiles")
+  }
 }
