@@ -31,3 +31,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the box has 128 GiB, so size the single-JVM "cluster" like one.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+
+// graft.Bench runs forked, so sbt re-logs its stdout with an "[info] "
+// prefix and prints its own "[success] Total time …" footer LAST — a
+// harness that parses the final stdout line for the bench's compact JSON
+// never sees it. Bench persists that line to BENCH_SELF.json; this hook in
+// the SBT JVM re-prints it un-prefixed at JVM exit — i.e. after the footer
+// — so the last line of the whole process's stdout is the bare JSON record.
+// Freshness-gated to this sbt invocation so compile/test runs stay silent,
+// and property-gated so `reload` doesn't stack duplicate hooks.
+Global / onLoad := {
+  val prev = (Global / onLoad).value
+  if (System.getProperty("graft.benchTailHook") == null) {
+    System.setProperty("graft.benchTailHook", "1")
+    val t0 = System.currentTimeMillis()
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val f = new java.io.File("BENCH_SELF.json")
+      if (f.exists && f.lastModified >= t0) {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try { System.out.println(src.mkString.trim); System.out.flush() }
+        finally src.close()
+      }
+    }))
+  }
+  prev
+}

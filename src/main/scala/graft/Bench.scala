@@ -97,7 +97,21 @@ object Bench {
     val failed = names.filter(n => warm(n) < 0)
     val slowest = names.filter(warm(_) >= 0).sortBy(-warm(_)).take(8)
       .map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode","sf":"$sfDir","queries":"see BENCH_FULL.json"}""")
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode","sf":"$sfDir","queries":"see BENCH_FULL.json"}"""
+    println(compactLine)
+    // This main runs FORKED under sbt: its stdout is re-logged with an
+    // "[info] " prefix and sbt's own "[success] Total time …" footer prints
+    // after it, so a harness that parses the FINAL stdout line never sees
+    // valid JSON (BENCH_r11 recorded parsed=null for exactly this reason).
+    // Persist the compact line to BENCH_SELF.json; a shutdown hook in the
+    // SBT JVM (registered from build.sbt) re-prints it un-prefixed after the
+    // footer, making it the genuine last line of the process's stdout.
+    // Official full-registry runs only — dev subsets must not masquerade as
+    // the round record.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NOAQE"))
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (compactLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
