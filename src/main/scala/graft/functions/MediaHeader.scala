@@ -154,7 +154,11 @@ object MediaHeader {
        |WHEN substr($hb,1,4)='$BmpMagic' THEN ${leAtSql(hb, 22, 4)} ELSE NULL END""".stripMargin
 
   /** JVM-side header parse over raw bytes, for the typed `Dataset` decode
-    * path (`Multimodal.decodeMedia`). Same offsets as the Column parsers.
+    * path (`Multimodal.decodeMedia`). Same offsets as the Column parsers for
+    * the fixed-offset containers (PNG/GIF/BMP); JPEG dims live in a
+    * variable-offset SOF marker segment, so JPEG is parsed here on the typed
+    * path only — the Column parsers stay fixed-offset by design (a SQL
+    * marker walk would be an unbounded recursive expression).
     * Returns (format, width, height); (-1, -1) dims for unknown containers.
     */
   def parseBytes(bytes: Array[Byte]): (String, Long, Long) = {
@@ -171,7 +175,39 @@ object MediaHeader {
       ("gif", le(6, 2), le(8, 2))
     else if (bytes.length >= 26 && u(0) == 0x42L && u(1) == 0x4dL)
       ("bmp", le(18, 4), le(22, 4))
+    else if (bytes.length >= 4 && u(0) == 0xffL && u(1) == 0xd8L)
+      parseJpegSof(bytes)
     else ("unknown", -1L, -1L)
+  }
+
+  /** Walk JPEG marker segments from SOI to the first SOF frame header
+    * (FFC0–FFCF except the non-frame C4/C8/CC) and read the big-endian
+    * dims at fixed offsets within it: height at +5, width at +7 (after
+    * marker, 2-byte length, 1-byte precision). Stops at SOS (entropy data
+    * follows, no skippable lengths) or EOI; a truncated or SOF-less stream
+    * reports ("jpeg", -1, -1) — format recognized, dims unavailable — so
+    * the caller's drop-vs-quarantine contract matches a corrupt PNG's.
+    */
+  private def parseJpegSof(bytes: Array[Byte]): (String, Long, Long) = {
+    def u(i: Int): Long = bytes(i) & 0xffL
+    def be(off: Int, n: Int): Long = (0 until n).foldLeft(0L)((a, i) => (a << 8) | u(off + i))
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u(i) != 0xffL) return ("jpeg", -1L, -1L) // desynced: not a marker
+      val m = u(i + 1)
+      if (m == 0xffL) i += 1 // fill byte before a marker
+      else if (m == 0x01L || (m >= 0xd0L && m <= 0xd7L)) i += 2 // standalone
+      else if (m == 0xd9L || m == 0xdaL) return ("jpeg", -1L, -1L) // EOI/SOS first
+      else {
+        val len = be(i + 2, 2)
+        if (m >= 0xc0L && m <= 0xcfL && m != 0xc4L && m != 0xc8L && m != 0xccL)
+          return if (i + 8 < bytes.length) ("jpeg", be(i + 7, 2), be(i + 5, 2))
+                 else ("jpeg", -1L, -1L)
+        if (len < 2) return ("jpeg", -1L, -1L) // corrupt segment length
+        i += 2 + len.toInt
+      }
+    }
+    ("jpeg", -1L, -1L)
   }
 
   /** JVM-side WAV fmt-chunk parse, the audio twin of [[parseBytes]] for the

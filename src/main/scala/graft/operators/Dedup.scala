@@ -839,7 +839,7 @@ object Dedup {
     * covering the ≤ 2 threshold with margin) — never all-pairs — and exact
     * hamming verifies, all via the shared [[hammingPairs]]. The REAL image
     * decoder exists and feeds the SAME pipeline: [[Multimodal.dhashMedia]]
-    * decodes actual PNG pixels with javax.imageio, box-downsamples to the
+    * decodes actual PNG and JPEG pixels with javax.imageio, box-downsamples to the
     * canonical 9×8 luma grid and emits a 64-bit dHash that flows through
     * [[hammingPairs]] unchanged (MultimodalSpec pins it on crafted
     * fixtures); this query keeps the hash-derived signature so the stage

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * The decode is REAL for the container layer: PNG / GIF / BMP width, height
   * and format are parsed from the file's leading bytes (fixed header offsets —
   * see [[graft.functions.MediaHeader]]), both as pure column expressions and
-  * as a typed `mapPartitions` path. PIXEL decode is real too, for the formats
+  * as a typed `mapPartitions` path; JPEG dims ride the same typed path via a
+  * SOF marker-segment walk (variable offsets, so JVM-side only). PIXEL decode is real too, for the formats
   * the JDK ships codecs for (PNG/GIF/BMP/JPEG via `javax.imageio`, no extra
   * dependency): [[dhashMedia]] decodes actual pixels partition-parallel and
   * emits the canonical 64-bit dHash, feeding the SAME banded hamming join as

@@ -113,6 +113,67 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"expected only the near-dup pair: $pairs")
   }
 
+  test("real JPEG pixel decode feeds the dHash band-join pipeline unchanged") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // craft real JPEGs in memory with the JDK encoder (lossy — the decoded
+    // pixels are NOT the synthesized ones, which is the point: the hash must
+    // survive a real codec round-trip, not byte equality)
+    def jpegOf(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val base = jpegOf((x, _) => x * 4)                               // horizontal gradient
+    val near = jpegOf((x, y) => if (x == 0 && y == 0) 255 else x * 4) // 1-px perturbation
+    val far = jpegOf((x, y) => ((x / 8 + y / 8) % 2) * 255)          // checkerboard
+    val blobs = Seq((1L, base), (2L, near), (3L, far)).toDS()
+
+    // the SOF marker walk finds the real encoder's frame dims
+    val metas = Multimodal.decodeMedia(blobs).collect()
+    assert(metas.forall(m => m.img_format == "jpeg" && m.width == 64 && m.height == 64),
+      s"JPEG header walk failed: ${metas.toSeq}")
+
+    // real pixel decode → dHash64 over the lossy round-trip; near-dup stays
+    // hamming-close, structurally different image stays hamming-far
+    val ph = Multimodal.dhashMedia(blobs)
+    val hs = ph.collect().toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), s"decode set wrong: ${hs.keySet}")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 2,
+      s"near-dup hamming too large: ${java.lang.Long.bitCount(hs(1L) ^ hs(2L))}")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 8,
+      s"distinct images hamming too small: ${java.lang.Long.bitCount(hs(1L) ^ hs(3L))}")
+
+    // the SAME banded pipeline as the PNG fixture and q_phash_pairs
+    val pairs = operators.Dedup.hammingPairs(
+        ph.toDF("doc_id", "ph"), nBands = 4, bandBits = 16, maxHamming = 2L)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the near-dup pair: $pairs")
+  }
+
+  test("parseBytes walks JPEG markers past APP/comment segments to SOF") {
+    // hand-built stream: SOI, APP0 (JFIF, 16 bytes), COM (5 bytes),
+    // SOF0 with height=300 width=500 — dims sit after two variable segments
+    val jpeg = hexBytes(
+      "FFD8" +
+        "FFE0" + "0010" + "4A46494600010100000100010000" + // APP0 len 16
+        "FFFE" + "0005" + "414243" +                        // COM len 5
+        "FFC0" + "0011" + "08" + "012C" + "01F4" + "03" +   // SOF0: h=300 w=500
+        "012200021101031101" +
+        "FFD9")
+    assert(MediaHeader.parseBytes(jpeg) === (("jpeg", 500L, 300L)))
+    // SOS before any SOF: format recognized, dims unavailable
+    val noSof = hexBytes("FFD8" + "FFDA" + "0008" + "01010000003F00" + "FFD9")
+    assert(MediaHeader.parseBytes(noSof) === (("jpeg", -1L, -1L)))
+    // truncated right after SOI
+    assert(MediaHeader.parseBytes(hexBytes("FFD8FFE0")) === (("jpeg", -1L, -1L)))
+  }
+
   test("real WAV PCM decode extracts verifiable signal features") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
