@@ -1051,6 +1051,53 @@ object Dedup {
        |ORDER BY m.d1, m.d2""".stripMargin
   )
 
+  /** The LSH S-curve: probability that a pair with exact Jaccard `j` shares
+    * at least one of `nBands` bands of `rowsPerBand` rows each —
+    * 1 − (1 − j^r)^b, the closed form every banding scheme trades on. The
+    * inflection sits near (1/b)^(1/r) (≈ 0.59 for the production 8×4).
+    */
+  def lshCandidateProb(j: Double, rowsPerBand: Int, nBands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), nBands)
+
+  /** S-CURVE CONFIG SOLVER — the calibration loop's missing half, beside
+    * [[minhashError]]'s measurement leg and the way `autoNprobe`/
+    * `autoRerank` already derive ANN knobs from targets instead of
+    * folklore: given the pair grade the corpus must CATCH (`jAccept`, e.g.
+    * the measured Jaccard of its planted/observed near-dup class) and the
+    * grade it must IGNORE (`jReject`), return the cheapest
+    * (numPerms, rowsPerBand) whose S-curve clears both operating points:
+    * candidate probability ≥ `minRecall` at jAccept and ≤ `maxFalsePos` at
+    * jReject.
+    *
+    * Cheapest means: fewest permutations first (signature width — CPU and
+    * shuffle bytes per document in the sketch build), then fewest bands
+    * (each band is one exploded row per document in the LSH equi-join, so
+    * bands multiply the join's shuffle). The search is closed-form and
+    * driver-side over a dozen configs — nothing scans data; the DATA enters
+    * through jAccept/jReject, which come from [[minhashError]]'s measured
+    * (est_jaccard, jaccard) table on the live corpus. Returns None when no
+    * config in the budget separates the two operating points — the honest
+    * answer that says "widen the budget or move the thresholds", instead of
+    * a silently mis-tuned sketch. LshCalibrationSpec pins that the
+    * PRODUCTION (32, 4) config is exactly this solver's output for the
+    * planted-near-dup operating points, and re-measures both rates on a
+    * corpus with known pair grades.
+    */
+  def solveLsh(jAccept: Double, jReject: Double,
+               minRecall: Double = 0.95, maxFalsePos: Double = 0.05,
+               permsBudget: Seq[Int] = Seq(16, 32, 64, 128, 256)): Option[(Int, Int)] = {
+    require(jAccept > jReject, s"jAccept $jAccept must exceed jReject $jReject")
+    val feasible = for {
+      p <- permsBudget.sorted
+      r <- 1 to p if p % r == 0
+      b = p / r
+      if lshCandidateProb(jAccept, r, b) >= minRecall
+      if lshCandidateProb(jReject, r, b) <= maxFalsePos
+    } yield (p, r)
+    // fewest perms, then fewest bands (= largest r within the perm budget)
+    feasible.sortBy { case (p, r) => (p, p / r) }.headOption
+  }
+
   val all: Seq[Q] = Seq(exact, minhash, simhash, simhashPairs, ngramJaccard, dupCoverage,
     containment, fuzzyMatch, clusters, decontaminate, decontaminateBloom, dedupKeep, dedupParagraph, sourceOverlap,
     dedupConsecutive, phashPairs, ngramNovelty, minhashError)
