@@ -161,7 +161,7 @@ object AsOfJoin {
                           leftTime: Expression, rightTime: Expression,
                           rightTiebreak: Seq[Expression],
                           tolerance: Option[Long] = None)
-      extends BinaryExecNode {
+      extends BinaryExecNode with CodegenSupport {
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -258,6 +258,143 @@ object AsOfJoin {
           toUnsafe(joined(l, if (matched) held else nullRight))
         }
       }
+    }
+
+    // ---- whole-stage codegen: the merge loop itself is generated ----
+    // Same packaging as Spark's own SortMergeJoinExec: this node is the
+    // PRODUCER of its stage — both sorted children arrive as plain row
+    // iterators through inputRDDs (the sorts below keep their own
+    // execution), and the two-pointer advance, the (key, time) comparisons
+    // and the LEFT OUTER null-padded emit all compile into one Janino loop.
+    // Downstream operators consume typed column variables directly: no
+    // iterator hop per row, no output UnsafeProjection, no JoinedRow.
+
+    /** Merge-state fields hold the right cursor's and the held candidate's
+      * (key, time) as primitive Java fields across produce re-entries, so
+      * codegen is gated to integral physical types — the production shape
+      * (long ids, epoch times, dates). Anything else (binary keys, decimals)
+      * takes the interpreted merge above unchanged.
+      */
+    private def integralPhysical(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+
+    override def supportCodegen: Boolean =
+      Seq(leftKey, rightKey, leftTime, rightTime).map(_.dataType).forall(integralPhysical)
+
+    override def inputRDDs(): Seq[RDD[InternalRow]] =
+      left.execute() :: right.execute() :: Nil
+
+    // emitted rows reference the held right row's buffer (stable until the
+    // next hold) and left-row-derived variables — buffering parents must copy
+    override def needCopyResult: Boolean = true
+
+    override protected def doProduce(ctx: CodegenContext): String = {
+      val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+        v => s"$v = inputs[0];")
+      val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+        v => s"$v = inputs[1];")
+      val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow")
+      val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+      val heldRow = ctx.addMutableState("InternalRow", "asofHeldRow")
+      val kJava = CodeGenerator.javaType(leftKey.dataType)
+      val tJava = CodeGenerator.javaType(leftTime.dataType)
+      val rkVal = ctx.addMutableState(kJava, "asofRk")
+      val rkNull = ctx.addMutableState("boolean", "asofRkNull")
+      val rtVal = ctx.addMutableState(tJava, "asofRt")
+      val rtNull = ctx.addMutableState("boolean", "asofRtNull")
+      val heldKey = ctx.addMutableState(kJava, "asofHeldKey")
+      val heldTime = ctx.addMutableState(tJava, "asofHeldTime")
+      val hasHeld = ctx.addMutableState("boolean", "asofHasHeld")
+      val rInit = ctx.addMutableState("boolean", "asofRightInit")
+
+      // right-cursor extraction, evaluated ONCE per advanced right row into
+      // the primitive fields (the same once-per-row contract the interpreted
+      // path documents)
+      ctx.INPUT_ROW = rightRow
+      ctx.currentVars = null
+      val rkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+      val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+      val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+        s"""
+           |private void asofAdvanceRight() {
+           |  if (!$rightInput.hasNext()) { $rightRow = null; return; }
+           |  $rightRow = (InternalRow) $rightInput.next();
+           |  ${rkEv.code}
+           |  $rkNull = ${rkEv.isNull}; $rkVal = ${rkEv.value};
+           |  ${rtEv.code}
+           |  $rtNull = ${rtEv.isNull}; $rtVal = ${rtEv.value};
+           |}
+         """.stripMargin)
+
+      // left extraction per stream row
+      ctx.INPUT_ROW = leftRow
+      ctx.currentVars = null
+      val lkEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+      val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+      val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+        BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+      }
+
+      val matched = ctx.freshName("asofMatched")
+      val outRight = ctx.freshName("asofOutRight")
+      // right-side output columns read from the held row (nulls when no
+      // match — LEFT OUTER semantics), the BroadcastAsOfJoinExec pattern
+      val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+        val isNull = ctx.freshName("asofIsNull")
+        val value = ctx.freshName("asofValue")
+        val javaType = CodeGenerator.javaType(a.dataType)
+        val valueCode = CodeGenerator.getValue(outRight, a.dataType, i.toString)
+        val c = code"""
+          |boolean $isNull = $outRight == null || $outRight.isNullAt($i);
+          |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($valueCode);
+          |"""
+        ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      }
+
+      val lValid = ctx.freshName("asofLeftValid")
+      val advancing = ctx.freshName("asofAdvancing")
+      val cmp = ctx.freshName("asofCmp")
+      val tolCheck = tolerance.map(tol =>
+        s" && ((long) ${ltEv.value} - (long) $heldTime) <= ${tol}L").getOrElse("")
+
+      s"""
+         |if (!$rInit) { $advanceRight(); $rInit = true; }
+         |while ($leftInput.hasNext()) {
+         |  $leftRow = (InternalRow) $leftInput.next();
+         |  ${lkEv.code}
+         |  ${ltEv.code}
+         |  boolean $lValid = !(${lkEv.isNull}) && !(${ltEv.isNull});
+         |  if ($lValid) {
+         |    boolean $advancing = true;
+         |    while ($advancing && $rightRow != null) {
+         |      if ($rkNull) { $advanceRight(); }
+         |      else {
+         |        int $cmp = ${ctx.genComp(leftKey.dataType, rkVal, lkEv.value.toString)};
+         |        if ($cmp < 0) { $advanceRight(); }
+         |        else if ($cmp == 0) {
+         |          if ($rtNull) { $advanceRight(); }
+         |          else if (${ctx.genComp(leftTime.dataType, rtVal, ltEv.value.toString)} <= 0) {
+         |            $heldRow = (InternalRow) $rightRow.copy();
+         |            $heldKey = $rkVal; $heldTime = $rtVal; $hasHeld = true;
+         |            $advanceRight();
+         |          } else { $advancing = false; }
+         |        } else { $advancing = false; }
+         |      }
+         |    }
+         |  }
+         |  boolean $matched = $hasHeld && $lValid &&
+         |    ${ctx.genComp(leftKey.dataType, heldKey, lkEv.value.toString)} == 0$tolCheck;
+         |  InternalRow $outRight = $matched ? $heldRow : null;
+         |  ${consume(ctx, leftVars ++ rightVars)}
+         |  if (shouldStop()) return;
+         |}
+       """.stripMargin
     }
   }
 

@@ -258,4 +258,51 @@ class AsOfJoinSpec extends SparkSpec {
     // and the fused plan still produces the composition's rows
     assert(nRows.toLong == SparkEntry.queries("q_asof_join")(spark, dir).count())
   }
+
+  test("sort-merge as-of runs inside whole-stage codegen and matches the composition") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    def run(): DataFrame = AsOfJoin(events, orders, "user_id", "o_custkey", "t", "ot")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the shuffled merge variant
+      val df = run()
+      // execute df ITSELF first — AQE finalizes codegen stages per query
+      // stage at execution, so the pre-execution plan carries no `*(n)`
+      val rows = df.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin ") && !plan.contains("BroadcastAsOfJoin"),
+        s"expected the merge variant in:\n$plan")
+      // the generated merge loop renders with a `*(n)` stage prefix — and
+      // spark.sql.codegen.fallback=false (SparkSpec) means this executed the
+      // Janino loop, not a silent interpreted fallback
+      assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).nonEmpty,
+        s"sort-merge as-of fell out of whole-stage codegen:\n$plan")
+      val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      assert(rows == composed, "codegen'd merge disagrees with the composition")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("non-integral (binary) keys take the interpreted merge, not codegen") {
+    val dir = sf("sf0.001")
+    val (events, orders) = sides(dir)
+    val le = events.withColumn("k", expr("unhex(md5(cast(user_id AS string)))"))
+    val re = orders.withColumn("rk", expr("unhex(md5(cast(o_custkey AS string)))"))
+      .drop("o_custkey")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = AsOfJoin(le, re, "k", "rk", "t", "ot").select("event_id", "o_orderkey")
+      val n = df.collect().length // executes fine through the interpreted path
+      assert(n > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isEmpty,
+        s"binary keys must not enter the primitive-field codegen merge:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
 }
