@@ -56,7 +56,15 @@ object GeoJsonDataSource {
     StructField("geometry_type", StringType),
     StructField("parts", ArrayType(ArrayType(ArrayType(DoubleType)))),
     StructField("properties", MapType(StringType, StringType)),
-    StructField("source_file", StringType)))
+    StructField("source_file", StringType),
+    // per-feature envelope — null for geometry-less features. An
+    // ST_Intersects(query-envelope) predicate decomposes into four plain
+    // range comparisons over these, which push through the V1 filter API
+    // and prune whole documents via their `.bbox` sidecar (GeoJsonBbox)
+    StructField("bbox_minx", DoubleType),
+    StructField("bbox_miny", DoubleType),
+    StructField("bbox_maxx", DoubleType),
+    StructField("bbox_maxy", DoubleType)))
 
   /** Input documents: explicit load() paths plus the optional fetch url. */
   def inputs(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -132,7 +140,7 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
-  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private var required: StructType = GeoJsonDataSource.Schema
@@ -140,9 +148,18 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   private var fileKeep: Option[Set[String]] = None
   private var geomKeep: Option[Set[String]] = None
   private var geomNonNull = false
+  private var bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty
   private var countStar = false
   private var groupByGeom = false
   private var limit: Option[Int] = None
+
+  private def numVal(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case _ => None
+  }
 
   /** LIMIT pushdown, PARTIAL (per-document): each partition reader stops
     * pulling from the streaming JSON parser after `limit` matching features
@@ -185,6 +202,22 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   private def intersect(cur: Option[Set[String]], add: Set[String]): Option[Set[String]] =
     Some(cur.fold(add)(_ intersect add))
 
+  // bbox range predicates are enforced EXACTLY per feature (strictness
+  // preserved, null envelope never matches — SQL comparison semantics), so
+  // they count as fully pushed: no residual Filter, and aggregate pushdown
+  // stays available under a spatial predicate
+  private def bboxPredOf(f: Filter): Option[GeoJsonBbox.BboxPred] = f match {
+    case GreaterThanOrEqual(c, v) if GeoJsonBbox.Fields(c) =>
+      numVal(v).map(GeoJsonBbox.BboxPred(c, ">=", _))
+    case GreaterThan(c, v) if GeoJsonBbox.Fields(c) =>
+      numVal(v).map(GeoJsonBbox.BboxPred(c, ">", _))
+    case LessThanOrEqual(c, v) if GeoJsonBbox.Fields(c) =>
+      numVal(v).map(GeoJsonBbox.BboxPred(c, "<=", _))
+    case LessThan(c, v) if GeoJsonBbox.Fields(c) =>
+      numVal(v).map(GeoJsonBbox.BboxPred(c, "<", _))
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case EqualTo("source_file", _: String) | EqualTo("geometry_type", _: String) => true
@@ -195,7 +228,10 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
       // dropped in the reader), or the leftover residual Filter would block
       // aggregate pushdown for filtered counts
       case IsNotNull("source_file") | IsNotNull("geometry_type") => true
-      case _ => false
+      // implied alongside every bbox range comparison; "has an envelope" ⟺
+      // "has a geometry with coordinates", enforced with the range preds
+      case IsNotNull(c) if GeoJsonBbox.Fields(c) => true
+      case f => bboxPredOf(f).nonEmpty
     }
     accepted.foreach {
       case EqualTo("source_file", v: String) => fileKeep = intersect(fileKeep, Set(v))
@@ -205,7 +241,11 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
       case In("geometry_type", vs) =>
         geomKeep = intersect(geomKeep, vs.map(_.asInstanceOf[String]).toSet)
       case IsNotNull("geometry_type") => geomNonNull = true
-      case _ =>
+      case IsNotNull(c) if GeoJsonBbox.Fields(c) =>
+        // enforced as "envelope exists": matched by requiring env.nonEmpty,
+        // which every range pred already implies
+        bboxPreds :+= GeoJsonBbox.BboxPred(c, ">=", Double.NegativeInfinity)
+      case f => bboxPredOf(f).foreach(p => bboxPreds :+= p)
     }
     pushed = accepted
     residual
@@ -219,11 +259,12 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   override def build(): Scan = {
     val (gk, gnn) = effectiveGeomKeep
     if (countStar)
-      new GeoJsonCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn)
+      new GeoJsonCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn, bboxPreds)
     else if (groupByGeom)
-      new GeoJsonGroupCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn)
+      new GeoJsonGroupCountScan(GeoJsonDataSource.inputs(options), fileKeep, gk, gnn, bboxPreds)
     else
-      new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, gk, gnn, limit)
+      new GeoJsonScan(GeoJsonDataSource.inputs(options), required, fileKeep, gk, gnn, limit,
+        bboxPreds)
   }
 }
 
@@ -235,32 +276,39 @@ class GeoJsonScanBuilder(options: CaseInsensitiveStringMap)
   */
 class GeoJsonCountScan(paths: Seq[String], fileKeep: Option[Set[String]],
                        geomKeep: Option[Set[String]],
-                       geomNonNull: Boolean = false) extends Scan with Batch {
+                       geomNonNull: Boolean = false,
+                       bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType =
     new StructType().add("count(*)", LongType, nullable = false)
   override def toBatch: Batch = this
-  private def prunedPaths: Seq[String] =
-    fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+  private def prunedPaths: Seq[String] = {
+    val named = fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+    named.filter(GeoJsonBbox.keepDoc(_, bboxPreds))
+  }
   override def planInputPartitions(): Array[InputPartition] =
     prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonCountReaderFactory(geomKeep, geomNonNull)
+    new GeoJsonCountReaderFactory(geomKeep, geomNonNull, bboxPreds)
   override def description(): String =
     s"GeoJsonCountScan docs=${prunedPaths.size}/${paths.size} pushed=COUNT(*)" +
-      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}")
+      geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}") +
+      (if (bboxPreds.isEmpty) "" else s" bbox=${bboxPreds.size} preds")
 }
 
 class GeoJsonCountReaderFactory(geomKeep: Option[Set[String]],
-                                geomNonNull: Boolean = false)
+                                geomNonNull: Boolean = false,
+                                bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonCountReader(partition.asInstanceOf[GeoJsonInputPartition].path,
-      geomKeep, geomNonNull)
+      geomKeep, geomNonNull, bboxPreds)
 }
 
 /** Counts matching features in one document without building any row. */
 class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
-                         geomNonNull: Boolean = false)
+                         geomNonNull: Boolean = false,
+                         bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private var count = 0L
   private var emitted = false
@@ -268,7 +316,7 @@ class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
     if (emitted) false
     else {
       GeoJsonFeatures.iterate(path)
-        .foreach(f => if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) count += 1)
+        .foreach(f => if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull, bboxPreds)) count += 1)
       emitted = true
       true
     }
@@ -285,17 +333,21 @@ class GeoJsonCountReader(path: String, geomKeep: Option[Set[String]],
   */
 class GeoJsonGroupCountScan(paths: Seq[String], fileKeep: Option[Set[String]],
                             geomKeep: Option[Set[String]],
-                            geomNonNull: Boolean = false) extends Scan with Batch {
+                            geomNonNull: Boolean = false,
+                            bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType =
     new StructType().add("geometry_type", StringType)
       .add("count(*)", LongType, nullable = false)
   override def toBatch: Batch = this
-  private def prunedPaths: Seq[String] =
-    fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+  private def prunedPaths: Seq[String] = {
+    val named = fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
+    named.filter(GeoJsonBbox.keepDoc(_, bboxPreds))
+  }
   override def planInputPartitions(): Array[InputPartition] =
     prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonGroupCountReaderFactory(geomKeep, geomNonNull)
+    new GeoJsonGroupCountReaderFactory(geomKeep, geomNonNull, bboxPreds)
   override def description(): String =
     s"GeoJsonGroupCountScan docs=${prunedPaths.size}/${paths.size} " +
       "pushed=GROUP BY geometry_type COUNT(*)" +
@@ -303,11 +355,12 @@ class GeoJsonGroupCountScan(paths: Seq[String], fileKeep: Option[Set[String]],
 }
 
 class GeoJsonGroupCountReaderFactory(geomKeep: Option[Set[String]],
-                                     geomNonNull: Boolean = false)
+                                     geomNonNull: Boolean = false,
+                                     bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonGroupCountReader(partition.asInstanceOf[GeoJsonInputPartition].path,
-      geomKeep, geomNonNull)
+      geomKeep, geomNonNull, bboxPreds)
 }
 
 /** Tallies matching features per geometry type in one document without
@@ -315,7 +368,8 @@ class GeoJsonGroupCountReaderFactory(geomKeep: Option[Set[String]],
   * a given document — Spark's final aggregate owns the global order anyway).
   */
 class GeoJsonGroupCountReader(path: String, geomKeep: Option[Set[String]],
-                              geomNonNull: Boolean = false)
+                              geomNonNull: Boolean = false,
+                              bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
@@ -323,7 +377,7 @@ class GeoJsonGroupCountReader(path: String, geomKeep: Option[Set[String]],
     if (rows == null) {
       val tally = new java.util.LinkedHashMap[Option[String], Long]()
       GeoJsonFeatures.iterate(path).foreach { f =>
-        if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) {
+        if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull, bboxPreds)) {
           tally.merge(GeoJsonFeatures.geometryType(f), 1L, (a, b) => a + b)
         }
       }
@@ -343,7 +397,8 @@ class GeoJsonScan(paths: Seq[String], required: StructType,
                   fileKeep: Option[Set[String]] = None,
                   geomKeep: Option[Set[String]] = None,
                   geomNonNull: Boolean = false,
-                  limit: Option[Int] = None)
+                  limit: Option[Int] = None,
+                  bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -394,16 +449,20 @@ class GeoJsonScan(paths: Seq[String], required: StructType,
     */
   def prunedPaths: Seq[String] = {
     val static = fileKeep.fold(paths)(keep => paths.filter(p => keep.contains(p.split('/').last)))
-    runtimeKeep.fold(static)(keep => static.filter(p => keep.contains(p.split('/').last)))
+    val named = runtimeKeep.fold(static)(keep => static.filter(p => keep.contains(p.split('/').last)))
+    // spatial document pruning: a `.bbox` sidecar disjoint from the pushed
+    // envelope predicates proves no feature can match — dropped BEFORE fetch
+    named.filter(GeoJsonBbox.keepDoc(_, bboxPreds))
   }
   override def planInputPartitions(): Array[InputPartition] =
     prunedPaths.map(GeoJsonInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(required, geomKeep, geomNonNull, limit)
+    new GeoJsonReaderFactory(required, geomKeep, geomNonNull, limit, bboxPreds)
   override def description(): String =
     s"GeoJsonScan docs=${prunedPaths.size}/${paths.size}" +
       geomKeep.fold("")(g => s" geometry_type IN ${g.mkString("(", ",", ")")}") +
-      limit.fold("")(l => s" limit=$l")
+      limit.fold("")(l => s" limit=$l") +
+      (if (bboxPreds.isEmpty) "" else s" bbox=${bboxPreds.size} preds")
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(paths.size == 1,
@@ -515,22 +574,28 @@ class GeoJsonStreamingWrite(path: String, schema: StructType)
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith(s"part-e$epochId-"))
       .foreach(_.delete())
-    messages.foreach { case GeoJsonCommitMessage(tmp, fin) =>
-      java.nio.file.Files.move(new java.io.File(tmp).toPath,
-        new java.io.File(path, fin).toPath,
+    messages.foreach { case GeoJsonCommitMessage(tmp, fin, bbox) =>
+      val dst = new java.io.File(path, fin)
+      java.nio.file.Files.move(new java.io.File(tmp).toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // same spatial-stats contract as the batch sink; the wholesale epoch
+      // clear above already removed any stale sidecar-less state, and a
+      // replayed epoch rewrites its sidecars with its own envelopes
+      new java.io.File(path, "." + fin + ".bbox").delete()
+      bbox.foreach(GeoJsonBbox.writeSidecar(dst.getPath, _))
     }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     // the DSv2 contract allows null slots for writers that never committed —
     // pattern-matching them would throw MatchError and mask the original
     // failure (same latent pattern fixed in the batch path)
-    messages.collect { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
+    messages.collect { case GeoJsonCommitMessage(tmp, _, _) => new java.io.File(tmp).delete() }
     new java.io.File(path, "_tmp").delete()
   }
 }
 
-case class GeoJsonCommitMessage(tmpFile: String, finalName: String)
+case class GeoJsonCommitMessage(tmpFile: String, finalName: String,
+                                bbox: Option[(Double, Double, Double, Double)] = None)
     extends WriterCommitMessage
 
 class GeoJsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
@@ -545,17 +610,23 @@ class GeoJsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean
     if (truncateFirst)
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("part-")).foreach(_.delete())
-    messages.foreach { case GeoJsonCommitMessage(tmp, fin) =>
-      java.nio.file.Files.move(new java.io.File(tmp).toPath,
-        new java.io.File(path, fin).toPath,
+    messages.foreach { case GeoJsonCommitMessage(tmp, fin, bbox) =>
+      val dst = new java.io.File(path, fin)
+      java.nio.file.Files.move(new java.io.File(tmp).toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // lay down the spatial stats beside the data (the z-order analog:
+      // the sink writes the pruning statistics its own scan consumes);
+      // an envelope-less part (no coordinates) gets no sidecar, and a
+      // replaced part's stale sidecar must not outlive it
+      new java.io.File(path, "." + fin + ".bbox").delete()
+      bbox.foreach(GeoJsonBbox.writeSidecar(dst.getPath, _))
     }
     new java.io.File(path, "_tmp").delete()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // collect, not foreach: null slots (writers that never committed) are
     // allowed by the DSv2 contract and must not MatchError
-    messages.collect { case GeoJsonCommitMessage(tmp, _) => new java.io.File(tmp).delete() }
+    messages.collect { case GeoJsonCommitMessage(tmp, _, _) => new java.io.File(tmp).delete() }
     new java.io.File(path, "_tmp").delete()
   }
 }
@@ -588,6 +659,14 @@ class GeoJsonDataWriter(path: String, schema: StructType, tmpName: String, final
     tmp.toPath, java.nio.charset.StandardCharsets.UTF_8)
   private val mapper = new ObjectMapper()
   private val idx = schema.fieldNames.zipWithIndex.toMap
+  // running envelope over every coordinate written — becomes the part
+  // file's `.bbox` sidecar at commit
+  private var envAcc: Option[GeoJsonBbox.Env] = None
+  private def growEnv(x: Double, y: Double): Unit = envAcc = Some(envAcc match {
+    case None => (x, y, x, y)
+    case Some((a, b, c, d)) =>
+      (math.min(a, x), math.min(b, y), math.max(c, x), math.max(d, y))
+  })
 
   override def write(row: InternalRow): Unit = {
     val doc = mapper.createObjectNode()
@@ -605,11 +684,13 @@ class GeoJsonDataWriter(path: String, schema: StructType, tmpName: String, final
           val pt = part.getArray(p)
           val ptNode = arr.addArray()
           (0 until pt.numElements()).foreach(k => ptNode.add(pt.getDouble(k)))
+          if (pt.numElements() >= 2) growEnv(pt.getDouble(0), pt.getDouble(1))
         }
       gType match {
         case "Point" =>
           val pt = parts.getArray(0).getArray(0)
           (0 until pt.numElements()).foreach(k => coords.add(pt.getDouble(k)))
+          if (pt.numElements() >= 2) growEnv(pt.getDouble(0), pt.getDouble(1))
         case "LineString" | "MultiPoint" =>
           lineInto(coords, parts.getArray(0))
         case "MultiPolygon" =>
@@ -639,7 +720,7 @@ class GeoJsonDataWriter(path: String, schema: StructType, tmpName: String, final
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close(); GeoJsonCommitMessage(tmp.getAbsolutePath, s"$finalName.geojson")
+    out.close(); GeoJsonCommitMessage(tmp.getAbsolutePath, s"$finalName.geojson", envAcc)
   }
   override def abort(): Unit = { out.close(); tmp.delete() }
   override def close(): Unit = ()
@@ -648,11 +729,12 @@ class GeoJsonDataWriter(path: String, schema: StructType, tmpName: String, final
 class GeoJsonReaderFactory(required: StructType,
                            geomKeep: Option[Set[String]] = None,
                            geomNonNull: Boolean = false,
-                           limit: Option[Int] = None)
+                           limit: Option[Int] = None,
+                           bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(partition.asInstanceOf[GeoJsonInputPartition].path, required,
-      geomKeep, geomNonNull, limit)
+      geomKeep, geomNonNull, limit, bboxPreds)
 }
 
 /** Parses one document and streams its features as InternalRows, building
@@ -694,20 +776,31 @@ private[sources] object GeoJsonFeatures {
   /** Pushed geometry_type filter semantics: a feature with no geometry has a
     * null type and never matches an equality, same as Spark's EqualTo null
     * semantics; `geomNonNull` enforces a pushed bare IsNotNull the same way.
+    * Pushed bbox range predicates evaluate against the feature's envelope
+    * with the same null contract (no coordinates → no match); the envelope
+    * is computed lazily so predicate-free scans never pay the walk.
     */
   def matches(f: JsonNode, geomKeep: Option[Set[String]],
-              geomNonNull: Boolean = false): Boolean = {
+              geomNonNull: Boolean = false,
+              bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty): Boolean = {
     lazy val geomType = geometryType(f)
+    lazy val env = GeoJsonBbox.envelope(f)
     (!geomNonNull || geomType.nonEmpty) &&
-      geomKeep.forall(g => geomType.exists(g.contains))
+      geomKeep.forall(g => geomType.exists(g.contains)) &&
+      bboxPreds.forall(_.matchesFeature(env))
   }
 }
 
 class GeoJsonPartitionReader(path: String, required: StructType,
                              geomKeep: Option[Set[String]] = None,
                              geomNonNull: Boolean = false,
-                             limit: Option[Int] = None)
+                             limit: Option[Int] = None,
+                             bboxPreds: Seq[GeoJsonBbox.BboxPred] = Seq.empty)
     extends PartitionReader[InternalRow] {
+
+  // whether any requested column needs the feature envelope — computed once,
+  // so envelope-free scans never pay the coordinate walk
+  private val needEnv = required.fieldNames.exists(GeoJsonBbox.Fields.contains)
 
   // rows emitted so far — the pushed-limit cap. The features iterator is a
   // STREAMING parse (Jackson pull parser), so refusing to advance past the
@@ -737,6 +830,9 @@ class GeoJsonPartitionReader(path: String, required: StructType,
 
   private def toRow(f: JsonNode, idx: Long): InternalRow = {
     val geom = Option(f.get("geometry")).filterNot(_.isNull)
+    lazy val env = if (needEnv) GeoJsonBbox.envelope(f) else None
+    def envCol(pick: GeoJsonBbox.Env => Double): Any =
+      env.map(e => pick(e): java.lang.Double).orNull
     val values: Array[Any] = required.fields.map(_.name).map {
       case "feature_idx" => idx
       case "geometry_type" =>
@@ -761,6 +857,10 @@ class GeoJsonPartitionReader(path: String, required: StructType,
           new ArrayBasedMapData(new GenericArrayData(kv.map(_._1)), new GenericArrayData(kv.map(_._2)))
         }.orNull
       case "source_file" => UTF8String.fromString(fileName)
+      case "bbox_minx" => envCol(_._1)
+      case "bbox_miny" => envCol(_._2)
+      case "bbox_maxx" => envCol(_._3)
+      case "bbox_maxy" => envCol(_._4)
       case other => throw new IllegalArgumentException(s"geojson: unknown column $other")
     }
     new GenericInternalRow(values)
@@ -770,7 +870,7 @@ class GeoJsonPartitionReader(path: String, required: StructType,
     if (limit.exists(emitted >= _)) return false
     while (features.hasNext) {
       val (f, i) = features.next()
-      if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull)) {
+      if (GeoJsonFeatures.matches(f, geomKeep, geomNonNull, bboxPreds)) {
         current = toRow(f, i); emitted += 1; return true
       }
     }

@@ -75,7 +75,8 @@ class GeoJsonSourceSpec extends SparkSpec {
     val df = spark.read.format("geojson").load(bare)
     assert(df.count() == 3)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("feature_idx", "geometry_type", "parts", "properties", "source_file"))
+      Seq("feature_idx", "geometry_type", "parts", "properties", "source_file",
+        "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"))
     val first = df.orderBy("feature_idx").collect().head
     assert(first.getAs[Map[String, String]]("properties")("local_authority") == "Edinburgh")
     assert(first.getAs[String]("source_file") == "bare3.json")
@@ -338,5 +339,116 @@ class GeoJsonSourceSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no network egress") ||
       Option(ex.getCause).exists(_.getMessage.contains("no network egress")))
+  }
+  // ---- spatial bbox pushdown (GeoJsonBbox) ----
+
+  private def envFilter(df: org.apache.spark.sql.DataFrame,
+                        minx: Double, miny: Double, maxx: Double, maxy: Double) =
+    df.filter(col("bbox_maxx") >= minx && col("bbox_minx") <= maxx &&
+      col("bbox_maxy") >= miny && col("bbox_miny") <= maxy)
+
+  test("bbox columns carry the per-feature envelope; range filters are fully pushed") {
+    val far = feature.replace("[[325000.0, 673000.0], [325300.0, 673400.0]]",
+      "[[5000.0, 8000.0], [5100.0, 8050.0]]")
+    val fc = tmpFile("bb1.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $far]}""")
+    val df = spark.read.format("geojson").load(fc)
+    val rows = df.select("feature_idx", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+      .orderBy("feature_idx").collect()
+    assert(rows(0).getDouble(1) == 325000.0 && rows(0).getDouble(4) == 673400.0)
+    assert(rows(1).getDouble(1) == 5000.0 && rows(1).getDouble(3) == 5100.0)
+    // ST_Intersects-style envelope filter → only the Edinburgh feature
+    val q = envFilter(df, 320000, 670000, 330000, 680000)
+    assert(q.count() == 1)
+    // fully pushed: no residual Filter node above the scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("bbox=") , s"bbox preds missing from scan description:\n$plan")
+    assert(!plan.contains("Filter ("), s"bbox range filter left a residual:\n$plan")
+  }
+
+  test("bbox filter semantics match post-scan evaluation exactly (incl. null envelopes)") {
+    val noGeom = """{"type": "Feature", "properties": {"route_id": "RN"}, "geometry": null}"""
+    val mid = feature.replace("[[325000.0, 673000.0], [325300.0, 673400.0]]",
+      "[[329999.9, 673000.0], [330000.1, 673400.0]]") // straddles the query edge
+    val fc = tmpFile("bb2.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $mid, $noGeom]}""")
+    def load() = spark.read.format("geojson").load(fc)
+    val pushedRows = envFilter(load(), 320000, 670000, 330000, 680000)
+      .select("feature_idx").collect().map(_.getLong(0)).toSet
+    // reference: evaluate the same predicate ABOVE an unfiltered scan
+    val all = load().select("feature_idx", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+      .collect()
+    val expect = all.filter(r => !r.isNullAt(1) &&
+      r.getDouble(3) >= 320000 && r.getDouble(1) <= 330000 &&
+      r.getDouble(4) >= 670000 && r.getDouble(2) <= 680000).map(_.getLong(0)).toSet
+    assert(pushedRows == expect, s"pushed $pushedRows vs reference $expect")
+    assert(pushedRows == Set(0L, 1L)) // straddling feature intersects; null env drops
+  }
+
+  test("a .bbox sidecar prunes non-matching documents before they are fetched") {
+    val nearDoc = tmpFile("near.json",
+      s"""{"type": "FeatureCollection", "features": [$feature]}""")
+    val farDoc = tmpFile("far.json",
+      s"""{"type": "FeatureCollection", "features": [${feature.replace(
+        "[[325000.0, 673000.0], [325300.0, 673400.0]]",
+        "[[5000.0, 8000.0], [5100.0, 8050.0]]")}]}""")
+    // one-time spatial indexing writes the sidecars
+    assert(graft.sources.GeoJsonBbox.index(nearDoc).nonEmpty)
+    assert(graft.sources.GeoJsonBbox.index(farDoc).nonEmpty)
+    val df = envFilter(spark.read.format("geojson").load(nearDoc, farDoc),
+      320000, 670000, 330000, 680000)
+    val before = graft.sources.GeoJsonFetch.fetches.get()
+    assert(df.count() == 1)
+    val fetched = graft.sources.GeoJsonFetch.fetches.get() - before
+    assert(fetched == 1L,
+      s"sidecar pruning failed: $fetched documents fetched (expected 1)")
+    // without sidecars both documents are read and results are identical
+    def sidecar(doc: String) = {
+      val f = new java.io.File(doc)
+      new java.io.File(f.getParentFile, "." + f.getName + ".bbox")
+    }
+    assert(sidecar(nearDoc).delete() && sidecar(farDoc).delete())
+    val b2 = graft.sources.GeoJsonFetch.fetches.get()
+    assert(envFilter(spark.read.format("geojson").load(nearDoc, farDoc),
+      320000, 670000, 330000, 680000).count() == 1)
+    assert(graft.sources.GeoJsonFetch.fetches.get() - b2 == 2L,
+      "stats are advisory: sidecar-less documents must be read")
+  }
+
+  test("the geojson sink writes .bbox sidecars its own scan prunes on") {
+    val fc = tmpFile("bbw.json",
+      s"""{"type": "FeatureCollection", "features": [$feature]}""")
+    val outDir = Files.createTempDirectory("geojson-bbox-out").toString
+    spark.read.format("geojson").load(fc)
+      .write.format("geojson").option("path", outDir).mode("append").save()
+    val parts = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".geojson"))
+    assert(parts.nonEmpty)
+    val sidecars = parts.filter(p =>
+      new java.io.File(p.getParentFile, "." + p.getName + ".bbox").isFile)
+    assert(sidecars.length == parts.length,
+      s"missing sidecars: ${parts.length} parts, ${sidecars.length} sidecars")
+    // a disjoint query over the written output never fetches the parts
+    val before = graft.sources.GeoJsonFetch.fetches.get()
+    val miss = envFilter(
+      spark.read.format("geojson").load(parts.map(_.getPath): _*), 0, 0, 10, 10)
+    assert(miss.count() == 0)
+    assert(graft.sources.GeoJsonFetch.fetches.get() - before == 0L,
+      "written sidecars must prune the disjoint query to zero fetches")
+  }
+
+  test("count(*) pushdown stays correct under a pushed bbox filter") {
+    val far = feature.replace("[[325000.0, 673000.0], [325300.0, 673400.0]]",
+      "[[5000.0, 8000.0], [5100.0, 8050.0]]")
+    val fc = tmpFile("bbc.json",
+      s"""{"type": "FeatureCollection", "features": [$feature, $far, $feature]}""")
+    val q = envFilter(spark.read.format("geojson").load(fc),
+      320000, 670000, 330000, 680000)
+    assert(q.count() == 2)
+    val agg = q.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GeoJsonCountScan"),
+      s"bbox filter must not block COUNT(*) pushdown:\n$plan")
+    assert(agg.head().getLong(0) == 2L)
   }
 }
