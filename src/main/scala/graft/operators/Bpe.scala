@@ -1,71 +1,105 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding subword tokenizer: distributed vocabulary TRAINING as
-  * iterative Spark aggregation, plus a native encode expression
-  * (plans/BpeEncode.scala, `graft_bpe`).
+/** Byte-pair-encoding subword tokenizer: ONE distributed corpus pass to the
+  * word-frequency model input, a driver-side merge-training loop over that
+  * bounded table, plus a native encode expression (plans/BpeEncode.scala,
+  * `graft_bpe`).
   *
-  * Scale shape: after the initial corpus pass, every Lloyd-style iteration
-  * runs over the WORD-FREQUENCY table (|distinct words|, corpus-size-
-  * independent) — pair counting is a partial-aggregable hash aggregate over
-  * row-locally exploded adjacent pairs, the merge application is a pure map
-  * (a higher-order fold per word), and the only thing ever collected is ONE
-  * argmax row per iteration (the same "collect only the model" contract as
-  * the k-means IVF build). Lineage is truncated per iteration with
-  * localCheckpoint so plan analysis stays O(1) per round, exactly like the
-  * connected-components loop.
+  * Scale contract: the corpus pass is the only leg that scales with data —
+  * a partial-aggregable word count, one shuffle at the |distinct words|
+  * grain. The training STATE is the word-frequency table, which is
+  * corpus-size-independent (Heaps-law vocabulary growth), so it is
+  * collected driver-side ONCE and every merge iteration is local
+  * O(|vocab|) work — numMerges × (pair count + argmax + merge application)
+  * with zero further Spark jobs. The previous formulation ran one
+  * pair-count aggregation + argmax collect + localCheckpoint PER MERGE
+  * (200 merges = 200 jobs over an already-bounded table — all scheduler
+  * overhead, no added scale headroom, since the per-merge jobs were
+  * vocabulary-grain anyway). A word-count dict is the model input every
+  * production BPE trainer consumes; the BOUNDARY is that the collected
+  * table must fit the driver (~10^7 rows ≈ hundreds of MB), and
+  * `minWordFreq` enforces it on web-scale corpora — pruning the hapax tail
+  * bounds the table and removes only the pruned mass from pair counts.
   *
-  * Determinism: ties on pair count break by (a, b) lexicographically, so the
-  * learned merge list is reproducible at any parallelism — BpeSpec checks the
-  * trainer against an independent single-JVM reference implementation.
+  * Determinism: ties on pair count break by (a, b) — Java String order,
+  * identical to BpeSpec's independent reference implementation, which
+  * certifies the trainer merge-for-merge and the encoder round-trip.
   */
 object Bpe {
 
-  /** One merge step applied to a word's symbol array: leftmost-first,
-    * non-overlapping (the fold consumes the merged symbol, so "aaa" under
-    * merge (a,a) becomes ["aa","a"]) — the standard BPE application order.
+  /** Code-POINT seeding, not UTF-16 code units — the encoder's documented
+    * round-trip invariant: code-unit seeding would split surrogate pairs
+    * and emit lone-surrogate merge symbols that UTF8String mangles when the
+    * merge list is passed back into `graft_bpe` literals.
     */
-  def applyMerge(a: String, b: String)(syms: Column): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+  private def codePointSyms(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Leftmost-first, non-overlapping merge application (the fold consumes
+    * the merged symbol, so "aaa" under merge (a,a) becomes ["aa","a"]) —
+    * the standard BPE application order, and the training-side twin of the
+    * `graft_bpe` encoder's rank-greedy loop.
+    */
+  private def applyMerge(a: String, b: String, syms: Array[String]): Array[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    syms.foreach { s =>
+      if (buf.nonEmpty && buf.last == a && s == b) buf(buf.size - 1) = a + b
+      else buf += s
+    }
+    buf.toArray
+  }
 
   /** Train `numMerges` BPE merges over the corpus' whitespace words.
     * Returns the merge list in rank order as "a b" strings (the format
     * `graft_bpe(text, merges)` consumes). Stops early when no adjacent pair
-    * reaches `minPairCount`.
+    * reaches `minPairCount`. `minWordFreq` prunes the vocabulary tail
+    * BEFORE the one driver-side collect — the knob that keeps the model
+    * input bounded on corpora whose raw vocabulary outgrows the driver.
     */
-  def train(documents: DataFrame, numMerges: Int, minPairCount: Long = 2L): Seq[String] = {
-    var words = documents
+  def train(documents: DataFrame, numMerges: Int, minPairCount: Long = 2L,
+            minWordFreq: Long = 1L): Seq[String] = {
+    // the single distributed leg: corpus → (word, freq) at vocabulary grain
+    var words: Array[(Array[String], Long)] = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("freq"))
-      .localCheckpoint()
+      .filter(col("freq") >= minWordFreq)
+      .collect()
+      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
+
     val merges = Seq.newBuilder[String]
     var k = 0
     var done = false
     while (k < numMerges && !done) {
-      val top = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += s"$a $b"
-        words = words
-          .select(applyMerge(a, b)(col("syms")).as("syms"), col("freq"))
-          .localCheckpoint()
-        k += 1
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        if (c < minPairCount) done = true
+        else {
+          merges += s"$a $b"
+          words = words.map { case (syms, f) => (applyMerge(a, b, syms), f) }
+          k += 1
+        }
       }
     }
     merges.result()

@@ -121,6 +121,27 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, s"round-trip property failed: ${res.status}")
   }
 
+  test("minWordFreq prunes the vocabulary tail before the driver-side collect") {
+    // freq >= 6 keeps only hug(10) and pun(12): training must equal the
+    // reference run over exactly the pruned word-frequency table
+    val pruned = corpus.collect { case (w, f) if f >= 6 => w -> f.toLong }.toMap
+    val expected = referenceTrain(pruned, 8, minPairCount = 2L)
+    val trained = Bpe.train(corpusDf, 8, minPairCount = 2L, minWordFreq = 6L)
+    assert(trained == expected, s"trained $trained != reference $expected")
+    assert(trained != Bpe.train(corpusDf, 8, minPairCount = 2L),
+      "pruning changed nothing — the fixture no longer exercises the knob")
+  }
+
+  test("training seeds by code point: astral-plane words never yield lone-surrogate merges") {
+    import spark.implicits._
+    val docs = Seq.fill(3)("🤗😀").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val trained = Bpe.train(docs, 4, minPairCount = 2L)
+    // the one adjacent pair is the two whole emoji (each a surrogate PAIR in
+    // UTF-16); code-unit seeding would instead merge inside 🤗 first
+    assert(trained == Seq("🤗 😀"), s"got $trained")
+  }
+
   test("multi-word text flattens word encodings in order; empty runs drop") {
     import spark.implicits._
     val merges = Bpe.train(corpusDf, 8, minPairCount = 2L)

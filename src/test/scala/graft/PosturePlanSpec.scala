@@ -105,16 +105,23 @@ class PosturePlanSpec extends SparkSpec {
       "a merge side reached the join unreduced")
   }
 
-  test("rfm and lorenz: boundary-model plans contain NO window operator at all") {
-    // the round-11 rewrite's headline: quintile/decile assignment is a
-    // broadcast boundary model + row-local comparisons; a Window reappearing
-    // here means someone reintroduced a sort-based cut
+  test("rfm and lorenz: every window partitions on the data-dependent bucket key") {
+    // round-11 removed the sort-based ntile cut (broadcast boundary model +
+    // row-local comparisons); round-12's exactCutsM rewrite computes the
+    // boundary model's order statistics via the gini-style two-level
+    // bucketed rank, whose only windows partition on the approx-model
+    // bucket key — same contract as the q_gini gate below. A window with a
+    // FOLDABLE (constant) partition key would be the round-10 single-task
+    // sort sneaking back in.
     Seq("q_rfm", "q_lorenz").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf())
       df.collect()
       val wins = nodes(df.queryExecution.executedPlan).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w }
-      assert(wins.isEmpty, s"$q grew a window: ${wins.map(_.windowExpression)}")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty && w.partitionSpec.forall(!_.foldable),
+          s"$q window lost its data-dependent partitioning: ${w.partitionSpec}")
+      }
     }
   }
 
