@@ -34,7 +34,7 @@ object Analytics {
         .orderBy("r_name", "n_name")
     },
     """SELECT r_name, n_name, count(*) AS n_orders,
-      |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -73,7 +73,7 @@ object Analytics {
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
         .orderBy("window_start", "event_type"),
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
-      |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
@@ -164,7 +164,7 @@ object Analytics {
       |  n_events, value_sum
       |FROM (
       |  SELECT user_id, session_id, min(tns) AS tns_min, max(tns) AS tns_max,
-      |    count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |    count(*) AS n_events, CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |  FROM sess GROUP BY user_id, session_id)
       |ORDER BY user_id, session_id""".stripMargin
   )
@@ -365,7 +365,7 @@ object Analytics {
         .limit(10)
     },
     """SELECT l_orderkey,
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -520,7 +520,7 @@ object Analytics {
     },
     """WITH big AS (
       |  SELECT l_orderkey,
-      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+      |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty_sum
       |  FROM lineitem GROUP BY 1)
       |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, qty_sum
       |FROM big JOIN orders ON l_orderkey = o_orderkey
@@ -554,7 +554,7 @@ object Analytics {
       |         ((tsec // 900) * 900 - 900 * k) * 1000000 AS window_start_us
       |  FROM ev CROSS JOIN unnest([0, 1, 2, 3]) AS t(k))
       |SELECT window_start_us, event_type, count(*) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM hop GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
@@ -596,7 +596,7 @@ object Analytics {
       |SELECT user_id, min(tus) AS session_start_us,
       |       max(tus) + 1800000000 AS session_end_us,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin
   )
 
@@ -632,11 +632,11 @@ object Analytics {
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
     },
-    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    """SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       |WHERE p.p_brand = 'Brand#4'
       |  AND l.l_quantity < (
-      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+      |    SELECT 0.2 * (CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*))
       |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
   )
 
@@ -675,7 +675,7 @@ object Analytics {
         .orderBy(round(col("revenue"), 6).desc, col("n_name"))
     },
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -870,7 +870,7 @@ object Analytics {
           count(lit(1)).as("n_lines"))
     },
     """SELECT
-      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |    AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1166,10 +1166,10 @@ object Analytics {
         .orderBy("c_nationkey")
     },
     """SELECT c_nationkey, count(*) AS numcust,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
       |FROM customer
       |WHERE c_acctbal > (
-      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |    SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*)
       |    FROM customer WHERE c_acctbal > 0)
       |  AND NOT EXISTS (
       |    SELECT 1 FROM orders

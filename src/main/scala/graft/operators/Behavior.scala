@@ -267,8 +267,8 @@ object Behavior {
       |  FROM events),
       |m AS (
       |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
       |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
       |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
       |  FROM ev GROUP BY 1)
@@ -452,8 +452,8 @@ object Behavior {
       |  FROM events),
       |m AS (
       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
       |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
       |    CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy,
       |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
@@ -771,7 +771,7 @@ object Behavior {
       s"""WITH g AS (
          |  SELECT user_id, epoch_ns(max(ts)) // 1000000000 AS recency_s,
          |         count(*) AS freq,
-         |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary,
+         |         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS monetary,
          |         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS mon6
          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
          |b AS (SELECT ${cutsSql("recency_s")} AS rb,

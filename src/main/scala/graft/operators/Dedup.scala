@@ -551,10 +551,13 @@ object Dedup {
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .orderBy("doc_id")
     },
-    s"""WITH RECURSIVE pairs AS (
+    // MATERIALIZED (q_sssp precedent): DuckDB inlines plain CTEs per
+    // reference, so the recursive reach would re-derive the ENTIRE minhash
+    // pipeline every iteration — the sf1 run died spilling >60 GB
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  SELECT d1, d2 FROM (${minhash.oracle.replace("ORDER BY d1, d2", "")})),
-       |edges AS (SELECT d1 AS v, d2 AS w FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-       |nodes AS (SELECT DISTINCT v FROM edges),
+       |edges AS MATERIALIZED (SELECT d1 AS v, d2 AS w FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT v FROM edges),
        |reach AS (
        |  SELECT v, v AS l FROM nodes
        |  UNION

@@ -331,8 +331,8 @@ object Graph {
   val triangles = Q(
     "q_triangles",
     (s, d) => triangleCount(copurchaseEdges(s, d), cleanup = false),
-    """WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
+    """WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
       |SELECT count(*) AS n_triangles
       |FROM e e1 JOIN e e2 ON e1.v = e2.u
       |JOIN e e3 ON e2.v = e3.v AND e1.u = e3.u""".stripMargin
@@ -363,15 +363,20 @@ object Graph {
     }, {
       // one fixed-point step: rK(v) = 0.15/n + 0.85 * Σ_{(u,v)∈e} rK-1(u)/deg(u)
       def step(k: Int): String =
-        s"""r$k AS (SELECT deg.u AS v, 0.15 / nn.c + 0.85 * coalesce(s.m, 0) AS rank
+        s"""r$k AS MATERIALIZED (SELECT deg.u AS v, 0.15 / nn.c + 0.85 * coalesce(s.m, 0) AS rank
            |  FROM deg CROSS JOIN nn
            |  LEFT JOIN (SELECT e.v, sum(r.rank / d.deg) AS m
            |             FROM e JOIN r${k - 1} r ON e.u = r.v JOIN deg d ON e.u = d.u
            |             GROUP BY e.v) s ON deg.u = s.v)""".stripMargin
-      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
-         |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+      // MATERIALIZED per the q_sssp precedent: DuckDB inlines plain CTEs,
+      // re-executing a CTE once PER REFERENCE — with e referenced every
+      // round and each rK feeding rK+1, the sf1 run re-derived the 12M-row
+      // edge DISTINCT dozens of times and died spilling >60 GB; the hint
+      // states the same relation algebra, it just pins single evaluation
+      s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+         |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY u),
          |nn AS (SELECT count(*) AS c FROM deg),
          |r0 AS (SELECT u AS v, 1.0 / nn.c AS rank FROM deg CROSS JOIN nn),
          |${(1 to 5).map(step).mkString(",\n")}
@@ -437,14 +442,18 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
     }, {
+      // dK is referenced TWICE by dK+1 (carry-forward + relax), so plain
+      // inlined CTEs re-execute the whole prefix 2^k times — the sf1 run
+      // died spilling >60 GB before MATERIALIZED pinned single evaluation
+      // (31.7 s measured at sf1 with the hints; same relation algebra)
       def step(k: Int): String =
-        s"""d$k AS (SELECT v, min(d) AS d FROM (
+        s"""d$k AS MATERIALIZED (SELECT v, min(d) AS d FROM (
            |  SELECT v, d FROM d${k - 1}
            |  UNION ALL SELECT e.v, d${k - 1}.d + 1 FROM e JOIN d${k - 1} ON e.u = d${k - 1}.v
            |) GROUP BY v)""".stripMargin
-      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
-         |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      s"""WITH pl AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+         |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
          |d0 AS (SELECT (SELECT min(u) FROM e) AS v, 0 AS d),
          |${(1 to 4).map(step).mkString(",\n")}
          |SELECT CAST(d AS BIGINT) AS dist, count(*) AS n_nodes FROM d4

@@ -113,7 +113,7 @@ object Relational {
             .otherwise("#3388ff"))
         .orderBy("event_type"),
     """SELECT event_type, count(*) AS n,
-      |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum,
       |CASE event_type WHEN 'click' THEN '#00aa00' WHEN 'view' THEN '#0066ff'
       | WHEN 'purchase' THEN '#aa00aa' WHEN 'signup' THEN '#ff9900' ELSE '#3388ff' END AS color
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -135,10 +135,10 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
     """SELECT l_returnflag, l_linestatus,
-      |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
-      |CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-      |CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base,
+      |CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |CAST(CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
   )

@@ -44,7 +44,7 @@ object Skew {
         .orderBy("s_name")
     },
     """SELECT s_name, count(*) AS n_items,
-      |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+      |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty_sum
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
   )

@@ -227,14 +227,14 @@ object TextAnalysis {
       |  FROM documents)),
       |mom AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-      |    CAST(sum(CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2,
-      |    CAST(sum(CAST(x1 AS DECIMAL(18,6)) * CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s11,
-      |    CAST(sum(CAST(x1 AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s12,
-      |    CAST(sum(CAST(x2 AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s22,
-      |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s1y,
-      |    CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s2y
+      |    CAST(CAST(sum(CAST(x1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(sum(CAST(x2 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s2,
+      |    CAST(CAST(sum(CAST(x1 AS DECIMAL(18,6)) * CAST(x1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s11,
+      |    CAST(CAST(sum(CAST(x1 AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s12,
+      |    CAST(CAST(sum(CAST(x2 AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s22,
+      |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(x1 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1y,
+      |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(x2 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s2y
       |  FROM feat),
       |solved AS (
       |  SELECT
@@ -512,7 +512,7 @@ object TextAnalysis {
       |         round(quantile_cont(ppl, 2.0/3), 6) AS t2 FROM ppl)
       |SELECT CASE WHEN ppl <= t1 THEN 'head' WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
       |  count(*) AS n_docs,
-      |  CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) AS ppl_sum
+      |  CAST(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS ppl_sum
       |FROM ppl CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
