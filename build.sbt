@@ -51,6 +51,11 @@ Global / onLoad := {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         try { System.out.println(src.mkString.trim); System.out.flush() }
         finally src.close()
+        // consume the record: a later dev-subset/NOAQE run in the SAME sbt
+        // session deliberately skips the write, and without this delete the
+        // hook would re-print the EARLIER full run's line as the process's
+        // final stdout — attributing stale numbers to the wrong run.
+        f.delete()
       }
     }))
   }

@@ -42,7 +42,7 @@ object Aggregates {
   private val rollupSql: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
       |count(*) AS n_orders,
-      |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -71,7 +71,7 @@ object Aggregates {
   private val cubeSql: String =
     """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(c_mktsegment, 'ALL') AS segment,
       |count(*) AS n_orders,
-      |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -121,7 +121,7 @@ object Aggregates {
     """SELECT coalesce(event_type, 'ALL') AS event_type,
       |coalesce(CAST(user_id % 10 AS VARCHAR(16)), 'ALL') AS user_bucket,
       |count(*) AS n,
-      |CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS value_sum
       |FROM events
       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10), ())
       |ORDER BY 1, 2""".stripMargin

@@ -269,8 +269,8 @@ object Behavior {
       |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
       |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
       |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      |    CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM ev GROUP BY 1)
       |SELECT user_id, CAST(n AS BIGINT) AS n_events,
       |  round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
@@ -454,9 +454,9 @@ object Behavior {
       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
       |    CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
       |    CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS syy,
-      |    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      |    CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM ev GROUP BY 1)
       |SELECT event_type, CAST(n AS BIGINT) AS n_events,
       |  round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL

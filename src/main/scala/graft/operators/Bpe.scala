@@ -67,6 +67,39 @@ object Bpe {
     * BEFORE the one driver-side collect — the knob that keeps the model
     * input bounded on corpora whose raw vocabulary outgrows the driver.
     */
+  /** Code-point lexicographic compare — the order Spark's `UTF8String`
+    * (UTF-8 bytes) and `orderBy` use. Java `String.compareTo` is UTF-16
+    * code-UNIT order, which disagrees for ties between supplementary
+    * characters and chars in [U+E000, U+FFFF]; training merges with the
+    * code-point order keeps merge lists reproducible across the old
+    * distributed (orderBy) and current driver-side training paths.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Most-frequent pair first; ties broken by code-point order of (left,
+    * right) so training is deterministic and engine-order-independent.
+    */
+  private val pairOrdering: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(p: ((String, String), Long),
+                  q: ((String, String), Long)): Int = {
+        val byCount = java.lang.Long.compare(q._2, p._2)
+        if (byCount != 0) byCount
+        else {
+          val byLeft = cpCompare(p._1._1, q._1._1)
+          if (byLeft != 0) byLeft else cpCompare(p._1._2, q._1._2)
+        }
+      }
+    }
+
   def train(documents: DataFrame, numMerges: Int, minPairCount: Long = 2L,
             minWordFreq: Long = 1L): Seq[String] = {
     // the single distributed leg: corpus → (word, freq) at vocabulary grain
@@ -93,7 +126,7 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        val ((a, b), c) = counts.min(pairOrdering)
         if (c < minPairCount) done = true
         else {
           merges += s"$a $b"

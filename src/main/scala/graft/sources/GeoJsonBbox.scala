@@ -99,13 +99,24 @@ object GeoJsonBbox {
     new java.io.File(f.getParentFile, "." + f.getName + ".bbox")
   }
 
-  /** Read a document's sidecar envelope; None when absent/unreadable (the
-    * document is then read normally — stats are advisory).
+  /** Read a document's sidecar envelope; None when absent/unreadable OR
+    * STALE (the document is then read normally — stats are advisory, never
+    * a correctness gate). Staleness check: a document rewritten in place by
+    * anything other than this connector's sink bumps its mtime past the
+    * sidecar's, and a stale envelope could wrongly prune a document whose
+    * NEW features match the pushed predicates — so an older-than-document
+    * sidecar degrades to "read the document". The sink writes the sidecar
+    * after the document (same-ms writes compare equal, which is fine).
     */
   def sidecarOf(docPath: String): Option[Env] =
     try {
       val f = sidecarFile(docPath)
-      if (!f.isFile) None
+      val doc = {
+        val p = if (docPath.startsWith("file:")) new java.net.URI(docPath).getPath
+                else docPath
+        new java.io.File(p)
+      }
+      if (!f.isFile || (doc.isFile && f.lastModified < doc.lastModified)) None
       else {
         val parts = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
