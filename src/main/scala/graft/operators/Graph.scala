@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, Warehouse}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -96,7 +96,19 @@ object Graph {
     val n = adj.select(col("src")).distinct().count()
     edges.unpersist(blocking = false)
     require(n > 0, "pageRank: empty graph")
-    var ranks = adj.select(col("src").as("v")).distinct()
+    // Collapse the adjacency to a LogicalRDD LEAF for the iteration loop.
+    // persist() caches the DATA but every round's logical plan still embeds
+    // the full read→union→repartition→join→groupBy build subtree, and the
+    // analyzer/optimizer re-walk it per round — measured ~1.1 s of pure
+    // driver-side planning across 5 rounds at sf0.1, the single largest
+    // line in the query after the build itself. The adjacency is already
+    // materialized (the |V| count above), so the eager localCheckpoint is
+    // one cache-read job that re-publishes it as a leaf; per-round planning
+    // is then O(round-plan), not O(build-plan). Blocks are released below
+    // (cleanup=true) or by the harness's persistent-RDD sweep.
+    val adjLeaf = adj.localCheckpoint()
+    adj.unpersist(blocking = false)
+    var ranks = adjLeaf.select(col("src").as("v")).distinct()
       .select(col("v"), lit(1.0 / n).as("rank"))
     var i = 0
     while (i < iters) {
@@ -107,8 +119,8 @@ object Graph {
       // map-side; partial aggregation collapses them before the shuffle. A
       // hub's rank row joins once per chunk — bounded rows, never a bounded
       // task doing unbounded work.
-      ranks = adj
-        .join(ranks, adj("src") === ranks("v"))
+      ranks = adjLeaf
+        .join(ranks, adjLeaf("src") === ranks("v"))
         .select(explode(col("ns")).as("v"), (col("rank") / col("deg")).as("c"))
         .groupBy("v").agg(
           (lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
@@ -125,12 +137,26 @@ object Graph {
     }
     if (cleanup) {
       // materialize the (|V|-row) result, then release the adjacency blocks —
-      // the public API must not pin executor memory for the session
+      // the public API must not pin executor memory for the session. The
+      // leaf's blocks live on its checkpointed RDD, not in the cache
+      // manager, so unpersist via the LogicalRDD handle.
       val out = ranks.localCheckpoint()
-      adj.unpersist(blocking = false)
+      releaseLeaf(adjLeaf)
       out
     } else ranks
   }
+
+  /** Release the checkpointed blocks behind a [[org.apache.spark.sql.Dataset.localCheckpoint]]
+    * leaf: localCheckpoint blocks are NOT in the cache manager (Dataset
+    * .unpersist can't reach them), but the LogicalRDD leaf holds the
+    * persisted RDD handle directly.
+    */
+  private def releaseLeaf(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Orient each undirected edge from its lower-(degree, id) endpoint to the
     * higher one. Under this total order every vertex's OUT-degree is bounded
@@ -181,7 +207,13 @@ object Graph {
     // round-7 time while keeping the hub-skew bound. At cluster scale the
     // persisted relation is 16 bytes/edge and spills gracefully
     // (MEMORY_AND_DISK default).
-    val e = degreeOrientedEdges(edges).persist()
+    // eager localCheckpoint, not persist: the relation feeds three consumers
+    // and two of them are join probe sides — with persist() each consumer's
+    // logical plan still embeds the whole orientation build (distinct +
+    // degree agg + two broadcast attaches) and the optimizer re-walks it per
+    // consumer; the leaf form is planned once (the pageRank adjacency
+    // lesson). Blocks released below via the LogicalRDD handle.
+    val e = degreeOrientedEdges(edges).localCheckpoint()
     // adjacency lists SORTED once per vertex (O(d log d), amortized over the
     // deg⁺ intersections each list participates in) so the per-edge
     // intersection is the codegen'd two-pointer merge below instead of a
@@ -213,7 +245,7 @@ object Graph {
       // 1-row result, trivial to materialize; then release the edge blocks —
       // the public API must not pin executor memory for the session
       val out = res.localCheckpoint()
-      e.unpersist(blocking = false)
+      releaseLeaf(e)
       out
     } else res
   }
@@ -260,68 +292,12 @@ object Graph {
     * queries, and a disk table is the contract a warehouse would actually
     * offer.
     */
-  private lazy val scratchRoot =
-    java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
-  private def warehouseRoot(s: org.apache.spark.sql.SparkSession): String =
-    s.conf.getOption("spark.graft.warehouseDir").getOrElse(scratchRoot)
-  private val edgeTableMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = s"${warehouseRoot(s)}/copurchase_edges/$key"
-    edgeTableMemo.computeIfAbsent(path, _ => {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      // publish ATOMICALLY: gate on _SUCCESS (a bare exists() would trust a
-      // crashed half-write forever), build into a unique temp dir, then
-      // rename into place via FileContext with Options.Rename.NONE —
-      // STRICT no-destination semantics. FileSystem.rename must not be
-      // used here: with an existing destination DIRECTORY it moves the
-      // source INSIDE it and returns true, so a racing loser would nest a
-      // duplicate table under the winner's published dir. With Rename.NONE
-      // an existing destination throws instead, so the loser deterministically
-      // falls through to reuse the winner's table (gated on its _SUCCESS).
-      if (!fs.exists(success)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          path + ".tmp-" + java.util.UUID.randomUUID().toString)
-        copurchaseEdgesBuild(s, d).repartition(col("u"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        publishStrict(s.sparkContext.hadoopConfiguration, tmp, hp)
-      }
-      path
-    })
-    s.read.parquet(path)
-  }
-
-  /** Publish a fully-built temp dir at `hp` with STRICT no-destination
-    * rename semantics. `FileContext.rename(…, Options.Rename.NONE)` throws
-    * when the destination exists — unlike `FileSystem.rename`, which with an
-    * existing destination DIRECTORY moves the source INSIDE it and returns
-    * true, so a racing loser would nest a duplicate table under the winner's
-    * published dir and poison every later `read.parquet`. A destination
-    * without `_SUCCESS` is a crashed half-write and is removed first; a
-    * strict-rename failure means another JVM completed a publish in the
-    * window, so the loser deletes its temp dir and reuses the winner's table
-    * (gated on the winner's `_SUCCESS` — anything else is a genuine error).
-    * Package-private so the race spec can drive both arms deterministically.
-    */
-  private[graft] def publishStrict(
-      conf: org.apache.hadoop.conf.Configuration,
-      tmp: org.apache.hadoop.fs.Path,
-      hp: org.apache.hadoop.fs.Path): Unit = {
-    val fs = hp.getFileSystem(conf)
-    val success = new org.apache.hadoop.fs.Path(hp, "_SUCCESS")
-    if (fs.exists(hp) && !fs.exists(success)) fs.delete(hp, true)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(hp.toUri, conf)
-    try fc.rename(tmp, hp, org.apache.hadoop.fs.Options.Rename.NONE)
-    catch {
-      case _: java.io.IOException =>
-        fs.delete(tmp, true)
-        if (!fs.exists(success)) sys.error(s"cannot publish table at $hp")
-      // else: lost the race to a completed publish — reuse winner's
+  def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Warehouse.table(s, "copurchase_edges", d) {
+      // partitioned by hash(u) at write time so file-group locality mirrors
+      // the downstream join keys
+      copurchaseEdgesBuild(s, d).repartition(col("u"))
     }
-  }
 
   /** Triangle count over the co-purchase graph (parts appearing in the same
     * order) via [[triangleCount]]. The oracle states the same count as a
@@ -489,12 +465,28 @@ object Graph {
         .localCheckpoint()
       val src = e.agg(min(col("u"))).head.getLong(0)
       var dist = s.range(1).select(lit(src).as("v"), lit(0L).as("d"))
+      // DELTA relaxation (queue-based Bellman-Ford, stated relationally):
+      // only vertices whose distance IMPROVED last round can improve a
+      // neighbor this round, so each round joins the CHANGED subset — not
+      // the full distance relation — against the edges. Round-for-round
+      // equivalent to full relaxation (an unchanged vertex re-contributes
+      // exactly the d(u)+w values already folded into the min), and the
+      // candidate volume collapses once the graph settles: rounds past the
+      // effective diameter relax a near-empty frontier instead of all |E|.
+      // The frontier diff join is |V|-row — noise next to the |E| scan it
+      // replaces.
+      var frontier = dist
       for (k <- 1 to 6) {
-        val cand = dist.select(col("v").as("dv"), col("d"))
+        val cand = frontier.select(col("v").as("dv"), col("d"))
           .join(e, col("dv") === col("u"))
           .select(col("v"), (col("d") + col("w")).as("d"))
-        dist = dist.unionByName(cand).groupBy(col("v")).agg(min(col("d")).as("d"))
-        if (k % 2 == 0 && k < 6) dist = dist.localCheckpoint(eager = false)
+        val next = dist.unionByName(cand).groupBy(col("v")).agg(min(col("d")).as("d"))
+          .localCheckpoint(eager = false)
+        frontier = next.join(dist.select(col("v"), col("d").as("d_old")),
+            Seq("v"), "left")
+          .filter(col("d_old").isNull || col("d") < col("d_old"))
+          .select(col("v"), col("d"))
+        dist = next
       }
       dist.groupBy(col("d").cast("long").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))

@@ -126,11 +126,25 @@ object GeoJsonBbox {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Write a sidecar for an envelope (the sink path and [[index]] share it). */
+  /** Write a sidecar for an envelope (the sink path and [[index]] share it).
+    * The sidecar's mtime is pinned to at least the document's, so the
+    * staleness gate in [[sidecarOf]] accepts an envelope just computed FROM
+    * the current document even under coarse filesystem mtime granularity or
+    * a future-dated document — otherwise an index() of such a doc would
+    * produce a permanently-"stale" sidecar that never prunes.
+    */
   def writeSidecar(docPath: String, env: Env): Unit = {
-    java.nio.file.Files.write(sidecarFile(docPath).toPath,
+    val sc = sidecarFile(docPath)
+    java.nio.file.Files.write(sc.toPath,
       s"${env._1},${env._2},${env._3},${env._4}".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+    val doc = {
+      val p = if (docPath.startsWith("file:")) new java.net.URI(docPath).getPath
+              else docPath
+      new java.io.File(p)
+    }
+    if (doc.isFile && sc.lastModified < doc.lastModified)
+      sc.setLastModified(doc.lastModified)
     ()
   }
 

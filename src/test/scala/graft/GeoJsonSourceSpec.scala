@@ -415,6 +415,37 @@ class GeoJsonSourceSpec extends SparkSpec {
       "stats are advisory: sidecar-less documents must be read")
   }
 
+  test("a sidecar older than its rewritten document is ignored, not trusted") {
+    // index a FAR document, then rewrite it in place with NEAR features: the
+    // stale envelope says "disjoint", but pruning on it would drop matching
+    // rows. The reader must treat the outdated sidecar as absent.
+    val doc = tmpFile("rewrite.json",
+      s"""{"type": "FeatureCollection", "features": [${feature.replace(
+        "[[325000.0, 673000.0], [325300.0, 673400.0]]",
+        "[[5000.0, 8000.0], [5100.0, 8050.0]]")}]}""")
+    assert(graft.sources.GeoJsonBbox.index(doc).nonEmpty)
+    val f = new java.io.File(doc)
+    val sc = new java.io.File(f.getParentFile, "." + f.getName + ".bbox")
+    Files.write(f.toPath,
+      s"""{"type": "FeatureCollection", "features": [$feature]}"""
+        .getBytes("UTF-8"))
+    // force doc strictly newer than the sidecar (FS mtime granularity)
+    assert(f.setLastModified(sc.lastModified + 2000))
+    assert(graft.sources.GeoJsonBbox.sidecarOf(doc).isEmpty,
+      "an older-than-document sidecar must read as absent")
+    assert(envFilter(spark.read.format("geojson").load(doc),
+      320000, 670000, 330000, 680000).count() == 1,
+      "stale sidecar pruned a document whose new features match")
+    // re-indexing refreshes the envelope and pruning works again
+    assert(graft.sources.GeoJsonBbox.index(doc).nonEmpty)
+    assert(graft.sources.GeoJsonBbox.sidecarOf(doc).nonEmpty)
+    val before = graft.sources.GeoJsonFetch.fetches.get()
+    assert(envFilter(spark.read.format("geojson").load(doc),
+      0, 0, 10, 10).count() == 0)
+    assert(graft.sources.GeoJsonFetch.fetches.get() - before == 0L,
+      "refreshed sidecar must prune the disjoint query again")
+  }
+
   test("the geojson sink writes .bbox sidecars its own scan prunes on") {
     val fc = tmpFile("bbw.json",
       s"""{"type": "FeatureCollection", "features": [$feature]}""")

@@ -116,7 +116,7 @@ class GraphSpec extends SparkSpec {
     fs.mkdirs(tmp)
     fs.create(new Path(tmp, "_SUCCESS")).close()
     fs.create(new Path(tmp, "part-loser.parquet")).close()
-    Graph.publishStrict(conf, tmp, hp)
+    graft.Warehouse.publishStrict(conf, tmp, hp)
     // loser's temp dir is gone, winner's table is intact, and — the round-11
     // advisory's exact failure mode — NO subdirectory was nested inside the
     // published dir (FileSystem.rename onto an existing dir would have moved
@@ -141,7 +141,7 @@ class GraphSpec extends SparkSpec {
     fs.mkdirs(tmp)
     fs.create(new Path(tmp, "_SUCCESS")).close()
     fs.create(new Path(tmp, "part-rebuild.parquet")).close()
-    Graph.publishStrict(conf, tmp, hp)
+    graft.Warehouse.publishStrict(conf, tmp, hp)
     val names = fs.listStatus(hp).map(_.getPath.getName).toSet
     assert(names == Set("_SUCCESS", "part-rebuild.parquet"),
       s"stale half-write must be replaced by the rebuilt table: $names")
