@@ -15,10 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     is `<root>/<table>/<md5(inputKey)>` — one subdir per distinct input
   *     (and parameterization), so concurrent variants never collide.
   *   - Refresh: a table is a pure deterministic function of its input key;
-  *     a new/moved input lands in a fresh key and pays one build. To force
-  *     a rebuild after in-place input changes, drop the subdir (or point
-  *     `spark.graft.warehouseDir` at a new root) — the next consumer
-  *     detects absence via the FileSystem and rebuilds.
+  *     a new/moved input lands in a fresh key and pays one build. Consumers
+  *     fold [[fingerprint]] (input file count/bytes/max-mtime) into the key,
+  *     so an input rewritten IN PLACE also lands in a fresh key and rebuilds
+  *     instead of serving stale derived rows.
   *   - Retention: superseded keys are plain parquet dirs; the operator's
   *     cleanup policy (TTL sweep of the warehouse root) applies, nothing
   *     in-engine pins them.
@@ -37,7 +37,31 @@ object Warehouse {
   def root(s: SparkSession): String =
     s.conf.getOption("spark.graft.warehouseDir").getOrElse(scratchRoot)
 
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Unit]]()
+
+  /** Fingerprint of the input dataset files behind a table — per path, the
+    * recursive (file count, total bytes, max mtime) from one directory
+    * listing, no data read. Consumers fold this into `inputKey` so an input
+    * REWRITTEN IN PLACE (same path, new contents) lands in a fresh key and
+    * pays one rebuild instead of serving stale derived rows — the same
+    * hazard class the GeoJSON bbox sidecar guards with its content stamp.
+    */
+  def fingerprint(s: SparkSession, paths: String*): String =
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) s"$p:absent"
+      else {
+        val it = fs.listFiles(hp, true)
+        var n = 0L; var bytes = 0L; var mtime = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          n += 1; bytes += f.getLen; mtime = math.max(mtime, f.getModificationTime)
+        }
+        s"$p:$n:$bytes:$mtime"
+      }
+    }.mkString(";")
 
   /** Read table `name` for `inputKey`, building it with `build` on first
     * use (per warehouse, atomically across JVMs — see [[publishStrict]]).
@@ -47,23 +71,39 @@ object Warehouse {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(inputKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"${root(s)}/$name/$key"
-    memo.computeIfAbsent(path, _ => {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      // publish ATOMICALLY: gate on _SUCCESS (a bare exists() would trust a
-      // crashed half-write forever), build into a unique temp dir, then
-      // rename into place with STRICT no-destination semantics so a racing
-      // loser deterministically falls through to the winner's table.
-      if (!fs.exists(success)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          path + ".tmp-" + java.util.UUID.randomUUID().toString)
-        build.write.mode("overwrite").parquet(tmp.toString)
-        publishStrict(s.sparkContext.hadoopConfiguration, tmp, hp)
+    // Memoize a per-key future and run the (possibly minutes-long) Spark
+    // build OUTSIDE the map's compute function: computeIfAbsent holds the
+    // bin lock for its whole duration, so a long build would block unrelated
+    // tables hashing to the same bin, and a reentrant table() call from
+    // within a build would hit CHM's recursive-update IllegalStateException.
+    // A failed build removes its future so a later caller can retry.
+    val fresh = new java.util.concurrent.CompletableFuture[Unit]()
+    val prior = memo.putIfAbsent(path, fresh)
+    if (prior == null) {
+      try { ensureBuilt(s, path)(build); fresh.complete(()) }
+      catch {
+        case e: Throwable =>
+          memo.remove(path, fresh); fresh.completeExceptionally(e); throw e
       }
-      path
-    })
+    } else prior.join()
     s.read.parquet(path)
+  }
+
+  private def ensureBuilt(s: SparkSession, path: String)
+                         (build: => DataFrame): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    // publish ATOMICALLY: gate on _SUCCESS (a bare exists() would trust a
+    // crashed half-write forever), build into a unique temp dir, then
+    // rename into place with STRICT no-destination semantics so a racing
+    // loser deterministically falls through to the winner's table.
+    if (!fs.exists(success)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".tmp-" + java.util.UUID.randomUUID().toString)
+      build.write.mode("overwrite").parquet(tmp.toString)
+      publishStrict(s.sparkContext.hadoopConfiguration, tmp, hp)
+    }
   }
 
   /** Publish a fully-built temp dir at `hp` with STRICT no-destination

@@ -153,10 +153,23 @@ object Dedup {
     * `q_dedup_minhash` itself still runs the live pipeline — it IS the
     * benchmark of the build; the consumers below read the table.
     */
-  def nearDupPairTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Warehouse.table(s, "neardup_pairs", s"$d|shingle=2|perms=32|rpb=4|thr=0.5") {
-      minhashNearDups(Tables.documents(s, d), 2, 32, 4, 0.5)
-    }
+  def nearDupPairTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // input FINGERPRINT in the key: a documents table regenerated in place
+    // (same path, new bytes) must land in a fresh key and rebuild, not serve
+    // the previous corpus's pairs to the cluster/keep-list deliverables
+    val key = s"$d|shingle=2|perms=32|rpb=4|thr=0.5|" +
+      Warehouse.fingerprint(s, s"$d/documents.parquet")
+    // the one-time build pins its signature cache only for the build itself:
+    // the release handle fires after Warehouse.table returns, i.e. after the
+    // parquet write (the consuming action) — the public-API contract that no
+    // registered query leaves executor blocks pinned. No-op on a cache hit.
+    var release: () => Unit = () => ()
+    try Warehouse.table(s, "neardup_pairs", key) {
+      val (pairs, rel) = minhashNearDupsWithCache(Tables.documents(s, d), 2, 32, 4, 0.5)
+      release = rel
+      pairs
+    } finally release()
+  }
 
   /** Registered instance: bigram shingles, 32 perms, 8 bands × 4 rows, J ≥ 0.5.
     * 4-row bands keep the candidate count linear when ambient Jaccard between

@@ -293,7 +293,10 @@ object Graph {
     * offer.
     */
   def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Warehouse.table(s, "copurchase_edges", d) {
+    // input fingerprint in the key: a lineitem regenerated in place rebuilds
+    // the edge table instead of serving the previous fact table's graph
+    Warehouse.table(s, "copurchase_edges",
+      s"$d|" + Warehouse.fingerprint(s, s"$d/lineitem.parquet")) {
       // partitioned by hash(u) at write time so file-group locality mirrors
       // the downstream join keys
       copurchaseEdgesBuild(s, d).repartition(col("u"))

@@ -99,52 +99,52 @@ object GeoJsonBbox {
     new java.io.File(f.getParentFile, "." + f.getName + ".bbox")
   }
 
+  private def docFile(docPath: String): java.io.File = {
+    val p = if (docPath.startsWith("file:")) new java.net.URI(docPath).getPath
+            else docPath
+    new java.io.File(p)
+  }
+
   /** Read a document's sidecar envelope; None when absent/unreadable OR
     * STALE (the document is then read normally — stats are advisory, never
-    * a correctness gate). Staleness check: a document rewritten in place by
-    * anything other than this connector's sink bumps its mtime past the
-    * sidecar's, and a stale envelope could wrongly prune a document whose
-    * NEW features match the pushed predicates — so an older-than-document
-    * sidecar degrades to "read the document". The sink writes the sidecar
-    * after the document (same-ms writes compare equal, which is fine).
+    * a correctness gate). Staleness check: the sidecar records the document's
+    * CONTENT STAMP (byte length + mtime) at index time; a mismatch with the
+    * current document means the document was rewritten after indexing and a
+    * stale envelope could wrongly prune a document whose NEW features match
+    * the pushed predicates — degrade to "read the document". The stamp
+    * (rather than a relative mtime comparison) also catches an in-place
+    * rewrite landing in the same filesystem mtime tick as the sidecar and a
+    * backdated rewrite of a future-dated document, which relative-mtime
+    * ordering reads as fresh. Legacy 4-field sidecars (no stamp) are treated
+    * as stale.
     */
   def sidecarOf(docPath: String): Option[Env] =
     try {
       val f = sidecarFile(docPath)
-      val doc = {
-        val p = if (docPath.startsWith("file:")) new java.net.URI(docPath).getPath
-                else docPath
-        new java.io.File(p)
-      }
-      if (!f.isFile || (doc.isFile && f.lastModified < doc.lastModified)) None
+      val doc = docFile(docPath)
+      if (!f.isFile) None
       else {
         val parts = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
-        if (parts.length != 4) None
+        if (parts.length != 6) None
+        else if (doc.isFile &&
+          (parts(4).toLong != doc.length || parts(5).toLong != doc.lastModified)) None
         else Some((parts(0).toDouble, parts(1).toDouble,
           parts(2).toDouble, parts(3).toDouble))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Write a sidecar for an envelope (the sink path and [[index]] share it).
-    * The sidecar's mtime is pinned to at least the document's, so the
-    * staleness gate in [[sidecarOf]] accepts an envelope just computed FROM
-    * the current document even under coarse filesystem mtime granularity or
-    * a future-dated document — otherwise an index() of such a doc would
-    * produce a permanently-"stale" sidecar that never prunes.
+  /** Write a sidecar for an envelope (the sink path and [[index]] share it):
+    * the four envelope bounds plus the document's content stamp (byte
+    * length, mtime) that [[sidecarOf]] validates against.
     */
   def writeSidecar(docPath: String, env: Env): Unit = {
     val sc = sidecarFile(docPath)
+    val doc = docFile(docPath)
+    val (len, mt) = if (doc.isFile) (doc.length, doc.lastModified) else (0L, 0L)
     java.nio.file.Files.write(sc.toPath,
-      s"${env._1},${env._2},${env._3},${env._4}".getBytes(
+      s"${env._1},${env._2},${env._3},${env._4},$len,$mt".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
-    val doc = {
-      val p = if (docPath.startsWith("file:")) new java.net.URI(docPath).getPath
-              else docPath
-      new java.io.File(p)
-    }
-    if (doc.isFile && sc.lastModified < doc.lastModified)
-      sc.setLastModified(doc.lastModified)
     ()
   }
 

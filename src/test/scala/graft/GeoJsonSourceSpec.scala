@@ -446,6 +446,33 @@ class GeoJsonSourceSpec extends SparkSpec {
       "refreshed sidecar must prune the disjoint query again")
   }
 
+  test("sidecar content stamp catches same-tick and backdated in-place rewrites") {
+    // Two rewrites relative-mtime ordering reads as FRESH but the content
+    // stamp must reject: (a) a rewrite whose mtime lands in the same
+    // filesystem tick as the sidecar's record, (b) a BACKDATED rewrite of
+    // the document (mtime moved earlier than the recorded one).
+    val doc = tmpFile("stamp.json",
+      s"""{"type": "FeatureCollection", "features": [$feature]}""")
+    assert(graft.sources.GeoJsonBbox.index(doc).nonEmpty)
+    val f = new java.io.File(doc)
+    val origMtime = f.lastModified
+    // (a) rewrite with different content, pin mtime back to the recorded one
+    Files.write(f.toPath,
+      s"""{"type": "FeatureCollection", "features": [${feature.replace(
+        "[[325000.0, 673000.0], [325300.0, 673400.0]]",
+        "[[5000.0, 8000.0], [5100.0, 8050.0]]")}]}""".getBytes("UTF-8"))
+    assert(f.setLastModified(origMtime))
+    assert(graft.sources.GeoJsonBbox.sidecarOf(doc).isEmpty,
+      "a same-mtime rewrite with different length must read as stale")
+    // re-index over the new content -> fresh again
+    assert(graft.sources.GeoJsonBbox.index(doc).nonEmpty)
+    assert(graft.sources.GeoJsonBbox.sidecarOf(doc).nonEmpty)
+    // (b) backdate the document without changing length: mtime mismatch
+    assert(f.setLastModified(f.lastModified - 5000))
+    assert(graft.sources.GeoJsonBbox.sidecarOf(doc).isEmpty,
+      "a backdated rewrite must read as stale (recorded mtime differs)")
+  }
+
   test("the geojson sink writes .bbox sidecars its own scan prunes on") {
     val fc = tmpFile("bbw.json",
       s"""{"type": "FeatureCollection", "features": [$feature]}""")

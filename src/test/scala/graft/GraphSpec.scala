@@ -101,6 +101,29 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouseDir")
   }
 
+  test("an input rewritten IN PLACE rebuilds the warehouse table (fingerprint key)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-fp-").toString
+    val data = java.nio.file.Files.createTempDirectory("graft-wh-fp-data-").toString
+    spark.conf.set("spark.graft.warehouseDir", root)
+    try {
+      def writeLineitem(rows: Seq[(Long, Long)]): Unit =
+        rows.toDF("l_orderkey", "l_partkey")
+          .withColumn("l_shipdate", org.apache.spark.sql.functions.expr(
+            "timestamp '2024-01-01 00:00:00'"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$data/lineitem.parquet")
+      // order 1 buys parts {10, 20} -> one edge
+      writeLineitem(Seq((1L, 10L), (1L, 20L)))
+      assert(Graph.copurchaseEdges(spark, data).count() == 1)
+      // REWRITE IN PLACE: same path, order 1 now buys {10, 20, 30} -> 3 edges.
+      // Without the input fingerprint in the key this would keep serving the
+      // stale 1-edge table.
+      writeLineitem(Seq((1L, 10L), (1L, 20L), (1L, 30L)))
+      assert(Graph.copurchaseEdges(spark, data).count() == 3,
+        "in-place input rewrite must rebuild the derived table, not serve stale rows")
+    } finally spark.conf.unset("spark.graft.warehouseDir")
+  }
+
   test("publishStrict: a lost race never nests the loser's table inside the winner's") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
