@@ -25,6 +25,13 @@ object SparkEntry {
     // the reprojection query is a ~50-layer nested projection chain (see
     // functions/Osgb.scala); the default 100 analyzer iterations are too few
     spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+    // cached (persist-marked) plan fragments — the iterative graph/CC loops
+    // lean on them for lazy lineage truncation — must still get AQE's
+    // partition coalescing when materialized: the default pins a cached
+    // plan's output partitioning to the static shuffle.partitions, which
+    // turns every tiny per-round aggregate into a full-width task wave
+    // (measured: q_sssp 965 tasks vs ~60 with the flag)
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark
   }
 

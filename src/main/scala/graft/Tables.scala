@@ -10,8 +10,37 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * swap in a catalog / bucketed tables / a different source is this object.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private case class CachedRel(stamp: Long, df: DataFrame)
+  private val relMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CachedRel]()
+
+  /** Load with a per-(session, path, content-stamp) RELATION memo. A bare
+    * `spark.read.parquet` re-infers the schema (a footer-read Spark job)
+    * and re-lists the directory on every call — 100–700 ms per query in
+    * local mode (measured, [[FloorProbe]]) and a driver-side footer fetch
+    * per query at cluster scale. A real deployment resolves tables from a
+    * catalog that stores schema + file index; this memo is that catalog
+    * seam. The stamp (top-level dir mtime ^ length) invalidates the entry
+    * whenever the dataset directory changes — files added, removed, or
+    * rewritten in place all bump the directory mtime — so a fresh listing
+    * and schema are taken exactly when the data could have changed.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val local = new java.io.File(path.stripPrefix("file:"))
+    if (!local.exists) spark.read.parquet(path) // non-local URI: no memo
+    else {
+      val stamp = local.lastModified ^ (local.length << 24)
+      val key = (spark, path)
+      val c = relMemo.get(key)
+      if (c != null && c.stamp == stamp) c.df
+      else {
+        val df = spark.read.parquet(path)
+        relMemo.put(key, CachedRel(stamp, df))
+        df
+      }
+    }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame =
     normalizeTsCol(load(s, d, "lineitem"), "l_shipdate")

@@ -89,25 +89,21 @@ object Graph {
         greatest(lit(1L), ceil(col("deg").cast("double") / maxChunk)).cast("int")))
       .groupBy(col("src"), col("salt"))
       .agg(collect_list(col("dst")).as("ns"), first(col("deg")).as("deg"))
-      .persist() // lazy — the n count below is the one materialization
-    // ONE scalar to the driver: |V|, read off the persisted chunk relation.
-    // This count materializes adj, so the edge blocks can be released now —
-    // every later consumer reads the (smaller) chunked adjacency cache.
-    val n = adj.select(col("src")).distinct().count()
-    edges.unpersist(blocking = false)
-    require(n > 0, "pageRank: empty graph")
-    // Collapse the adjacency to a LogicalRDD LEAF for the iteration loop.
-    // persist() caches the DATA but every round's logical plan still embeds
-    // the full read→union→repartition→join→groupBy build subtree, and the
-    // analyzer/optimizer re-walk it per round — measured ~1.1 s of pure
-    // driver-side planning across 5 rounds at sf0.1, the single largest
-    // line in the query after the build itself. The adjacency is already
-    // materialized (the |V| count above), so the eager localCheckpoint is
-    // one cache-read job that re-publishes it as a leaf; per-round planning
-    // is then O(round-plan), not O(build-plan). Blocks are released below
-    // (cleanup=true) or by the harness's persistent-RDD sweep.
+    // Collapse the adjacency to a LogicalRDD LEAF for the iteration loop in
+    // ONE eager materialization (round 14: previously persist() + a count to
+    // materialize + a second cache-read job to checkpoint — two passes and a
+    // duplicate block copy). Every round's logical plan would otherwise
+    // embed the full read→union→repartition→join→groupBy build subtree and
+    // the analyzer/optimizer re-walk it per round — measured ~1.1 s of pure
+    // driver-side planning across 5 rounds at sf0.1. With the leaf,
+    // per-round planning is O(round-plan), not O(build-plan). Blocks are
+    // released below (cleanup=true) or by the harness's persistent-RDD
+    // sweep.
     val adjLeaf = adj.localCheckpoint()
-    adj.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    // ONE scalar to the driver: |V|, read off the checkpointed chunk leaf.
+    val n = adjLeaf.select(col("src")).distinct().count()
+    require(n > 0, "pageRank: empty graph")
     var ranks = adjLeaf.select(col("src").as("v")).distinct()
       .select(col("v"), lit(1.0 / n).as("rank"))
     var i = 0
@@ -125,15 +121,14 @@ object Graph {
         .groupBy("v").agg(
           (lit((1.0 - damping) / n) + lit(damping) * sum(col("c"))).as("rank"))
       i += 1
-      // truncate lineage every 3rd round so plan analysis stays O(1) per
-      // round on long runs, without paying an eager materialization job per
-      // iteration (the q_ann_ivf job-storm lesson)
-      // LAZY checkpoint: truncates the logical plan immediately (the
-      // returned frame wraps the execution RDD) but materializes inside the
-      // final action's one DAG instead of a blocking driver job per
-      // truncation point — measured 8-9 s of "build" time collapsing to the
-      // actual compute when the three eager jobs went away.
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = false)
+      // bound effective plan size every 3rd round with a LAZY persist()
+      // mark: later rounds' planning resolves it to an InMemoryRelation
+      // leaf, and nothing executes before the final action. A
+      // localCheckpoint — even eager=false — is NOT lazy under AQE: its
+      // `.rdd` call materializes the round's shuffle stages serially at
+      // plan-construction time (the q_bfs lesson, measured ~2.5 s of
+      // blocking stage jobs at sf0.1).
+      if (i % 3 == 0 && i < iters) ranks = ranks.persist()
     }
     if (cleanup) {
       // materialize the (|V|-row) result, then release the adjacency blocks —
@@ -373,19 +368,38 @@ object Graph {
     * min-distance aggregate partial-aggregates map-side, so a frontier hub
     * costs O(deg) candidate ROWS through the shuffle, never a wide row.
     * State is the (v, d) relation, vertex-partitioned; rounds are
-    * O(diameter) like [[Dedup.connectedComponents]]; lineage truncates
-    * every 2nd round. Nothing but the seed scalar crosses the driver.
+    * O(diameter) like [[Dedup.connectedComponents]]; each round's distance
+    * relation is persist()-marked — the TRULY lazy truncation: the double
+    * reference to it (next round's union + the frontier filter) resolves to
+    * one InMemoryRelation at final planning instead of re-deriving the whole
+    * prefix, and NOTHING executes before the final action. (localCheckpoint
+    * — even `eager = false` — is not lazy under AQE: `.rdd` calls
+    * `getFinalPhysicalPlan()`, which materializes every shuffle stage of
+    * the round SERIALLY at plan-construction time; measured ~2.5 s of
+    * blocking stage jobs at sf0.1 vs ~0 for the persist marks.) Cache
+    * lifetime follows the house convention: the harness's clearCache
+    * between queries, or the caller for library use. Nothing crosses the
+    * driver at all: the seed is a one-row DataFrame.
     */
-  def bfsDistances(edgesSym: DataFrame, source: Long, rounds: Int): DataFrame = {
-    var dist = edgesSym.sparkSession.range(1)
-      .select(lit(source).as("v"), lit(0).as("d"))
+  def bfsDistances(edgesSym: DataFrame, source: Long, rounds: Int): DataFrame =
+    bfsDistancesFrom(edgesSym,
+      edgesSym.sparkSession.range(1)
+        .select(lit(source).as("v"), lit(0).as("d")), rounds)
+
+  /** [[bfsDistances]] with the seed stated as a one-row (v, d=0) RELATION —
+    * the registered query derives its seed (min vertex id) lazily from the
+    * edge table itself, so the whole BFS is ONE action with zero driver
+    * scalars.
+    */
+  def bfsDistancesFrom(edgesSym: DataFrame, d0: DataFrame, rounds: Int): DataFrame = {
+    var dist = d0
     var frontier = dist
     for (k <- 1 to rounds) {
       val cand = frontier.select(col("v").as("fv"))
         .join(edgesSym, col("fv") === col("u"))
         .select(col("v"), lit(k).as("d"))
       dist = dist.unionByName(cand).groupBy(col("v")).agg(min(col("d")).as("d"))
-      if (k % 2 == 0 && k < rounds) dist = dist.localCheckpoint()
+        .persist()
       frontier = dist.filter(col("d") === k)
     }
     dist
@@ -415,8 +429,12 @@ object Graph {
       val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
         .repartition(col("u"))
         .localCheckpoint()
-      val src = e.agg(min(col("u"))).head.getLong(0)
-      bfsDistances(e, src, rounds = 4)
+      // seed = min vertex id, stated as a one-row RELATION (not a collected
+      // scalar): the whole BFS is then ONE action — no blocking seed probe
+      // job ahead of the rounds (round 14; the seed agg reads the same
+      // checkpointed edge leaf the rounds join against)
+      val d0 = e.agg(min(col("u")).as("v")).select(col("v"), lit(0).as("d"))
+      bfsDistancesFrom(e, d0, rounds = 4)
         .groupBy(col("d").cast("long").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
@@ -466,8 +484,9 @@ object Graph {
         .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
         .repartition(col("u"))
         .localCheckpoint()
-      val src = e.agg(min(col("u"))).head.getLong(0)
-      var dist = s.range(1).select(lit(src).as("v"), lit(0L).as("d"))
+      // lazy one-row seed relation (the q_bfs convention): no blocking seed
+      // probe job ahead of the relaxation rounds
+      var dist = e.agg(min(col("u")).as("v")).select(col("v"), lit(0L).as("d"))
       // DELTA relaxation (queue-based Bellman-Ford, stated relationally):
       // only vertices whose distance IMPROVED last round can improve a
       // neighbor this round, so each round joins the CHANGED subset — not
@@ -483,13 +502,24 @@ object Graph {
         val cand = frontier.select(col("v").as("dv"), col("d"))
           .join(e, col("dv") === col("u"))
           .select(col("v"), (col("d") + col("w")).as("d"))
-        val next = dist.unionByName(cand).groupBy(col("v")).agg(min(col("d")).as("d"))
-          .localCheckpoint(eager = false)
-        frontier = next.join(dist.select(col("v"), col("d").as("d_old")),
-            Seq("v"), "left")
-          .filter(col("d_old").isNull || col("d") < col("d_old"))
+        // ONE aggregate carries both the new distance and the PREVIOUS one
+        // (min over the src=0 rows — at most one per vertex), so the
+        // "improved this round" frontier is a filter over the same cached
+        // relation instead of a per-round diff JOIN against the old dist.
+        // persist, not localCheckpoint: truly lazy under AQE (the q_bfs
+        // lesson — a lazy checkpoint still materializes its shuffle stages
+        // serially at .rdd time), and the double reference (dist + frontier)
+        // reads one InMemoryRelation.
+        val merged = dist.select(col("v"), col("d"), lit(0).as("src"))
+          .unionByName(cand.select(col("v"), col("d"), lit(1).as("src")))
+          .groupBy(col("v"))
+          .agg(min(col("d")).as("d"),
+            min(when(col("src") === 0, col("d"))).as("d_prev"))
+          .persist()
+        dist = merged.select(col("v"), col("d"))
+        frontier = merged
+          .filter(col("d_prev").isNull || col("d") < col("d_prev"))
           .select(col("v"), col("d"))
-        dist = next
       }
       dist.groupBy(col("d").cast("long").as("dist"))
         .agg(count(lit(1)).as("n_nodes"))
