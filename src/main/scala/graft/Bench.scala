@@ -21,6 +21,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // sf1 under a tight heap can stall the in-process heartbeat thread
+      // behind full GCs; the default 10s interval × 60 misses then KILLS the
+      // executor mid-pass (observed: round-14 sf1 run died at minute 74).
+      // Local mode has no real liveness question — the "executor" is this
+      // JVM — so trade detection latency for GC tolerance.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLVL", "WARN"))
     SparkEntry.tune(spark)
@@ -60,11 +67,16 @@ object Bench {
     // apart, just under the trigger, leaving a caveat on the recorded
     // number), so the third sample is now always paid (~2 min) and every
     // recorded total is a genuine min-of-3.
-    val warm1 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
-    val warm2 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
-    val warm3 = names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    // SPARK_GRAFT_WARM_PASSES trims the warm-pass count for runs where wall
+    // clock is the binding constraint (the sf1 pair — a full pass is ~10×
+    // sf0.1). Fewer samples can only RAISE the reported min, so a trimmed
+    // run is a conservative measurement, never a flattering one; the mode
+    // string records the count so the artifact states its own protocol.
+    val nWarm = sys.env.get("SPARK_GRAFT_WARM_PASSES").map(_.toInt).getOrElse(3)
+    val passes = (1 to math.max(1, nWarm)).map { _ =>
+      names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
+    }
     def passTotal(m: Map[String, Double]): Double = m.values.filter(_ >= 0).sum
-    val passes = Seq(warm1, warm2, warm3)
     // min over the SUCCESSFUL samples: -1.0 marks a failed execution, and a
     // query that failed one pass but succeeded the other must report the
     // valid measurement, not the sentinel

@@ -493,38 +493,37 @@ object Behavior {
     * disagree — found by the full sf0.1 certification, round 11. Integer
     * math has no such boundary anywhere.)
     *
-    * Scale shape: a window rank per user, then the trailing-window pairs
-    * come from a BLOCK-BANDED equi-join (each right row is published to its
-    * own rn-block and the next one, left probes its own block only — ≤ 20
-    * candidates per row, the q_range_join bin-and-verify discipline), never
-    * an n² per-user residual probe. The oracle states the same pairs with a
-    * plain BETWEEN self-join — the declarative spec; banding is the plan.
+    * Scale shape (round 14): ONE window shuffle, zero joins. The trailing
+    * 10 values arrive as a `collect_list` over a `ROWS BETWEEN 9 PRECEDING
+    * AND CURRENT ROW` frame (≤ 10 elements, frame order = (ts, event_id)
+    * order, deterministic), and the weighted integer sums fold row-locally
+    * over that array — element i of an m-element frame lags the current row
+    * by m−1−i, so its weight is 2^(9−(m−1−i)). The previous form published
+    * each row into two rn-blocks and re-joined at (user, block) grain: a
+    * second fact-sized shuffle, a ~10× row fan-out through the join, and a
+    * third shuffle to re-aggregate — all replaced by the frame the window
+    * already holds. The oracle keeps the plain BETWEEN self-join — the
+    * declarative spec; the frame fold is the plan.
     */
   val ewma = Q(
     "q_ewma",
     (s, d) => {
-      val r = Tables.events(s, d)
+      val frame = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
-          row_number().over(Window.partitionBy("user_id")
-            .orderBy(col("ts"), col("event_id"))).cast("long").as("rn"))
-        .localCheckpoint() // feeds both sides of the self-join
-      val a = r.select(col("user_id"), col("event_id"), col("value").as("xa"),
-        col("rn").as("ra"), expr("rn div 10").as("blk"))
-      val b0 = r.select(col("user_id"), col("value").as("xb"), col("rn").as("rb"))
-      val b = b0.withColumn("blk", expr("rb div 10"))
-        .unionByName(b0.withColumn("blk", expr("rb div 10 + 1")))
-      val w = expr("shiftleft(CAST(1 AS BIGINT), CAST(9 - (ra - rb) AS INT))")
-      a.join(b, Seq("user_id", "blk"))
-        .filter(col("rb") <= col("ra") && col("rb") >= col("ra") - 9)
-        .select(col("user_id"), col("event_id"), col("xa"),
-          (round(col("xb") * 100).cast("long") * w).as("ti"), w.as("wi"))
-        .groupBy(col("user_id"), col("event_id"))
-        .agg(max(col("xa")).as("value"), count(lit(1)).as("n_terms"),
-          expr("""(2 * sum(ti) * 10000 +
-                 | CASE WHEN sum(ti) < 0 THEN -sum(wi) ELSE sum(wi) END)
-                 | div (2 * sum(wi))""".stripMargin.replace("\n", " ")).as("e6"))
+          collect_list(round(col("value") * 100).cast("long")).over(frame).as("xs"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          size(col("xs")).cast("long").as("n_terms"),
+          expr("""aggregate(
+                 |  transform(xs, (x, i) -> named_struct(
+                 |    't', x * shiftleft(CAST(1 AS BIGINT), 9 - (size(xs) - 1 - i)),
+                 |    'w', shiftleft(CAST(1 AS BIGINT), 9 - (size(xs) - 1 - i)))),
+                 |  named_struct('t', CAST(0 AS BIGINT), 'w', CAST(0 AS BIGINT)),
+                 |  (acc, e) -> named_struct('t', acc.t + e.t, 'w', acc.w + e.w))""".stripMargin.replace("\n", " ")).as("sw"))
         .select(col("user_id"), col("event_id"), col("value"), col("n_terms"),
-          (col("e6").cast("double") / lit(1000000.0d)).as("ewma"))
+          (expr("(2 * sw.t * 10000 + CASE WHEN sw.t < 0 THEN -sw.w ELSE sw.w END) div (2 * sw.w)")
+            .cast("double") / lit(1000000.0d)).as("ewma"))
         .orderBy("user_id", "event_id")
     },
     """WITH r AS (SELECT event_id, user_id, value,

@@ -798,10 +798,17 @@ object TextAnalysis {
     "q_importance_weights",
     (s, d) => {
       val nB = 4096
+      // persist the hashed-token stream: it feeds the count models AND the
+      // per-doc contribution pass, and the md5 bucket hash is the dominant
+      // per-token cost — without the persist mark each consumer re-tokenizes
+      // and re-hashes the whole corpus (measured ~2× the query). Lazy mark,
+      // materialized by whichever consumer runs first; blocks released by
+      // the harness sweep / caller (the BFS convention).
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(TextFns.tokens(col("text"))).as("w"))
         .select(col("doc_id"), col("source"),
           (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % nB).as("b"))
+        .persist()
       // BOTH count models in one conditional aggregate — a single pass over
       // the corpus and a single ≤4096-row broadcast, instead of one
       // shuffle + join per model
