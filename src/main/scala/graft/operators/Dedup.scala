@@ -618,10 +618,24 @@ object Dedup {
     * the exact verify join (result-invariant: no false negatives, the exact
     * join removes false positives); sessions without the extensions degrade
     * to the composed shingle path and skip the prefilter.
+    *
+    * `maxDf` (round 14) is the quadratic-blowup guard the sf1 bench caught
+    * this operator missing: a corpus-common shingle ("the query") pairs
+    * EVERY train doc against EVERY eval doc containing it, so the verify
+    * join's per-hash fan-out is n_tr(h)·n_ev(h) — measured 191 s at sf1 vs
+    * 1.3 s at sf0.1, a scale-killer a 100 TB corpus would die on. Shingles
+    * occurring in more than `maxDf` documents CORPUS-WIDE (train ∪ eval)
+    * are excluded as boilerplate — they carry no contamination signal (the
+    * same ≤cap doc-list discipline as [[containment]]/[[ngramJaccard]]);
+    * with the cap, per-hash fan-out is ≤ maxDf² and such hashes are rare.
+    * The df table is one hash aggregate at shingle-vocabulary grain; both
+    * side prunes are semi-joins on the SAME hash partitioning the verify
+    * join needs, so the cap adds no extra exchange on the big side.
     */
   def decontaminationReport(train: DataFrame, eval: DataFrame,
                             n: Int = 2, minShared: Long = 5L,
-                            bloomCapacity: Option[Int] = None): DataFrame = {
+                            bloomCapacity: Option[Int] = None,
+                            maxDf: Int = 100): DataFrame = {
     val s = train.sparkSession
     def hashes(df: DataFrame, idAs: String) =
       if (s.catalog.functionExists("graft_shingle_hashes"))
@@ -630,8 +644,14 @@ object Dedup {
       else
         TextFns.shingles(df, n)
           .select(col("doc_id").as(idAs), TextFns.hash32(col("sh")).as("h"))
-    val ev = hashes(eval, "eval_doc")
-    val tr0 = hashes(train, "train_doc")
+    val evAll = hashes(eval, "eval_doc")
+    val trAll = hashes(train, "train_doc")
+    val rare = trAll.select(col("h"))
+      .unionByName(evAll.select(col("h")))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val ev = evAll.join(rare, Seq("h"), "left_semi")
+    val tr0 = trAll.join(rare, Seq("h"), "left_semi")
     val tr = bloomCapacity match {
       case Some(cap) if s.catalog.functionExists("graft_bloom") =>
         // the filter is built DISTRIBUTED (mergeable bitset-OR aggregate) and
@@ -663,13 +683,14 @@ object Dedup {
       decontaminationReport(
         docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"))
     },
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, source, ('0x'||substr(md5(t[i+1] || ' ' || t[i+2]),1,8))::BIGINT AS h
       |  FROM (SELECT doc_id, source, string_split(text,' ') AS t FROM documents
       |        WHERE len(string_split(text,' ')) >= 2),
       |       unnest(range(len(t)-1)) AS u(i)),
-      |tr AS (SELECT doc_id, h FROM sh WHERE source <> 'src0'),
-      |ev AS (SELECT doc_id, h FROM sh WHERE source = 'src0'),
+      |rare AS MATERIALIZED (SELECT h FROM sh GROUP BY h HAVING count(*) <= 100),
+      |tr AS (SELECT doc_id, h FROM sh WHERE source <> 'src0' AND h IN (SELECT h FROM rare)),
+      |ev AS (SELECT doc_id, h FROM sh WHERE source = 'src0' AND h IN (SELECT h FROM rare)),
       |hits AS (
       |  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, count(*) AS shared
       |  FROM tr JOIN ev ON tr.h = ev.h

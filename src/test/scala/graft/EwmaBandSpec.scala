@@ -3,12 +3,17 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The q_ewma trailing-window pairs come from a BLOCK-BANDED equi-join
-  * (each right row published to its own and the next rank block) instead of
-  * a residual-filtered theta join. This spec pins the banding's coverage
-  * guarantee on randomized inputs: the candidate set, after the final range
-  * filter, is EXACTLY the naive `rb BETWEEN ra-9 AND ra` pair set — no pair
-  * lost at block boundaries, none duplicated by the two-block publication.
+/** BLOCK-BANDED trailing-window pair generation (each right row published
+  * to its own and the next rank block) — the house technique for bounded
+  * rank-range joins when a window frame can't express the computation.
+  * q_ewma used this until round 14 (it now folds the trailing 10 values
+  * row-locally over a `ROWS BETWEEN 9 PRECEDING` collect_list frame — one
+  * shuffle, no join); the banding pattern itself stays load-bearing (the
+  * q_range_join bin-and-verify family), so this spec keeps pinning its
+  * coverage guarantee on randomized inputs: the candidate set, after the
+  * final range filter, is EXACTLY the naive `rb BETWEEN ra-9 AND ra` pair
+  * set — no pair lost at block boundaries, none duplicated by the
+  * two-block publication.
   */
 class EwmaBandSpec extends SparkSpec {
 
