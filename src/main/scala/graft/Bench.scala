@@ -72,7 +72,13 @@ object Bench {
     // sf0.1). Fewer samples can only RAISE the reported min, so a trimmed
     // run is a conservative measurement, never a flattering one; the mode
     // string records the count so the artifact states its own protocol.
-    val nWarm = sys.env.get("SPARK_GRAFT_WARM_PASSES").map(_.toInt).getOrElse(3)
+    // A trimmed run is still a NON-DEFAULT protocol, so like the other dev
+    // knobs it diverts to the .dev.json path below rather than overwriting
+    // the official record a total-only consumer might read without the mode.
+    val nWarm = sys.env.get("SPARK_GRAFT_WARM_PASSES").map { v =>
+      v.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_WARM_PASSES must be an integer, got '$v'"))
+    }.getOrElse(3)
     val passes = (1 to math.max(1, nWarm)).map { _ =>
       names.map(n => n -> time(SparkEntry.queries(n)(spark, sfDir).count())).toMap
     }
@@ -100,9 +106,9 @@ object Bench {
     // Dev runs with SPARK_GRAFT_ONLY / SPARK_GRAFT_NOAQE must not clobber the
     // official full-registry record the compact line points at — divert them
     // to a suffixed file.
-    val fullPath =
-      if (only.isDefined || sys.env.contains("SPARK_GRAFT_NOAQE")) "BENCH_FULL.dev.json"
-      else "BENCH_FULL.json"
+    val defaultProtocol =
+      only.isEmpty && !sys.env.contains("SPARK_GRAFT_NOAQE") && nWarm == 3
+    val fullPath = if (defaultProtocol) "BENCH_FULL.json" else "BENCH_FULL.dev.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -120,7 +126,7 @@ object Bench {
     // footer, making it the genuine last line of the process's stdout.
     // Official full-registry runs only — dev subsets must not masquerade as
     // the round record.
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NOAQE"))
+    if (defaultProtocol)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
         (compactLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }

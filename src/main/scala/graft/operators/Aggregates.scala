@@ -207,6 +207,57 @@ object Aggregates {
       |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
   )
 
+  /** The 100 TB form of [[equidepthBins]], REGISTERED so the "swaps to
+    * approx_percentile at scale" claim is an exercised, oracle-checked path
+    * (the q_profile_approx precedent) rather than a scaladoc promise. The
+    * boundary model is `approx_percentile` — GK-sketch, mergeable map-side
+    * partials, NO per-group value buffering, which is what removes the exact
+    * form's dominant cost — at accuracy 10000 (rank error ≤ N/10000). The
+    * assignment side is byte-identical to the exact twin: tiny model
+    * broadcast back over the scan, 9 codegen'd comparisons per row.
+    *
+    * Oracle comparability: the sketch boundary is a real data value within
+    * ±N/10000 ranks of the true decile, so each bin count is 0.1·N ± 2·N/1e4
+    * — never near a power of two (0.1·N sits ≥ 17% from the nearest 2^k at
+    * every SF's orders count). The emitted grain is therefore the count's
+    * power-of-two magnitude `floor(log2(n))` (`length(bin(n)) − 1`, the
+    * q_profile_approx/q_degree_dist exact-integer trick), which the
+    * approximation cannot move, plus the exact total row count, which both
+    * engines agree on exactly. The oracle states exact rank-based deciles
+    * (`quantile_disc`) over the same grain.
+    */
+  val equidepthApprox = Q(
+    "q_equidepth_approx",
+    (s, d) => {
+      val t = Tables.orders(s, d)
+      val bounds = t.agg(expr(
+        "approx_percentile(o_totalprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, " +
+          "0.6D, 0.7D, 0.8D, 0.9D), 10000)").as("bs"))
+      val binCol = (lit(1) +: (0 until 9).map(k =>
+        when(col("x") > col("bs").getItem(k), 1).otherwise(0)))
+        .reduce(_ + _).cast("long")
+      t.select(col("o_totalprice").as("x"))
+        .crossJoin(broadcast(bounds)) // 1-row sketch boundary model
+        .select(binCol.as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"),
+          (length(bin(col("n"))) - 1).cast("long").as("n_log2"),
+          sum(col("n")).over(Window.partitionBy(lit(1))).as("n_total"))
+        .orderBy("bin")
+    },
+    """WITH bl AS (
+      |  SELECT quantile_disc(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM orders),
+      |bs AS (SELECT q AS b FROM bl, unnest(qs) AS t(q)),
+      |assigned AS (
+      |  SELECT 1 + (SELECT count(*) FROM bs WHERE b < o_totalprice) AS bin
+      |  FROM orders)
+      |SELECT bin, CAST(length(bin(count(*))) - 1 AS BIGINT) AS n_log2,
+      |  CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+      |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
+  )
+
   /** WINSORIZATION — percentile outlier clipping, the robust-statistics
     * pre-step of metric pipelines (and of training-data value columns):
     * per group, clip values into [p05, p95] and report how much was
@@ -217,8 +268,9 @@ object Aggregates {
     * hash aggregate, so the fact table is scanned twice and shuffled only
     * for the 5-row result. Boundaries are rounded to 6 dp BEFORE clipping
     * so the clip threshold is bit-identical across engines; at 100 TB the
-    * exact percentile swaps for approx_percentile in the same plan (the
-    * equidepth-bins contract).
+    * exact percentile swaps for approx_percentile in the same plan — the
+    * registered, oracle-checked [[equidepthApprox]] (`q_equidepth_approx`)
+    * exercises exactly that swap end-to-end.
     */
   val winsorize = Q(
     "q_winsorize",
@@ -456,5 +508,5 @@ object Aggregates {
   )
 
   val all: Seq[Q] = Seq(percentiles, rollup_, cube_, pivot_, groupingSets, histogram, equidepthBins,
-    winsorize, mad, stringAgg, benford, groupingId, unpivot_, mode_)
+    equidepthApprox, winsorize, mad, stringAgg, benford, groupingId, unpivot_, mode_)
 }

@@ -501,13 +501,36 @@ object Analytics {
     * re-shuffle — and the customer lookup is an equi-join on custkey. The
     * final top-100 is TakeOrderedAndProject (per-partition heaps, no global
     * sort).
+    *
+    * The order-grain aggregate is the query's whole cost (|orders| groups
+    * for ~0.3% survivors of the HAVING), and two measured choices shape it
+    * (sf1: 10.2 s → 2.2 s for the agg alone):
+    *
+    *  - The sum runs in LONG, not DECIMAL: l_quantity is integral by TPC-H
+    *    construction (1..50), so the long sum is exact and equals the
+    *    oracle's decimal form bit-for-bit after the final double cast,
+    *    while the hash-agg hot loop stays a primitive codegen add.
+    *  - The key column is REPARTITIONED BEFORE aggregating, which removes
+    *    the map-side partial aggregate. Partial agg pays off only when a
+    *    map partition holds many rows per key; lineitem's ~4 rows/order are
+    *    scattered across all input splits (keys are not clustered in the
+    *    layout), so the partial map's expected reduction is ~1.1× — a full
+    *    6M-row hash probe to shrink the shuffle 10%. Shuffling the raw
+    *    (orderkey, int) pairs straight to the final aggregate is measured
+    *    1.8× faster at sf1 and the argument sharpens with scale: reduction
+    *    ≈ rows-per-split / rows-per-key stays ~1 whenever |keys| ≫
+    *    |rows-per-split|, exactly the 100 TB regime for order-grain keys.
+    *    On a layout clustered by orderkey the partial would win instead —
+    *    this is a layout-dependent choice, stated, not a universal rule.
     */
   val tpchQ18 = Q(
     "q_tpch_q18",
     (s, d) => {
       val big = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("int").as("qi"))
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey")
-        .agg(dsum(col("l_quantity")).as("qty_sum"))
+        .agg(sum(col("qi")).cast("double").as("qty_sum"))
         .filter(col("qty_sum") > 300.0)
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
@@ -717,28 +740,48 @@ object Analytics {
                            orders: org.apache.spark.sql.DataFrame,
                            supplier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // (order, supplier) grain carrying BOTH the "any returned line" flag and
-    // the returned-line count — the one partial aggregate answers the
-    // quantifiers AND replaces the probing returned-lines scan (the
-    // correlated form counts per returned LINE, which is exactly n_r), so
-    // lineitem is scanned once, dedup happens map-side before the shuffle.
+    // the returned-line count — the one aggregate answers the quantifiers
+    // AND replaces the probing returned-lines scan (the correlated form
+    // counts per returned LINE, which is exactly n_r), so lineitem is
+    // scanned once.
     // (Round 14 MEASURED the tempting alternative — both quantifiers in one
     // multi-distinct per-order aggregate — and rejected it: two
     // countDistinct over different expressions plan as a ×3 Expand over the
     // scan, and the wider pre-dedup shuffle lost at every scale: 2.15 s vs
-    // 1.33 s at sf0.1, 25.7 s at sf1. The pair-grain aggregate keeps the
-    // shuffle at deduped (order, supplier) rows.)
-    val perPair = li.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("had_r"),
-        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"))
+    // 1.33 s at sf0.1, 25.7 s at sf1.)
+    //
+    // Round 15 restructured the exchanges (sf1: 7.9 s → 2.8 s, parity with
+    // the oracle engine):
+    //  - The `o_orderstatus = 'F'` semi-join is pushed BELOW the pair
+    //    aggregate: only 'F' orders can survive, the predicate is
+    //    order-level (it cannot change any order's pair stats), and it cuts
+    //    the aggregated rows to the F fraction (~1/3) before they ever
+    //    shuffle.
+    //  - ONE explicit repartition on l_orderkey feeds EVERYTHING above it:
+    //    HashPartitioning(orderkey) satisfies the pair aggregate's clustering
+    //    (orderkey ⊂ (orderkey, suppkey)), the per-order aggregate's, and
+    //    the pair⋈order join's, so no further exchange appears. The
+    //    map-side partial pair-dedup the old shape relied on is dropped
+    //    deliberately: (order, supplier) pairs are ~unique per line in this
+    //    layout (6.0M lines → 5.998M pairs), so the partial map was a full
+    //    corpus hash probe buying no shuffle reduction — the q_tpch_q18
+    //    repartition-first argument, which sharpens with scale while keys
+    //    outnumber per-split rows.
+    val fOrders = orders
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val lf = li
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("r"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .repartition(col("l_orderkey"))
+    val perPair = lf.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
+      .agg(max(col("r")).as("had_r"), sum(col("r").cast("long")).as("n_r"))
     val perOrder = perPair.groupBy(col("g_orderkey").as("o_key"))
       .agg(count(lit(1)).as("n_supp"), sum(col("had_r")).as("n_r_supp"))
       .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
-    val fOrders = orders
-      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val sup = supplier.select(col("s_suppkey"), col("s_name"))
     perPair.filter(col("had_r") === 1)
       .join(perOrder, col("g_orderkey") === col("o_key"))
-      .join(fOrders, col("g_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("g_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("n_r")).as("numwait"))

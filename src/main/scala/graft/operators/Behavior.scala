@@ -510,7 +510,13 @@ object Behavior {
     (s, d) => {
       val frame = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      // collect_list silently DROPS null elements, which would shift frame
+      // indices (and so weights) relative to the oracle's rn arithmetic if
+      // events.value were ever null. Pin the semantics instead of relying on
+      // the data: null-value rows are excluded from the series up front, in
+      // BOTH engines, so frame order and rn order stay the same sequence.
       Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"), col("value"),
           collect_list(round(col("value") * 100).cast("long")).over(frame).as("xs"))
         .select(col("user_id"), col("event_id"), col("value"),
@@ -528,7 +534,7 @@ object Behavior {
     },
     """WITH r AS (SELECT event_id, user_id, value,
       |             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
-      |           FROM events),
+      |           FROM events WHERE value IS NOT NULL),
       |p AS (SELECT a.user_id, a.event_id, a.value AS xa,
       |        CAST(round(b.value * 100) AS BIGINT)
       |          * (CAST(1 AS BIGINT) << CAST(9 - (a.rn - b.rn) AS INT)) AS ti,
@@ -721,7 +727,9 @@ object Behavior {
     * statistics — the declarative spec; the bucketed rank is the plan. At
     * 100 TB the bucketing model inside [[exactCutsM]] is already
     * `approx_percentile` (mergeable sketch); only the ≤ 8 exact order
-    * statistics per metric ride the two-level rank.
+    * statistics per metric ride the two-level rank. The fully-approx
+    * boundary-model path is a REGISTERED, oracle-checked query of its own:
+    * `q_equidepth_approx` (Aggregates.scala).
     */
   val rfm = Q(
     "q_rfm",

@@ -631,6 +631,12 @@ object Dedup {
     * The df table is one hash aggregate at shingle-vocabulary grain; both
     * side prunes are semi-joins on the SAME hash partitioning the verify
     * join needs, so the cap adds no extra exchange on the big side.
+    *
+    * NOTE: the default cap is a BEHAVIOR CHANGE vs rounds ≤ 13 — pairs whose
+    * only shared shingles are corpus-common are now deliberately missed
+    * (they carried no contamination signal). Callers who need the old
+    * uncapped semantics pass `maxDf = Int.MaxValue`, which restores them
+    * exactly (every shingle passes the `df <= maxDf` filter).
     */
   def decontaminationReport(train: DataFrame, eval: DataFrame,
                             n: Int = 2, minShared: Long = 5L,

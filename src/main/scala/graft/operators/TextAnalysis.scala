@@ -480,7 +480,11 @@ object TextAnalysis {
   val perplexityBuckets = Q(
     "q_perplexity_buckets",
     (s, d) => {
-      val ppl = docPpl(s, d)
+      // docPpl is a token-explode + vocab self-join — two corpus-sized
+      // shuffles — consumed TWICE here (threshold aggregate + bucket scan).
+      // localCheckpoint materializes it once at doc grain, the same
+      // multi-consumer convention as ngramNoveltyReport/assocRules.
+      val ppl = docPpl(s, d).localCheckpoint()
       val th = ppl.agg(
         round(expr("percentile(ppl, 1.0/3)"), 6).as("t1"),
         round(expr("percentile(ppl, 2.0/3)"), 6).as("t2"))
