@@ -25,34 +25,41 @@ object Scratch {
         println(f"[scratch] $label pass$i ${(System.nanoTime() - t0) / 1e9}%.3fs")
       }
     }
-    val li = Tables.lineitem(spark, sfDir)
-    val orders = Tables.orders(spark, sfDir)
-    val supplier = Tables.supplier(spark, sfDir)
-    time("q21-current") {
-      operators.Analytics.suppliersKeptWaiting(li, orders, supplier).count()
+    val docs = Tables.documents(spark, sfDir)
+    time("novelty-current") {
+      operators.Dedup.ngramNoveltyReport(docs).count()
     }
-    def q21v2(repart: Boolean): Unit = {
-      val fOrders = orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
-      val liSel = li.select(col("l_orderkey"), col("l_suppkey"),
-        when(col("l_returnflag") === "R", 1).otherwise(0).as("r"))
-      val lf0 = liSel.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val lf = if (repart) lf0.repartition(col("l_orderkey")) else lf0
-      val perPair = lf.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
-        .agg(max(col("r")).as("had_r"), sum(col("r").cast("long")).as("n_r"))
-      val perOrder = perPair.groupBy(col("g_orderkey").as("o_key"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("had_r")).as("n_r_supp"))
-        .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
-      val sup = supplier.select(col("s_suppkey"), col("s_name"))
-      perPair.filter(col("had_r") === 1)
-        .join(perOrder, col("g_orderkey") === col("o_key"))
-        .join(broadcast(sup), col("g_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(sum(col("n_r")).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(100).count()
+    time("novelty-shingles-only") {
+      functions.TextFns.shingles(docs, 3).localCheckpoint().count()
     }
-    time("q21-semi-norepart") { q21v2(false) }
-    time("q21-semi-repart") { q21v2(true) }
+    def noveltyV2(): Unit = {
+      val sh = functions.TextFns.shingles(docs, 3)
+        .repartition(col("sh")).localCheckpoint()
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6).as("novelty"))
+        .orderBy("doc_id").count()
+    }
+    time("novelty-repart-sh") { noveltyV2() }
+    def noveltyV3(): Unit = {
+      val sh = docs
+        .select(col("doc_id"),
+          explode(expr("graft_shingle_hashes(split(text, ' '), 3)")).as("h"))
+        .repartition(col("h")).localCheckpoint()
+      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6).as("novelty"))
+        .orderBy("doc_id").count()
+    }
+    time("novelty-hashgrain") { noveltyV3() }
     spark.stop()
   }
 }

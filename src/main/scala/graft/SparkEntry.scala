@@ -32,6 +32,18 @@ object SparkEntry {
     // turns every tiny per-round aggregate into a full-width task wave
     // (measured: q_sssp 965 tasks vs ~60 with the flag)
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // Text corpora compress 10-50× relative to their EXPLODED work (tokens,
+    // shingles, bigrams), and Spark sizes splits by file bytes:
+    // maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    // bytes/parallelism)). The 4 MB openCost default floors the split size,
+    // so a 6 MB documents file scans as 2 tasks while its explode produces
+    // millions of rows — the whole text family ran 2-way parallel on a
+    // 32-core session (measured: the corpus-scan stage of q_lm_bigram was
+    // 2 tasks × 2.5 s). 128 KB keeps split count tracking the available
+    // parallelism for small-but-dense inputs; large fact files are
+    // unaffected (their bytes/parallelism term already dominates), and the
+    // extra task-launch cost on genuinely tiny files is microseconds.
+    spark.conf.set("spark.sql.files.openCostInBytes", (128 * 1024).toString)
     spark
   }
 

@@ -88,5 +88,33 @@ object Tables {
       case _        => df
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+
+  /** [[documents]] with the corpus SPREAD across the session's parallelism
+    * before heavy row-local work (shingle md5, token/bigram explode).
+    *
+    * Why it exists: a parquet ROW GROUP is the unit of scan parallelism, and
+    * this harness's tables are single-file single-row-group — so the scan
+    * stage, and everything codegen fuses into it, runs on ONE core no matter
+    * how many byte-splits Spark plans (measured: q_lm_bigram's corpus stages
+    * at 32 tasks had 31 empty ones; sum-of-task-time ≈ wall). Explode-heavy
+    * text operators put seconds of md5/explode CPU into that fused stage, so
+    * they pay it serially. Repartitioning the RAW (doc_id, text) rows first
+    * is one tiny shuffle (the corpus text itself, ~MBs compressed) that
+    * moves the expensive derivation onto every core.
+    *
+    * Stats-driven: below `minBytes` the serial work is sub-100 ms and the
+    * extra stage is pure floor — the threshold keeps small-SF plans
+    * unchanged (the catalog-statistics decision a real deployment makes; at
+    * 100 TB a corpus is thousands of row groups and this helper degrades to
+    * a no-op pass-through by the same test... except the single-giant-file
+    * export, which is exactly when you want the spread).
+    */
+  def documentsSpread(s: SparkSession, d: String, minBytes: Long = 2L << 20): DataFrame = {
+    val df = documents(s, d)
+    val local = new java.io.File(s"$d/documents.parquet".stripPrefix("file:"))
+    if (local.exists && local.length >= minBytes)
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

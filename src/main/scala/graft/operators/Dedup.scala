@@ -381,23 +381,36 @@ object Dedup {
     * can be no exact/near dup overall yet be 60% boilerplate shared with the
     * rest of the crawl).
     *
-    * Shape: the per-doc distinct shingle relation is materialized ONCE
-    * (localCheckpoint — it feeds the df aggregate AND the join probe, and,
-    * round-8 measured lesson, exchange reuse does not collapse such branches);
-    * shingle document frequency is one count aggregate keyed by shingle; the
-    * df attaches back by equi-join on the SAME shingle key (partitioning
-    * reused, no second wide shuffle), and the per-doc coverage is a final
-    * count/sum aggregate on doc_id. No doc lists are ever collected per
-    * shingle — a hot boilerplate shingle is one counter, never an array —
-    * so the plan has no per-key width hazard at any corpus size.
+    * Shape (round 15, HASHED-shingle grain like [[ngramNoveltyReport]]):
+    * per-doc distinct shingle HASHES from the native row-local
+    * `graft_shingle_hashes` (no explode→concat→global-DISTINCT shuffle of
+    * shingle strings), then ONE explicit repartition on the hash feeds both
+    * the df aggregate AND the join probe (checkpointed at (long, long)
+    * grain; round-8 measured lesson, exchange reuse does not collapse such
+    * branches); shingle document frequency is one count aggregate keyed by
+    * hash; the df attaches back by equi-join on the SAME partitioning (no
+    * second wide shuffle), and the per-doc coverage is a final count/sum
+    * aggregate on doc_id. No doc lists are ever collected per shingle — a
+    * hot boilerplate shingle is one counter, never an array — so the plan
+    * has no per-key width hazard at any corpus size. Hash grain merges
+    * colliding shingles (≈|shingles|²/2³³ expected pairs) — taken
+    * identically in the oracle.
     */
   /** The coverage computation behind `q_dup_coverage`, reusable on any
     * (doc_id, text) relation; see the Q's doc for the plan rationale.
     */
   def duplicatedShingleCoverage(documents: DataFrame): DataFrame = {
-    val sh = TextFns.shingles(documents, 2).localCheckpoint()
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("sh"))
+    val s = documents.sparkSession
+    val hashed =
+      if (s.catalog.functionExists("graft_shingle_hashes"))
+        documents.select(col("doc_id"),
+          explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
+      else
+        TextFns.shingles(documents, 2)
+          .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+    val sh = hashed.repartition(col("h")).localCheckpoint()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -409,14 +422,15 @@ object Dedup {
 
   val dupCoverage = Q(
     "q_dup_coverage",
-    (s, d) => duplicatedShingleCoverage(Tables.documents(s, d)),
-    s"""WITH sh AS (${TextFns.shinglesSql(2)}),
-       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+    (s, d) => duplicatedShingleCoverage(Tables.documentsSpread(s, d)),
+    s"""WITH shs AS (${TextFns.shinglesSql(2)}),
+       |sh AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM shs),
+       |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
        |SELECT s.doc_id, count(*) AS n_shingles,
        |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
        |       round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
        |             / count(*), 6) AS dup_frac
-       |FROM sh s JOIN df ON s.sh = df.sh
+       |FROM sh s JOIN df ON s.h = df.h
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 
@@ -435,18 +449,26 @@ object Dedup {
     "q_containment",
     (s, d) => {
       val cap = 100
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"))).as("sh"))
+      // hashed-shingle grain (round 15, the ngramNoveltyReport convention):
+      // the doc-list aggregate keys on the native row-local 32-bit shingle
+      // hash instead of the shingle STRING — and the hash is repartitioned
+      // BEFORE the aggregate (mostly-unique keys per split make the partial
+      // heap a full corpus probe buying no shuffle reduction). sf1: 7.2 s →
+      // the pair fan-out and verify are unchanged.
+      val sh = (if (s.catalog.functionExists("graft_shingle_hashes"))
+        Tables.documentsSpread(s, d).select(col("doc_id"),
+          explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
+      else
+        TextFns.shingles(Tables.documentsSpread(s, d), 2)
+          .select(col("doc_id"), TextFns.hash32(col("sh")).as("h")))
+        .repartition(col("h"))
       val docList =
         if (s.catalog.functionExists("graft_topk"))
           expr(s"transform(graft_topk(cast(doc_id as double), doc_id, ${cap + 1})," +
             " x -> x.id)")
         else expr("collect_set(doc_id)")
       val capped = sh
-        .groupBy("sh")
+        .groupBy("h")
         .agg(docList.as("docs"))
         .filter(size(col("docs")) <= cap)
         .select("docs")
@@ -470,11 +492,15 @@ object Dedup {
           when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained_doc"))
         .orderBy("d1", "d2")
     },
-    s"""WITH sh AS (${TextFns.shinglesSql(2, maxDf = Some(100))}),
+    s"""WITH shs AS (${TextFns.shinglesSql(2)}),
+       |sh0 AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM shs),
+       |sh AS (SELECT doc_id, h FROM (
+       |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh0)
+       |  WHERE df <= 100),
        |shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS shared
-       |  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+       |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.doc_id < s2.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 5)
        |SELECT d1, d2, CAST(shared AS BIGINT) AS shared_shingles,
        |       round(CAST(shared AS DOUBLE) / least(n1.n, n2.n), 6) AS containment,
@@ -980,12 +1006,21 @@ object Dedup {
     * content-freshness signal a crawl pipeline tracks per snapshot (a
     * collapsing novelty curve means the crawler is re-reading the web).
     *
-    * Scale shape: one groupBy(shingle) min-aggregate (map-side partial min —
-    * the "first occurrence" relation), one equi-join back on the shingle
-    * key, one per-doc aggregate. Nothing is broadcast (both sides are
-    * corpus-sized), nothing is collected; at 100 TB the first-occurrence
-    * relation is the thing you'd materialize next to the corpus and MERGE
-    * per snapshot, and this plan is exactly that build + probe.
+    * Scale shape (round 15, HASHED-shingle grain — the decontamination
+    * convention): the per-doc distinct shingle HASHES come out of the
+    * native `graft_shingle_hashes` expression — row-local md5-prefix work,
+    * no explode→concat→global-DISTINCT shuffle of shingle STRINGS (that
+    * build alone was 3.6 s of the old 10.3 s at sf1; the whole query is now
+    * 2.4 s). ONE explicit repartition on the 32-bit hash feeds both the
+    * first-occurrence min-aggregate AND the probe side of the join —
+    * checkpointed at (long, long) grain, everything above it
+    * partition-local until the final per-doc aggregate. Nothing is
+    * broadcast (both sides are corpus-sized), nothing is collected; at
+    * 100 TB the first-occurrence relation is the thing you'd materialize
+    * next to the corpus and MERGE per snapshot, and this plan is exactly
+    * that build + probe. Hash grain means colliding shingles (expected
+    * pairs ≈ |shingles|²/2³³) merge — the standard production trade, taken
+    * identically in the oracle, so the engines still agree bit-for-bit.
     */
   /** The novelty computation behind `q_ngram_novelty`, reusable on any
     * (doc_id, text) relation — factored so the planted-duplicate edge cases
@@ -993,13 +1028,17 @@ object Dedup {
     * unit-testable (NoveltySpec).
     */
   def ngramNoveltyReport(documents: DataFrame, n: Int = 3): DataFrame = {
-    // (doc_id, sh) distinct — checkpointed because it feeds BOTH the
-    // first-occurrence aggregate and the probe side of the join (the
-    // dupCoverage convention; exchange reuse does not collapse the two
-    // consumers' upstream explode)
-    val sh = TextFns.shingles(documents, n).localCheckpoint()
-    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, Seq("sh"))
+    val s = documents.sparkSession
+    val hashed =
+      if (s.catalog.functionExists("graft_shingle_hashes"))
+        documents.select(col("doc_id"),
+          explode(expr(s"graft_shingle_hashes(split(text, ' '), $n)")).as("h"))
+      else // extension-less session: same hashes via the column pipeline
+        TextFns.shingles(documents, n)
+          .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+    val sh = hashed.repartition(col("h")).localCheckpoint()
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -1012,14 +1051,15 @@ object Dedup {
 
   val ngramNovelty = Q(
     "q_ngram_novelty",
-    (s, d) => ngramNoveltyReport(Tables.documents(s, d)),
-    s"""WITH sh AS (${TextFns.shinglesSql(3)}),
-       |first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    (s, d) => ngramNoveltyReport(Tables.documentsSpread(s, d)),
+    s"""WITH shs AS (${TextFns.shinglesSql(3)}),
+       |sh AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM shs),
+       |first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
        |SELECT s.doc_id, count(*) AS n_shingles,
        |       CAST(sum(CASE WHEN first.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
        |       round(1.0 - CAST(sum(CASE WHEN first.first_doc < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
        |             / count(*), 6) AS novelty
-       |FROM sh s JOIN first ON s.sh = first.sh
+       |FROM sh s JOIN first ON s.h = first.h
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 

@@ -603,14 +603,24 @@ object Graph {
   val assocRules = Q(
     "q_assoc_rules",
     (s, d) => {
+      // repartition-first (the q_tpch_q18 layout argument): basket keys are
+      // unclustered, ~4 rows/order scattered over every split, so the
+      // map-side partial collect_set was a corpus-wide hash probe buying no
+      // shuffle reduction — ship the raw (orderkey, partkey) pairs straight
+      // to the basket build. Same for the pair counts: candidate pairs are
+      // ~unique per basket, so they shuffle raw to one 32-way aggregate.
       val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .localCheckpoint()
       val pairs = baskets
         .select(explode(expr(
           "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
-        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .repartition(col("u"), col("v"))
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("n_uv"))
         .orderBy(col("n_uv").desc, col("u"), col("v"))
         .limit(20)
