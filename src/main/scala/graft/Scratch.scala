@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only plan experiments; never run by the driver. */
 object Scratch {
@@ -16,50 +15,24 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.tune(spark)
-    def time(label: String)(fn: => Unit): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      for (i <- 1 to 3) {
+    val qs = Seq("q_mad", "q_triangles", "q_kl_drift", "q_gini", "q_active_users",
+      "q_tpch_q11", "q_degree_dist", "q_moving_avg", "q_histogram", "q_corr")
+    def runAll(): Double = {
+      var tot = 0.0
+      qs.foreach { n =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
-        fn
-        println(f"[scratch] $label pass$i ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        SparkEntry.queries(n)(spark, sfDir).count()
+        tot += (System.nanoTime() - t0) / 1e9
       }
+      tot
     }
-    val docs = Tables.documents(spark, sfDir)
-    time("novelty-current") {
-      operators.Dedup.ngramNoveltyReport(docs).count()
+    runAll() // warm
+    for (pass <- 1 to 4) {
+      val t = runAll()
+      println(f"[scratch] pass$pass openCost=${spark.conf.get("spark.sql.files.openCostInBytes")} total=${t}%.2fs")
     }
-    time("novelty-shingles-only") {
-      functions.TextFns.shingles(docs, 3).localCheckpoint().count()
-    }
-    def noveltyV2(): Unit = {
-      val sh = functions.TextFns.shingles(docs, 3)
-        .repartition(col("sh")).localCheckpoint()
-      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
-        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
-          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6).as("novelty"))
-        .orderBy("doc_id").count()
-    }
-    time("novelty-repart-sh") { noveltyV2() }
-    def noveltyV3(): Unit = {
-      val sh = docs
-        .select(col("doc_id"),
-          explode(expr("graft_shingle_hashes(split(text, ' '), 3)")).as("h"))
-        .repartition(col("h")).localCheckpoint()
-      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, Seq("h"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
-        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
-          round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6).as("novelty"))
-        .orderBy("doc_id").count()
-    }
-    time("novelty-hashgrain") { noveltyV3() }
     spark.stop()
   }
 }

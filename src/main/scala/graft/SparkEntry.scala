@@ -43,7 +43,9 @@ object SparkEntry {
     // parallelism for small-but-dense inputs; large fact files are
     // unaffected (their bytes/parallelism term already dominates), and the
     // extra task-launch cost on genuinely tiny files is microseconds.
-    spark.conf.set("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+    // (SPARK_GRAFT_OPENCOST is a dev A/B knob; the driver never sets it)
+    spark.conf.set("spark.sql.files.openCostInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_OPENCOST", (128 * 1024).toString))
     spark
   }
 

@@ -328,7 +328,15 @@ object Analytics {
       val ivB = iv.select(col("iv_id"), col("ws"), col("we"),
         explode(expr(s"sequence(ws div $HourNs, we div $HourNs)")).as("bkt"))
       val evB = ev.select(col("ts"), expr(s"ts div $HourNs").as("bkt"))
-      ivB.join(evB, Seq("bkt"))
+      // both sides pinned to an explicit bucket partitioning: the shuffled
+      // INPUTS are small (16 MB of (ts, bkt) pairs), so AQE's byte-based
+      // coalescing folds the join to 1-2 tasks — but the join's OUTPUT
+      // fans out ~30× (every event matches every overlapping interval
+      // before the exact-range refine), and that post-join explosion is
+      // invisible to the coalescer (measured: ~9 s of join CPU at
+      // concurrency ~1.8). A user repartition is exempt from AQE
+      // coalescing, so the verify stage keeps full width.
+      ivB.repartition(col("bkt")).join(evB.repartition(col("bkt")), Seq("bkt"))
         .filter(col("ts") >= col("ws") && col("ts") < col("we"))
         .groupBy("iv_id").agg(count(lit(1)).as("n_events"))
         .orderBy("iv_id")

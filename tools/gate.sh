@@ -16,6 +16,10 @@ sbt -batch "testOnly graft.ContractSpec" 2>&1 | tail -5 | grep -q "All tests pas
   || { echo "GATE FAIL: ContractSpec"; exit 1; }
 echo "GATE OK: ContractSpec (all queries run at sf0.001; registry<->oracle<->SURVEY parity)"
 
+# Advisory: flag certified keys whose impl files changed since the last sf1
+# cert (round-14 lesson — stale sf1 rows shipped unflagged). Non-fatal.
+python3 tools/sf1_stale.py || echo "GATE WARN: sf1 certification is stale for the keys above"
+
 if [[ "${1:-}" == "full" ]]; then
   rm -rf /tmp/gate_vout
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_vout" >/dev/null 2>&1
