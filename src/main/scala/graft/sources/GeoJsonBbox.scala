@@ -108,15 +108,18 @@ object GeoJsonBbox {
   /** Read a document's sidecar envelope; None when absent/unreadable OR
     * STALE (the document is then read normally — stats are advisory, never
     * a correctness gate). Staleness check: the sidecar records the document's
-    * CONTENT STAMP (byte length + mtime) at index time; a mismatch with the
-    * current document means the document was rewritten after indexing and a
-    * stale envelope could wrongly prune a document whose NEW features match
-    * the pushed predicates — degrade to "read the document". The stamp
-    * (rather than a relative mtime comparison) also catches an in-place
-    * rewrite landing in the same filesystem mtime tick as the sidecar and a
-    * backdated rewrite of a future-dated document, which relative-mtime
-    * ordering reads as fresh. Legacy 4-field sidecars (no stamp) are treated
-    * as stale.
+    * CONTENT STAMP (byte length + mtime + a bounded head/tail CRC) at index
+    * time; a mismatch with the current document means the document was
+    * rewritten after indexing and a stale envelope could wrongly prune a
+    * document whose NEW features match the pushed predicates — degrade to
+    * "read the document". The stamp (rather than a relative mtime
+    * comparison) also catches an in-place rewrite landing in the same
+    * filesystem mtime tick as the sidecar and a backdated rewrite of a
+    * future-dated document, which relative-mtime ordering reads as fresh;
+    * the CRC closes the last edge (a SAME-LENGTH rewrite pinned back to the
+    * recorded mtime) while staying O(128 KB) per validation — a full-content
+    * hash would re-read the document the sidecar exists to avoid. Legacy
+    * 4/6-field sidecars (no stamp / no CRC) are treated as stale.
     */
   def sidecarOf(docPath: String): Option[Env] =
     try {
@@ -126,24 +129,52 @@ object GeoJsonBbox {
       else {
         val parts = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
-        if (parts.length != 6) None
+        if (parts.length != 7) None
         else if (doc.isFile &&
-          (parts(4).toLong != doc.length || parts(5).toLong != doc.lastModified)) None
+          (parts(4).toLong != doc.length || parts(5).toLong != doc.lastModified ||
+            parts(6).toLong != headTailCrc(doc))) None
         else Some((parts(0).toDouble, parts(1).toDouble,
           parts(2).toDouble, parts(3).toDouble))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** CRC32 over the first and last 64 KB of the document — a bounded-I/O
+    * content fingerprint (≤128 KB read however large the document), enough
+    * to catch any realistic same-length in-place rewrite; combined with the
+    * exact length it can only be defeated by a rewrite that preserves
+    * length, mtime, AND both 64 KB windows.
+    */
+  private def headTailCrc(doc: java.io.File): Long = {
+    val crc = new java.util.zip.CRC32()
+    val raf = new java.io.RandomAccessFile(doc, "r")
+    try {
+      val len = raf.length()
+      val head = new Array[Byte](math.min(len, 65536L).toInt)
+      raf.readFully(head)
+      crc.update(head)
+      if (len > 65536L) {
+        val tailStart = math.max(65536L, len - 65536L)
+        val tail = new Array[Byte]((len - tailStart).toInt)
+        raf.seek(tailStart)
+        raf.readFully(tail)
+        crc.update(tail)
+      }
+      crc.getValue
+    } finally raf.close()
+  }
+
   /** Write a sidecar for an envelope (the sink path and [[index]] share it):
     * the four envelope bounds plus the document's content stamp (byte
-    * length, mtime) that [[sidecarOf]] validates against.
+    * length, mtime, head/tail CRC) that [[sidecarOf]] validates against.
     */
   def writeSidecar(docPath: String, env: Env): Unit = {
     val sc = sidecarFile(docPath)
     val doc = docFile(docPath)
-    val (len, mt) = if (doc.isFile) (doc.length, doc.lastModified) else (0L, 0L)
+    val (len, mt, crc) =
+      if (doc.isFile) (doc.length, doc.lastModified, headTailCrc(doc))
+      else (0L, 0L, 0L)
     java.nio.file.Files.write(sc.toPath,
-      s"${env._1},${env._2},${env._3},${env._4},$len,$mt".getBytes(
+      s"${env._1},${env._2},${env._3},${env._4},$len,$mt,$crc".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     ()
   }

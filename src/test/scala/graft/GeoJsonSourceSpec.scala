@@ -471,6 +471,22 @@ class GeoJsonSourceSpec extends SparkSpec {
     assert(f.setLastModified(f.lastModified - 5000))
     assert(graft.sources.GeoJsonBbox.sidecarOf(doc).isEmpty,
       "a backdated rewrite must read as stale (recorded mtime differs)")
+    // (c) the last edge: SAME-length rewrite pinned back to the recorded
+    // mtime — length and mtime both match, only the head/tail CRC differs
+    assert(graft.sources.GeoJsonBbox.index(doc).nonEmpty)
+    val mt = f.lastModified
+    val bytes = Files.readAllBytes(f.toPath)
+    // flip digits in place: '5' -> '9' keeps every coordinate the same width
+    // (the content at this point is the case-(a) rewrite, whose coordinates
+    // are 5xxx/8xxx)
+    val rewritten = new String(bytes, "UTF-8").replace("5", "9")
+    assert(rewritten != new String(bytes, "UTF-8"), "fixture must change content")
+    assert(rewritten.length == bytes.length)
+    Files.write(f.toPath, rewritten.getBytes("UTF-8"))
+    assert(f.length == bytes.length, "fixture must preserve byte length")
+    assert(f.setLastModified(mt))
+    assert(graft.sources.GeoJsonBbox.sidecarOf(doc).isEmpty,
+      "a same-length same-mtime rewrite must read as stale (CRC differs)")
   }
 
   test("the geojson sink writes .bbox sidecars its own scan prunes on") {
