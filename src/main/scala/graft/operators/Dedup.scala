@@ -165,7 +165,7 @@ object Dedup {
     // registered query leaves executor blocks pinned. No-op on a cache hit.
     var release: () => Unit = () => ()
     try Warehouse.table(s, "neardup_pairs", key) {
-      val (pairs, rel) = minhashNearDupsWithCache(Tables.documents(s, d), 2, 32, 4, 0.5)
+      val (pairs, rel) = minhashNearDupsWithCache(Tables.documentsSpread(s, d), 2, 32, 4, 0.5)
       release = rel
       pairs
     } finally release()
@@ -178,7 +178,7 @@ object Dedup {
     */
   val minhash = Q(
     "q_dedup_minhash",
-    (s, d) => minhashNearDups(Tables.documents(s, d), 2, 32, 4, 0.5),
+    (s, d) => minhashNearDups(Tables.documentsSpread(s, d), 2, 32, 4, 0.5),
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
        |hashed AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
        |shn AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
@@ -324,7 +324,7 @@ object Dedup {
       val cap = 100
       // per-doc dedup is ROW-LOCAL (array_distinct) — no shuffle spent on a
       // global DISTINCT; the one wide shuffle is the doc-list aggregate
-      val sh = Tables.documents(s, d)
+      val sh = Tables.documentsSpread(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), explode(array_distinct(expr(
@@ -873,7 +873,7 @@ object Dedup {
 
   val sourceOverlap = Q(
     "q_source_overlap",
-    (s, d) => sourceOverlapMatrix(Tables.documents(s, d)),
+    (s, d) => sourceOverlapMatrix(Tables.documentsSpread(s, d)),
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
        |ss AS (SELECT DISTINCT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)),
        |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
@@ -932,7 +932,7 @@ object Dedup {
   val phashPairs = Q(
     "q_phash_pairs",
     (s, d) => {
-      val sig = minhashSignatures(Tables.documents(s, d), 2, 32)
+      val sig = minhashSignatures(Tables.documentsSpread(s, d), 2, 32)
         .select(col("doc_id"), expr(
           """aggregate(sequence(0, 31), 0L, (acc, j) ->
             |  acc + IF(element_at(sig, CAST(j AS INT) + 1)
@@ -1112,7 +1112,7 @@ object Dedup {
     "q_minhash_error",
     // cache lifetime owned by the Bench/Verify clearCache convention here;
     // mid-pipeline callers use [[minhashErrorWithCache]]'s release handle
-    (s, d) => minhashErrorWithCache(Tables.documents(s, d))._1,
+    (s, d) => minhashErrorWithCache(Tables.documentsSpread(s, d))._1,
     s"""WITH sh AS (${TextFns.shinglesSql(2)}),
        |hashed AS (SELECT DISTINCT doc_id, ${TextFns.hash32Sql("sh")} AS h FROM sh),
        |shn AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),

@@ -646,7 +646,7 @@ object TextAnalysis {
   val tfidf = Q(
     "q_tfidf",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      val toks = Tables.documentsSpread(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
