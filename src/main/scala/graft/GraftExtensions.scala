@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, SortedIntersectCount, TopKAgg, VectorCosine}
+import graft.plans.{AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, SimhashSig64, SortedIntersectCount, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -71,6 +71,11 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimhashSig(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimhashSig64].getName, "graft_simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimhashSig64(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom"),
       new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),

@@ -112,7 +112,14 @@ object Tables {
   def documentsSpread(s: SparkSession, d: String, minBytes: Long = 2L << 20): DataFrame = {
     val df = documents(s, d)
     val local = new java.io.File(s"$d/documents.parquet".stripPrefix("file:"))
-    if (local.exists && local.length >= minBytes)
+    // For directory-layout parquet (standard Spark write output) File.length
+    // is the directory inode size (~4 KB) — sum the data files instead so a
+    // large multi-file corpus still clears the threshold.
+    val bytes =
+      if (local.isDirectory)
+        Option(local.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+      else local.length
+    if (local.exists && bytes >= minBytes)
       df.repartition(s.sparkContext.defaultParallelism)
     else df
   }

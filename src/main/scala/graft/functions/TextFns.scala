@@ -18,7 +18,15 @@ object TextFns {
   /** 28-bit hash (used to derive permutation coefficients). */
   def hash28(c: Column): Column = conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
+  /** A SECOND independent 32-bit hash family from the SAME md5 digest: hex
+    * chars 9–16 (bytes 4–7). md5 output bytes are independent, so (hash32,
+    * hash32b) is an independent pair at zero extra hashing cost — the hi half
+    * of the 64-bit simhash.
+    */
+  def hash32b(c: Column): Column = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   def hash32Sql(e: String): String = s"(('0x'||substr(md5($e),1,8))::BIGINT)"
+  def hash32bSql(e: String): String = s"(('0x'||substr(md5($e),9,8))::BIGINT)"
   def hash28Sql(e: String): String = s"(('0x'||substr(md5($e),1,7))::BIGINT)"
 
   /** JVM-side twin of [[hash32]]/[[hash28]] for plan-build-time constants

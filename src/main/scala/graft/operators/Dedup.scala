@@ -266,42 +266,128 @@ object Dedup {
     s"WITH $simhashCte SELECT doc_id, simhash FROM sh ORDER BY doc_id"
   )
 
-  /** SimHash near-dup pairs (Manku-style): split the 32-bit hash into 4
-    * 8-bit blocks; by pigeonhole, any pair within hamming distance 3 shares at
-    * least one intact block, so candidates come from an equi-join on
-    * (block index, block value) — never all-pairs. Exact hamming (bit_count of
-    * xor) verifies candidates.
+  /** DuckDB CTE body producing `sh64(doc_id, lo, hi)` — the 64-bit oracle
+    * twin of [[simhash64Df]] (lo = md5 chars 1–8 family, hi = chars 9–16).
+    */
+  private val simhash64Cte: String =
+    s"""tc64 AS (
+       |  SELECT doc_id, tok, count(*) AS c,
+       |         ${TextFns.hash32Sql("tok")} AS hlo, ${TextFns.hash32bSql("tok")} AS hhi
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |bits64 AS (
+       |  SELECT doc_id, j,
+       |         sum(c * ((CAST(floor(hlo/power(2,j)) AS BIGINT) % 2)*2 - 1)) AS slo,
+       |         sum(c * ((CAST(floor(hhi/power(2,j)) AS BIGINT) % 2)*2 - 1)) AS shi
+       |  FROM tc64, unnest(range(32)) AS u(j) GROUP BY doc_id, j),
+       |sh64 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN slo > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+       |         CAST(sum(CASE WHEN shi > 0 THEN CAST(power(2,j) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits64 GROUP BY doc_id)""".stripMargin
+
+  /** 64-bit SimHash as TWO 32-bit halves `(doc_id, lo, hi)`.
+    *
+    * Two-halves representation: a set bit 63 would flip the long's sign and
+    * poison the floor/pow band arithmetic on both engines; with each half in
+    * [0, 2^32) everything is plain positive arithmetic, identical in DuckDB.
+    * `lo` is bit-for-bit the 32-bit [[simhashDf]] value (md5 bytes 0–3 token
+    * hash); `hi` weights by bytes 4–7 of the SAME digest — an independent
+    * family at zero extra hashing (SimhashSigSpec pins native == aggregate).
+    */
+  def simhash64Df(documents: DataFrame): DataFrame =
+    if (documents.sparkSession.catalog.functionExists("graft_simhash64"))
+      documents.filter(col("text").isNotNull)
+        .select(col("doc_id"), expr("graft_simhash64(split(text, ' '))").as("s64"))
+        .select(col("doc_id"), col("s64").getItem(0).as("lo"), col("s64").getItem(1).as("hi"))
+    else simhash64AggDf(documents)
+
+  /** The built-in-only twin of [[simhash64Df]]: one hash aggregate with 64
+    * exact-integer sum columns (32 per half) — same single-aggregate shape as
+    * [[simhashAggDf]], never a 64-way bit-position explode.
+    */
+  def simhash64AggDf(documents: DataFrame): DataFrame = {
+    val tc = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        TextFns.hash32(col("tok")).as("hlo"), TextFns.hash32b(col("tok")).as("hhi"))
+    def bitSums(h: String, p: String) = (0 until 32).map { j =>
+      val bit = floor(col(h) / lit(math.pow(2.0, j))).cast("long") % 2L
+      sum(col("c") * (bit * 2L - 1L)).as(s"$p$j")
+    }
+    val sums = bitSums("hlo", "a") ++ bitSums("hhi", "b")
+    def half(p: String) =
+      (0 until 32).map(j => when(col(s"$p$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    tc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), half("a").as("lo"), half("b").as("hi"))
+  }
+
+  /** Manku block-width solver (the simhash twin of the minhash S-curve
+    * solver): covering hamming radius `r` needs `r + 1` blocks (pigeonhole —
+    * ≤ r flipped bits leave at least one of r+1 blocks intact), and expected
+    * bucket occupancy n / 2^w stays at `targetOccupancy` when
+    * w ≥ log2(n / targetOccupancy). Candidate volume per band is
+    * Σ occ²/2 ≈ n²/2^(w+1), so the registered (4 blocks × 16 bits over
+    * 64 bits, r = 3) config keeps occupancy O(1) to n ≈ 65k docs per
+    * partition-of-corpus and is 256× below the old 8-bit config's n²/128
+    * fan-out; beyond that, widen w (or shard the corpus) by this formula.
+    */
+  def simhashBlockBits(n: Long, targetOccupancy: Double = 1.0): Int =
+    math.min(32, math.max(8,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+
+  /** SimHash near-dup pairs (Manku-style): 64-bit signature split into 4
+    * 16-bit blocks; by pigeonhole, any pair within hamming distance 3 shares
+    * at least one intact block, so candidates come from an equi-join on
+    * (block index, block value) — never all-pairs. Exact hamming (bit_count
+    * of xor, summed over the halves) verifies candidates.
+    *
+    * Round 16: widened from 32-bit/8-bit blocks — ~n/256 docs per (k, bb)
+    * bucket made candidates grow ≈ n²/128 (19M verify pairs at 50k docs,
+    * 90.3 s at sf1, the registry's last quadratic-fan-out hazard). 16-bit
+    * blocks cut per-bucket occupancy 256× (see [[simhashBlockBits]]); the
+    * wider signature also halves the false-candidate rate per bit.
     */
   val simhashPairs = Q(
     "q_simhash_pairs",
     (s, d) => {
-      // simhash is carried through the block join (not re-joined afterwards);
+      // signatures carried through the block join (not re-joined afterwards);
       // localCheckpoint (not persist) materializes the shared subplan ONCE
       // and — unlike a cached plan, which AQE won't re-plan inside — leaves
       // the self-join above it fully visible to AQE's runtime re-planning
-      val blocks = simhashDf(Tables.documents(s, d)).localCheckpoint()
-        .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("k"))
-        .select(col("doc_id"), col("simhash"), col("k"),
-          (floor(col("simhash") / pow(lit(2.0), col("k") * 8)).cast("long") % 256L).as("bb"))
-      val hamming = bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long")
-      blocks.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("k"), col("bb"))
-        .join(blocks.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("k"), col("bb")),
-          Seq("k", "bb"))
+      val blocks = simhash64Df(Tables.documents(s, d)).localCheckpoint()
+        .select(col("doc_id"), col("lo"), col("hi"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("doc_id"), col("lo"), col("hi"), col("k"),
+          (floor(when(col("k") < 2, col("lo")).otherwise(col("hi")) /
+            pow(lit(2.0), (col("k") % 2) * 16)).cast("long") % 65536L).as("bb"))
+      val hamming = (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+        bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long")
+      blocks.select(col("doc_id").as("d1"), col("lo").as("lo1"), col("hi").as("hi1"),
+          col("k"), col("bb"))
+        .join(blocks.select(col("doc_id").as("d2"), col("lo").as("lo2"),
+          col("hi").as("hi2"), col("k"), col("bb")), Seq("k", "bb"))
         .filter(col("d1") < col("d2") && hamming <= 3L)
         .select(col("d1"), col("d2"), hamming.as("hamming"))
         .distinct()
         .orderBy("d1", "d2")
     },
-    s"""WITH $simhashCte,
+    s"""WITH $simhash64Cte,
        |blocks AS (
-       |  SELECT doc_id, k, CAST(floor(simhash/power(2, k*8)) AS BIGINT) % 256 AS bb
-       |  FROM sh, unnest(range(4)) AS u(k)),
+       |  SELECT doc_id, k,
+       |         CAST(floor((CASE WHEN k < 2 THEN lo ELSE hi END)
+       |                    / power(2, (k % 2) * 16)) AS BIGINT) % 65536 AS bb
+       |  FROM sh64, unnest(range(4)) AS u(k)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM blocks a JOIN blocks b ON a.k=b.k AND a.bb=b.bb AND a.doc_id < b.doc_id)
-       |SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
-       |FROM cand JOIN sh s1 ON s1.doc_id=d1 JOIN sh s2 ON s2.doc_id=d2
-       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+       |SELECT d1, d2,
+       |       CAST(bit_count(xor(s1.lo, s2.lo)) + bit_count(xor(s1.hi, s2.hi)) AS BIGINT) AS hamming
+       |FROM cand JOIN sh64 s1 ON s1.doc_id=d1 JOIN sh64 s2 ON s2.doc_id=d2
+       |WHERE bit_count(xor(s1.lo, s2.lo)) + bit_count(xor(s1.hi, s2.hi)) <= 3
        |ORDER BY d1, d2""".stripMargin
   )
 
@@ -406,8 +492,12 @@ object Dedup {
         documents.select(col("doc_id"),
           explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
       else
+        // dropDuplicates matches the native path (graft_shingle_hashes dedups
+        // hashes per doc) and the DISTINCT-on-hash oracle: two distinct
+        // shingles in one doc colliding on the 32-bit hash must count once.
         TextFns.shingles(documents, 2)
           .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+          .dropDuplicates("doc_id", "h")
     val sh = hashed.repartition(col("h")).localCheckpoint()
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(df, Seq("h"))
@@ -459,8 +549,11 @@ object Dedup {
         Tables.documentsSpread(s, d).select(col("doc_id"),
           explode(expr("graft_shingle_hashes(split(text, ' '), 2)")).as("h"))
       else
+        // per-doc hash dedup, matching the native path and the oracle's
+        // DISTINCT doc_id, h (32-bit collisions inside one doc count once)
         TextFns.shingles(Tables.documentsSpread(s, d), 2)
-          .select(col("doc_id"), TextFns.hash32(col("sh")).as("h")))
+          .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+          .dropDuplicates("doc_id", "h"))
         .repartition(col("h"))
       val docList =
         if (s.catalog.functionExists("graft_topk"))
@@ -1033,9 +1126,12 @@ object Dedup {
       if (s.catalog.functionExists("graft_shingle_hashes"))
         documents.select(col("doc_id"),
           explode(expr(s"graft_shingle_hashes(split(text, ' '), $n)")).as("h"))
-      else // extension-less session: same hashes via the column pipeline
+      else // extension-less session: same hashes via the column pipeline;
+        // dropDuplicates matches the native per-doc hash dedup and the
+        // oracle's DISTINCT doc_id, h (in-doc 32-bit collisions count once)
         TextFns.shingles(documents, n)
           .select(col("doc_id"), TextFns.hash32(col("sh")).as("h"))
+          .dropDuplicates("doc_id", "h")
     val sh = hashed.repartition(col("h")).localCheckpoint()
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("h"))

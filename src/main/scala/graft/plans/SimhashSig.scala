@@ -46,6 +46,44 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash as TWO 32-bit halves: `graft_simhash64(tokens)` →
+  * `array<long> [lo, hi]`.
+  *
+  * Why two halves instead of one 64-bit long: a set bit 63 flips the sign,
+  * and every downstream consumer (band extraction by floor/pow division, the
+  * DuckDB oracle's `power(2,j)` arithmetic) would need signed-overflow
+  * special cases on both engines. Keeping each half in [0, 2^32) makes the
+  * band math plain positive arithmetic, identical in Spark and DuckDB.
+  *
+  * The second hash family is FREE: `lo` bits come from md5 bytes 0–3 (the
+  * exact TextFns.hash32 / graft_simhash hash), `hi` bits from bytes 4–7 of
+  * the SAME digest (oracle twin: `('0x'||substr(md5(tok),9,8))::BIGINT`) —
+  * md5 bytes are independent, so this is a second independent 32-bit
+  * function at zero extra hashing cost. Lo therefore equals graft_simhash
+  * bit-for-bit (SimhashSigSpec enforces it).
+  */
+case class SimhashSig64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashFn.compute64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.SimhashFn.compute64($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimhashFn {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -92,5 +130,51 @@ object SimhashFn {
       j += 1
     }
     sim
+  }
+
+  /** 64-bit variant: [lo, hi], each a non-negative 32-bit value in a long.
+    * lo bits weight by md5 bytes 0–3 (== [[compute]]), hi bits by bytes 4–7.
+    */
+  def compute64(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    val lo = new Array[Long](32)
+    val hi = new Array[Long](32)
+    val digest = md.get()
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      digest.reset()
+      val b = digest.digest(e.getKey.getBytes)
+      val hlo = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      val hhi = ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+        ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+      val c = e.getValue.toLong
+      var j = 0
+      while (j < 32) {
+        lo(j) += c * (((hlo >> j) & 1L) * 2L - 1L)
+        hi(j) += c * (((hhi >> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+    }
+    var simLo = 0L
+    var simHi = 0L
+    var j = 0
+    while (j < 32) {
+      if (lo(j) > 0L) simLo |= 1L << j
+      if (hi(j) > 0L) simHi |= 1L << j
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(simLo, simHi))
   }
 }

@@ -170,9 +170,14 @@ object GeoJsonBbox {
   def writeSidecar(docPath: String, env: Env): Unit = {
     val sc = sidecarFile(docPath)
     val doc = docFile(docPath)
+    // A document deleted/replaced between isFile and the CRC read must not
+    // fail the sink's per-file commit — fall back to the no-stamp tuple (the
+    // sidecar then just reads as stale, same as the doc-absent case).
     val (len, mt, crc) =
-      if (doc.isFile) (doc.length, doc.lastModified, headTailCrc(doc))
-      else (0L, 0L, 0L)
+      try {
+        if (doc.isFile) (doc.length, doc.lastModified, headTailCrc(doc))
+        else (0L, 0L, 0L)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L, 0L) }
     java.nio.file.Files.write(sc.toPath,
       s"${env._1},${env._2},${env._3},${env._4},$len,$mt,$crc".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))

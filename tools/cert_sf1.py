@@ -34,6 +34,13 @@ for line in run.stdout.splitlines():
     queries[name] = q
 n_pass = sum(1 for q in queries.values() if q["status"] == "pass")
 n_fail = len(queries) - n_pass
+# A crashed check.py or a parse producing zero queries must NOT write a
+# fresh-looking empty cert (it would mute sf1_stale.py's staleness signal).
+if run.returncode not in (0, 1) or not queries:
+    sys.stderr.write(
+        f"cert_sf1: check.py rc={run.returncode}, parsed {len(queries)} "
+        "queries — refusing to write a cert\n")
+    sys.exit(2)
 head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
                       capture_output=True, text=True).stdout.strip()
 doc = {

@@ -12,7 +12,9 @@ echo "[pair] spark bench done rc=$rc $(date -u +%H:%M:%S)"
 # PREVIOUS run's BENCH_FULL.json under this run's name and look fresh.
 # Non-default protocols (WARM_PASSES/ONLY/NOAQE) write BENCH_FULL.dev.json.
 src=BENCH_FULL.json
-[ -n "${SPARK_GRAFT_WARM_PASSES:-}" ] && [ "${SPARK_GRAFT_WARM_PASSES}" != 3 ] && src=BENCH_FULL.dev.json
+{ [ -n "${SPARK_GRAFT_WARM_PASSES:-}" ] && [ "${SPARK_GRAFT_WARM_PASSES}" != 3 ]; } \
+  || [ -n "${SPARK_GRAFT_ONLY:-}" ] || [ -n "${SPARK_GRAFT_NOAQE:-}" ] \
+  && src=BENCH_FULL.dev.json
 [ $rc -eq 0 ] && cp "$src" /tmp/bench_sf1_spark.json
 echo "[pair] duckdb default start $(date -u +%H:%M:%S)"
 python3 tools/oracle_bench.py "$SPARK_GRAFT_SF_DIR" /tmp/vout_sql/oracle_sql.json \
