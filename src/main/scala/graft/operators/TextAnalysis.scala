@@ -436,17 +436,29 @@ object TextAnalysis {
     * so the corpus-sized side must be allowed to shuffle-join.
     */
   private def docPpl(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val toks = Tables.documentsSpread(s, d)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // ONE cached token-array relation feeds the vocab aggregate and the
+    // scoring probe (the q_lm_bigram r15 pattern — previously the corpus
+    // scan + split + explode ran for each of the three consumers), the
+    // corpus total comes from sum(vocab.c) at vocabulary grain (no second
+    // corpus scan), and the log-prob is computed ONCE per DISTINCT token —
+    // the model join runs at vocabulary grain, the corpus pays one join
+    // against the finished (tok, lp) model. Same rounded values: lp depends
+    // only on (c, total).
+    val docs = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t")).persist()
+    val toks = docs.select(col("doc_id"), explode(col("t")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint()
+    val total = vocab.agg(sum(col("c")).as("total"))
     val lp = round(log(col("c").cast("double") / col("total").cast("double")), 9)
       .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+    val model = vocab.crossJoin(broadcast(total)).select(col("tok"), lp.as("lp"))
     val meanLp = round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-    toks
-      .join(vocab, Seq("tok"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"), lp.as("lp"))
+    // repartition by doc_id before the per-doc aggregate: token occurrences
+    // of every doc are spread across all tok-hash partitions, so the
+    // map-side partial barely reduces and AQE coalesces the small-looking
+    // partial shuffle into one final task (the q_lm_bigram measured lesson)
+    toks.join(model, Seq("tok"))
+      .repartition(col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), meanLp.as("mean_logprob"),
         round(exp(-meanLp), 6).as("ppl"))
