@@ -978,10 +978,12 @@ object Analytics {
   val transitions = Q(
     "q_transitions",
     (s, d) => {
+      // numeric-pair window order == the oracle's zero-padded printf key
+      // (non-negative, fixed width) without a 41-char string per event row
       val ev = Tables.events(s, d).select(
         col("user_id"), col("event_type"),
-        format_string("%020d-%020d", expr("ts DIV 1000"), col("event_id")).as("k"))
-      val w = Window.partitionBy("user_id").orderBy("k")
+        expr("ts DIV 1000").as("tus"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
       val pairs = ev
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
@@ -1072,10 +1074,12 @@ object Analytics {
     * tus, event_id); see the Q's doc for the single-exchange plan argument.
     */
   def scd2History(changelog: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val ev = changelog.select(
-      col("user_id"), col("event_type"), col("tus"),
-      format_string("%020d-%020d", col("tus"), col("event_id")).as("k"))
-    val w = Window.partitionBy("user_id").orderBy("k")
+    // order by the two numeric columns directly: identical to the oracle's
+    // zero-padded printf key (both values non-negative, the padding covers
+    // the full range, so lexicographic == numeric-pair order) without
+    // formatting a 41-char string per event row or sorting on it
+    val ev = changelog.select(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val runs = ev
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(w).isNull ||

@@ -302,9 +302,10 @@ object Behavior {
     * (event_id, tus, value); see the Q's doc for the plan argument.
     */
   def prefixSum(ev0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // numeric-pair window order == the oracle's zero-padded printf key
+    // (non-negative, fixed width) without formatting a string per row
     val ev = ev0.select(
       col("event_id"), col("tus"), col("value"),
-      format_string("%020d-%020d", col("tus"), col("event_id")).as("k"),
       expr("tus DIV 3600000000").as("b"))
     val bsums = ev.groupBy(col("b")).agg(sum(dec(col("value"))).as("bs"))
       .orderBy("b").collect()
@@ -316,7 +317,7 @@ object Behavior {
     import s.implicits._
     val off = offsets.toDF("b", "off")
       .select(col("b"), col("off").cast(DecimalType(28, 6)).as("off"))
-    val w = Window.partitionBy("b").orderBy("k")
+    val w = Window.partitionBy("b").orderBy("tus", "event_id")
     ev.join(broadcast(off), Seq("b"))
       .withColumn("cum", sum(dec(col("value"))).over(w))
       .select(col("event_id"), col("tus"), col("value"),
