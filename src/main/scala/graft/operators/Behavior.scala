@@ -50,46 +50,63 @@ object Behavior {
     * ranges as a broadcast nested loop. Returns one row, `bs` =
     * array<long> of cutm_j ordered by j.
     */
-  private[graft] def exactCutsM(gx: DataFrame, m: Int): DataFrame = {
-    val tied = gx.groupBy(col("x")).agg(count(lit(1)).as("c"))
+  private[graft] def exactCutsM(gx: DataFrame, m: Int): DataFrame =
+    exactCutsByMetric(gx.withColumn("metric", lit("_")), m).select(col("bs"))
+
+  /** [[exactCutsM]] for SEVERAL metrics in one pass over a (metric, x)
+    * relation — returns one (metric, bs) row per metric. [[rfm]] previously
+    * ran the single-metric form three times (6 eager localCheckpoints = 6
+    * blocking stage floors on a sub-second input); the metric key folds the
+    * three models into the same two checkpoints, every aggregate/window/
+    * join just gaining `metric` in its key. All model relations stay
+    * bounded (≤ 16·metrics bucket rows, ≤ 2(m−1)·metrics positions), so
+    * every model join still broadcasts.
+    */
+  private[graft] def exactCutsByMetric(gxm: DataFrame, m: Int): DataFrame = {
+    val tied = gxm.groupBy(col("metric"), col("x")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds per-bucket counts AND within-bucket ranks
     val b15 = (1 to 15).map(k => s"${k / 16.0}D").mkString("array(", ", ", ")")
-    val bcuts = gx.agg(expr(s"approx_percentile(CAST(x AS DOUBLE), $b15)").as("bs15"))
-    val a = tied.crossJoin(broadcast(bcuts))
-      .select(col("x"), col("c"),
+    val bcuts = gxm.groupBy(col("metric"))
+      .agg(expr(s"approx_percentile(CAST(x AS DOUBLE), $b15)").as("bs15"))
+    val a = tied.join(broadcast(bcuts), Seq("metric"))
+      .select(col("metric"), col("x"), col("c"),
         boundaryBin(col("x").cast("double"), col("bs15"), 15).as("bkt"))
       .localCheckpoint()
     // level 1: bucket counts → exclusive offsets via a broadcast non-equi
-    // self-join over the bounded ≤16-row grain (no global window)
-    val per = a.groupBy(col("bkt")).agg(sum(col("c")).as("cnt"))
+    // self-join over the bounded ≤16-row-per-metric grain (no global window)
+    val per = a.groupBy(col("metric"), col("bkt")).agg(sum(col("c")).as("cnt"))
     val off = per
-      .join(broadcast(per.select(col("bkt").as("b2"), col("cnt").as("c2"))),
-        col("b2") < col("bkt"), "left")
-      .groupBy(col("bkt")).agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
+      .join(broadcast(per.select(col("metric").as("m2"), col("bkt").as("b2"),
+          col("cnt").as("c2"))),
+        col("m2") === col("metric") && col("b2") < col("bkt"), "left")
+      .groupBy(col("metric"), col("bkt"))
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("off"))
     // level 2: within-bucket exclusive cumulative count → each distinct
     // value's global 0-indexed rank range [rlo, rhi]
-    val wIn = Window.partitionBy("bkt").orderBy("x")
+    val wIn = Window.partitionBy("metric", "bkt").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = a.withColumn("cb", coalesce(sum(col("c")).over(wIn), lit(0L)))
-      .join(broadcast(off), Seq("bkt"))
-      .select(col("x"), (col("off") + col("cb")).as("rlo"),
+      .join(broadcast(off), Seq("metric", "bkt"))
+      .select(col("metric"), col("x"), (col("off") + col("cb")).as("rlo"),
         (col("off") + col("cb") + col("c") - 1).as("rhi"))
-    // the ≤ 2(m−1) order-statistic positions, derived from n without any
-    // driver-side collect
-    val nDf = per.agg(sum(col("cnt")).as("n"))
-    val pos = gx.sparkSession.range(1, m.toLong).toDF("j")
+    // the ≤ 2(m−1) order-statistic positions per metric, derived from n
+    // without any driver-side collect
+    val nDf = per.groupBy(col("metric")).agg(sum(col("cnt")).as("n"))
+    val pos = gxm.sparkSession.range(1, m.toLong).toDF("j")
       .crossJoin(broadcast(nDf))
-      .select(col("j"), expr(s"(n - 1) * j div $m").as("k"),
+      .select(col("metric"), col("j"), expr(s"(n - 1) * j div $m").as("k"),
         expr(s"(n - 1) * j % $m").as("r"), (col("n") - 1).as("n1"))
-      .select(col("j"), col("k"), col("r"),
+      .select(col("metric").as("pm"), col("j"), col("k"), col("r"),
         explode(array(col("k"), least(col("k") + 1, col("n1")))).as("p"))
     val sv = ranked.join(broadcast(pos),
-        col("p") >= col("rlo") && col("p") <= col("rhi"))
-      .groupBy(col("j"), col("k"), col("r"))
+        col("pm") === col("metric") &&
+          col("p") >= col("rlo") && col("p") <= col("rhi"))
+      .groupBy(col("metric"), col("j"), col("k"), col("r"))
       .agg(max(when(col("p") === col("k"), col("x"))).as("sk"),
         max(when(col("p") =!= col("k"), col("x"))).as("sk1"))
-    sv.select(col("j"), (lit(m.toLong) * col("sk")
+    sv.select(col("metric"), col("j"), (lit(m.toLong) * col("sk")
         + col("r") * (coalesce(col("sk1"), col("sk")) - col("sk"))).as("cutm"))
+      .groupBy(col("metric"))
       .agg(expr("transform(array_sort(collect_list(struct(j, cutm))), s -> s.cutm)")
         .as("bs"))
   }
@@ -744,12 +761,17 @@ object Behavior {
           col("freq"), col("mon_dec").cast("double").as("monetary"),
           (col("mon_dec") * 1000000).cast("long").as("mon6"))
         .localCheckpoint() // feeds the boundary models AND the assignment scan
-      val bounds = exactCutsM(g.select(col("recency_s").as("x")), 5)
-        .select(col("bs").as("rb"))
-        .crossJoin(exactCutsM(g.select(col("freq").as("x")), 5)
-          .select(col("bs").as("fb")))
-        .crossJoin(exactCutsM(g.select(col("mon6").as("x")), 5)
-          .select(col("bs").as("mb")))
+      // all three metric models in ONE exactCutsByMetric pass (two eager
+      // checkpoints instead of six — the sub-floor stage-count fix)
+      val gm = g.select(explode(array(
+          struct(lit("r").as("metric"), col("recency_s").cast("long").as("x")),
+          struct(lit("f").as("metric"), col("freq").cast("long").as("x")),
+          struct(lit("m").as("metric"), col("mon6").as("x")))).as("s"))
+        .select(col("s.metric").as("metric"), col("s.x").as("x"))
+      val bounds = exactCutsByMetric(gm, 5).groupBy()
+        .agg(max(when(col("metric") === "r", col("bs"))).as("rb"),
+          max(when(col("metric") === "f", col("bs"))).as("fb"),
+          max(when(col("metric") === "m", col("bs"))).as("mb"))
       def quint(x: org.apache.spark.sql.Column, bs: String) =
         boundaryBin(x * 5, col(bs), 4).cast("long")
       g.crossJoin(broadcast(bounds))
