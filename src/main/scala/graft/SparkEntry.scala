@@ -57,6 +57,39 @@ object SparkEntry {
     spark
   }
 
+  private val dirBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Input-stats tier of [[tune]]: size the AQE coalescing advisory to the
+    * DATASET, not a constant. Size-first coalescing to a fixed 64 MB
+    * advisory is right when shuffles dwarf the cluster (100 TB: thousands of
+    * advisory-sized tasks per wave) but over-merges mid-size shuffles on a
+    * small corpus — at sf1 a 40–150 MB exchange collapsed to 1–2 tasks and
+    * ran one-core (measured round 16: q_assoc_rules 7.9→23.3 s,
+    * q_tpch_q18 2.7→5.1 s from the constant advisory alone). The rule a
+    * deployment's catalog stats would drive: target ~4 task waves over the
+    * whole input (`totalBytes / (4·cores)`), floored at 1 MB so sub-floor
+    * shuffles still coalesce to single tasks (the pfirst=false win stands),
+    * capped at the 64 MB advisory, which any corpus ≥ `256 MB·cores`
+    * saturates — so at scale this IS the constant-advisory posture.
+    */
+  def tuneFor(spark: SparkSession, dir: String): SparkSession = {
+    tune(spark)
+    val bytes = dirBytesMemo.computeIfAbsent(dir, d => {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+        else f.length
+      sz(new java.io.File(d.stripPrefix("file:")))
+    })
+    if (bytes > 0L) {
+      val cores = spark.sparkContext.defaultParallelism.toLong.max(1L)
+      val advisory = (bytes / (4L * cores)).max(1L << 20).min(64L << 20)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        advisory.toString)
+    }
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join: fact `orders` joined to broadcast dims — the 100 TB shape
     * (fact table is never shuffled for the join).
@@ -87,7 +120,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> ((s: SparkSession, d: String) => q.fn(tune(s), d))).toMap
+    registry.map(q => q.name -> ((s: SparkSession, d: String) => q.fn(tuneFor(s, d), d))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.

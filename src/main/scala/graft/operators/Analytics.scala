@@ -355,6 +355,13 @@ object Analytics {
     * broadcast, revenue as a decimal-exact sum, top-10 by revenue. The
     * canonical "filters push to every scan, dims broadcast, facts shuffle
     * once" benchmark plan.
+    *
+    * The broadcast dim joins BELOW the fact-fact exchange (orders ⋈ customer
+    * first): the BUILDING segment keeps ~1/5 of customers, so probing the
+    * broadcast in orders' scan stage shrinks the orders exchange 5× — a dim
+    * probed after the fact shuffle saves nothing. Same argument at 100 TB:
+    * selective broadcast semi-reductions belong before the shuffle they
+    * reduce (and AQE can then pick the smaller side as a runtime build).
     */
   val tpchQ3 = Q(
     "q_tpch_q3",
@@ -362,10 +369,10 @@ object Analytics {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1999-03-15").cast("timestamp"))
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
@@ -689,15 +696,18 @@ object Analytics {
         .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      // ASIA keeps ~1/5 of customers: probe the broadcast dim in orders'
+      // scan stage (below the fact-fact exchange) so the orders shuffle
+      // carries only qualifying-region orders — the q_tpch_q3 argument
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(dim), col("o_custkey") === dim("c_custkey"))
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
         .join(broadcast(sup),
           l("l_suppkey") === sup("s_suppkey") &&
             sup("s_nationkey") === dim("c_nationkey"))

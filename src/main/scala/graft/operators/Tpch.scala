@@ -194,14 +194,24 @@ object Tpch {
         .join(broadcast(Tables.region(s, d).select(col("r_regionkey").as("cr_rkey"), col("r_name").as("cust_region"))),
           col("cr_key") === col("cr_rkey"))
         .select(col("c_custkey"), col("cust_region"))
+      // The pair predicate only ever accepts AMERICA/ASIA on either side, so
+      // both broadcast dims pre-filter to those regions and probe BELOW the
+      // fact-fact exchange: lineitem's shuffle carries only qualifying-
+      // region suppliers' lines (~2/5) and orders' only qualifying-region
+      // customers' orders (~2/5); the cross-side pair filter then runs on
+      // the join output as before (the q_tpch_q3 broadcast-below-shuffle
+      // argument, applied to both legs).
+      val regions = Seq("AMERICA", "ASIA")
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), rev.as("volume"))
+        .join(broadcast(supR.filter(col("supp_region").isin(regions: _*))),
+          col("l_suppkey") === col("s_suppkey"))
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(custR.filter(col("cust_region").isin(regions: _*))),
+          col("o_custkey") === col("c_custkey"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supR), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
         .filter((col("supp_region") === "AMERICA" && col("cust_region") === "ASIA") ||
           (col("supp_region") === "ASIA" && col("cust_region") === "AMERICA"))
         .groupBy(col("supp_region"), col("cust_region"),
