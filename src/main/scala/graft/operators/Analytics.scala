@@ -696,18 +696,20 @@ object Analytics {
         .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
-      // ASIA keeps ~1/5 of customers: probe the broadcast dim in orders'
-      // scan stage (below the fact-fact exchange) so the orders shuffle
-      // carries only qualifying-region orders — the q_tpch_q3 argument
+      // NOTE (round 16): the q_tpch_q3 broadcast-below-the-exchange move was
+      // A/B'd here and measured WORSE (Scratch, sf1 min-of-3: 3.05 s below
+      // vs 1.95 s above) — unlike Q3/Q7, lineitem carries no filter of its
+      // own, so the join's cost is the full-l exchange either way and the
+      // early dim probe only adds a build stage ahead of it. Kept above.
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
         .select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(dim), col("o_custkey") === dim("c_custkey"))
       val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
         .join(broadcast(sup),
           l("l_suppkey") === sup("s_suppkey") &&
             sup("s_nationkey") === dim("c_nationkey"))
