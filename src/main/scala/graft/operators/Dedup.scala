@@ -942,21 +942,32 @@ object Dedup {
     * an engineered-overlap corpus by SourceOverlapSpec).
     */
   def sourceOverlapMatrix(docs: DataFrame, n: Int = 2): DataFrame = {
-    // checkpointed: the two-shuffle (source, sh) distinct feeds BOTH the
-    // per-source sizes and the intersection explode (the dupCoverage
-    // convention — exchange reuse does not collapse such branches)
-    val ss = TextFns.shingles(docs, n)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("sh")).distinct()
-      .localCheckpoint()
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = ss.groupBy(col("sh"))
+    // source rides the shingle explode (it is a column of the same corpus
+    // row), so the former doc_id equi-join back to the corpus and BOTH
+    // corpus-grain DISTINCT shuffles are gone: ONE shingle-grain aggregate
+    // dedups sources per shingle (collect_set partials merge map-side), and
+    // the per-source set sizes fall out of the SAME aggregate by emitting
+    // the (s, s) self pair alongside every unordered (s1 < s2) pair —
+    // diagonal counts = |per-source shingle set|, off-diagonal = n_shared.
+    // The count table is ≤ n_sources² rows; checkpointed because it feeds
+    // three consumers and exchange reuse does not collapse such branches.
+    val occ = docs
+      .select(col("source"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("source"), explode(sequence(lit(0), size(col("t")) - n)).as("i"), col("t"))
+      .select(col("source"),
+        concat_ws(" ", (1 to n).map(k => element_at(col("t"), col("i") + k)): _*).as("sh"))
+    val counts = occ.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .select(explode(expr(
-        "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS s1, y AS s2))))")).as("p"))
+        "flatten(transform(srcs, (x, i) -> transform(slice(srcs, i + 1, size(srcs)), y -> struct(x AS s1, y AS s2))))")).as("p"))
       .select(col("p.s1"), col("p.s2"))
-      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_shared"))
-    inter
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val sizes = counts.filter(col("s1") === col("s2"))
+      .select(col("s1").as("source"), col("c").as("n"))
+    counts.filter(col("s1") < col("s2"))
+      .select(col("s1"), col("s2"), col("c").as("n_shared"))
       .join(sizes.select(col("source").as("s1"), col("n").as("na")), Seq("s1"))
       .join(sizes.select(col("source").as("s2"), col("n").as("nb")), Seq("s2"))
       .select(col("s1"), col("s2"), col("n_shared"),
