@@ -96,16 +96,60 @@ object Scratch {
         .orderBy(col("n_uv").desc, col("u"), col("v"))
     }
 
+    // shape D: no basket arrays at all — the oracle's own algebra. ONE hash
+    // exchange of (ok, pk) + partition-local dedup, checkpointed STILL
+    // PARTITIONED by ok; the pair generation is a zero-exchange
+    // partition-local self-join (a.pk < b.pk), and supports/order-count ride
+    // the same materialized relation. Replaces the collect_set basket build
+    // (the FloorProbe-measured hot stage: ~128 CPU-s building+serializing
+    // 1.5M sorted arrays) with a plain join.
+    def assocD(s: SparkSession, d: String): DataFrame = {
+      val pl = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
+        .dropDuplicates("ok", "pk")
+        .localCheckpoint()
+      val pairs = pl.as("a").join(pl.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .repartition(col("u"), col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("n_uv"))
+        .orderBy(col("n_uv").desc, col("u"), col("v"))
+        .limit(20)
+        .localCheckpoint()
+      val keys = pairs.select(explode(array(col("u"), col("v"))).as("pk")).distinct()
+      val item = pl.join(broadcast(keys), Seq("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      val nOrders = pl.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("pk").as("u"), col("n_i").as("n_u"))), Seq("u"))
+        .join(broadcast(item.select(col("pk").as("v"), col("n_i").as("n_v"))), Seq("v"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("n_uv"), col("n_u"), col("n_v"),
+          round(col("n_uv").cast("double") / col("n_orders").cast("double"), 6).as("support"),
+          round(col("n_uv").cast("double") / col("n_u").cast("double"), 6).as("confidence"),
+          round((col("n_uv").cast("double") * col("n_orders").cast("double"))
+            / (col("n_u").cast("double") * col("n_v").cast("double")), 6).as("lift"))
+        .orderBy(col("n_uv").desc, col("u"), col("v"))
+    }
+
     def time(fn: => Unit): Double = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    time(assocA(spark, sfDir).count()); time(assocB(spark, sfDir).count()) // warm
-    val as = (1 to 3).map(_ => time(assocA(spark, sfDir).count()))
-    val bs = (1 to 3).map(_ => time(assocB(spark, sfDir).count()))
-    println(f"[scratch] assoc A full-item-agg min=${as.min}%.2fs samples=${as.map(x => f"$x%.2f").mkString(",")}")
-    println(f"[scratch] assoc B filtered-supports min=${bs.min}%.2fs samples=${bs.map(x => f"$x%.2f").mkString(",")}")
+    val _ = assocA(spark, sfDir) // keep shape A compiled/referenced for history
+    time(assocB(spark, sfDir).count()); time(assocD(spark, sfDir).count()) // warm
+    // ALTERNATE the samples (B,D,B,D,...) so a drifting host load penalizes
+    // both shapes equally — sequential blocks mis-credited the first run of
+    // this A/B when the window cooled mid-session.
+    val pairs = (1 to 4).map(_ =>
+      (time(assocB(spark, sfDir).count()), time(assocD(spark, sfDir).count())))
+    val bs = pairs.map(_._1)
+    val ds = pairs.map(_._2)
+    println(f"[scratch] assoc B basket-arrays min=${bs.min}%.2fs samples=${bs.map(x => f"$x%.2f").mkString(",")}")
+    println(f"[scratch] assoc D dedup-self-join min=${ds.min}%.2fs samples=${ds.map(x => f"$x%.2f").mkString(",")}")
     spark.stop()
   }
 }

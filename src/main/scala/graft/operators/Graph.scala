@@ -587,8 +587,9 @@ object Graph {
     * pair generation as [[copurchaseEdgesBuild]] (sorted distinct item
     * arrays → bounded transform explode — never an order-keyed self-join),
     * aggregated WITH multiplicity this time (one count per order
-    * containing the pair); item supports are one count aggregate broadcast
-    * into the 20-row report. All ratios are single divisions of exact
+    * containing the pair); item supports are counted for ONLY the ≤40
+    * items the finished top-20 report references (broadcast semi-filter on
+    * the support explode), then broadcast into the 20-row report. All ratios are single divisions of exact
     * integer counts, rounded 6 — engine-identical by construction. The
     * top-20 cut breaks ties by the pair itself, so it is deterministic.
     *
@@ -615,6 +616,14 @@ object Graph {
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .localCheckpoint()
+      // top-20 FIRST (a 20-row checkpoint), then item supports for ONLY the
+      // ≤40 keys the report references: the support explode still scans the
+      // baskets once, but its aggregate shuffles ~40 keys instead of every
+      // distinct item, and the two item-table broadcast builds (200k rows
+      // each at sf1) shrink to a 40-row table. Same-session A/B (Scratch,
+      // min-of-3): 11.2 s full-item-agg vs 4.5 s filtered — the broadcast
+      // builds, not the aggregate, were the surprise cost. Report values
+      // are identical: supports are exact counts either way.
       val pairs = baskets
         .select(explode(expr(
           "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("e"))
@@ -624,8 +633,11 @@ object Graph {
         .agg(count(lit(1)).as("n_uv"))
         .orderBy(col("n_uv").desc, col("u"), col("v"))
         .limit(20)
+        .localCheckpoint()
+      val keys = pairs.select(explode(array(col("u"), col("v"))).as("l_partkey")).distinct()
       val item = baskets
         .select(explode(col("ps")).as("l_partkey"))
+        .join(broadcast(keys), Seq("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
