@@ -96,7 +96,19 @@ object Bench {
     val coldTotal = cold.values.filter(_ >= 0).sum
     val passTotals = passes.map(passTotal).mkString("[", ",", "]")
     val mode = s"warm-min-of-${passes.length}"
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode","sf":"$sfDir"}"""
+    // Core-scaling observability (round-16 verdict item 2, additions-only):
+    // the driver re-runs this bench at a lower $SPARK_GRAFT_CPUS to measure
+    // scaling, but at small SFs the per-query scheduling floor plus
+    // size-first AQE coalescing (task counts byte-driven, not core-driven)
+    // make core count invisible in the timings alone. Emit the session's
+    // actual parallelism, master string and the effective AQE advisory so
+    // the scaling harness can verify the requested cores took effect.
+    val scalingInfo = {
+      val adv = try spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      catch { case _: Throwable => "" }
+      s""""master":"local[$cpus]","default_parallelism":${spark.sparkContext.defaultParallelism},"advisory_partition_bytes":"$adv""""
+    }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode",$scalingInfo,"sf":"$sfDir"}"""
     println(fullLine)
     // The harness that wraps this main keeps only a bounded tail of stdout;
     // at 100+ registered queries the full line outgrows it and the totals at
@@ -115,7 +127,7 @@ object Bench {
     val failed = names.filter(n => warm(n) < 0)
     val slowest = names.filter(warm(_) >= 0).sortBy(-warm(_)).take(8)
       .map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode","sf":"$sfDir","queries":"see BENCH_FULL.json"}"""
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.length},"n_failed":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest":$slowest,"cold_total_sec":$coldTotal,"warm_pass_totals_sec":$passTotals,"mode":"$mode",$scalingInfo,"sf":"$sfDir","queries":"see BENCH_FULL.json"}"""
     println(compactLine)
     // This main runs FORKED under sbt: its stdout is re-logged with an
     // "[info] " prefix and sbt's own "[success] Total time …" footer prints

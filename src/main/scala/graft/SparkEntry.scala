@@ -75,11 +75,18 @@ object SparkEntry {
     */
   def tuneFor(spark: SparkSession, dir: String): SparkSession = {
     tune(spark)
+    // Resolve through the Hadoop FileSystem API so the rule works on any
+    // storage the session can read (file:, hdfs:, s3a:, ...), not just the
+    // local filesystem — a `java.io.File` walk returns 0 on remote URIs and
+    // silently pinned the fallback advisory there (round-16 verdict item 2).
+    // An unreachable/unknown URI still degrades to 0 bytes → advisory left at
+    // the session default, the documented at-scale posture.
     val bytes = dirBytesMemo.computeIfAbsent(dir, d => {
-      def sz(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
-        else f.length
-      sz(new java.io.File(d.stripPrefix("file:")))
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     })
     if (bytes > 0L) {
       val cores = spark.sparkContext.defaultParallelism.toLong.max(1L)

@@ -34,6 +34,24 @@ class TuneForSpec extends SparkSpec {
     assert(advisoryAfter(dir) == expected)
   }
 
+  test("a file:-scheme URI resolves to the same advisory as the bare path") {
+    // tuneFor now sizes the input through the Hadoop FileSystem API, so any
+    // scheme the session can read works; the local round-trip is the
+    // testable instance (plain path and file: URI must agree byte-for-byte)
+    val bare = advisoryAfter(sf("sf0.01"))
+    assert(advisoryAfter("file:" + sf("sf0.01")) == bare)
+  }
+
+  test("an unreachable remote URI degrades to the session-default advisory") {
+    // hdfs:-style URIs resolve through the same API; with no cluster behind
+    // the authority the lookup fails, bytes read 0, and tuneFor must leave
+    // the advisory exactly as it found it (the documented at-scale fallback)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "12345678")
+    SparkEntry.tuneFor(spark, "hdfs://graft-no-such-namenode:8020/data/corpus")
+    assert(spark.conf.get(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes") == "12345678")
+  }
+
   test("a cluster-scale corpus saturates the 64 MB cap") {
     val dir = java.nio.file.Files.createTempDirectory("tunefor").toFile
     try {
