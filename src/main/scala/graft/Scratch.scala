@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * session): A/B q_assoc_rules' report-side shape — the full 200k-key item
   * aggregate + two broadcast joins (current) vs computing supports only for
   * the 40 keys the top-20 report needs (sequential two-phase with a 20-row
-  * checkpoint). Same session, alternating, min-of-3 per shape.
+  * checkpoint). Same session, alternating (B,D,B,D,…), one warm run then
+  * min-of-4 per shape.
   *
   * Earlier experiments this round (kept in git history): TPC-H Q5 broadcast
   * dim below vs above the fact-fact exchange — "below" only pays when the

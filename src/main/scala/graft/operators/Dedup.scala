@@ -931,11 +931,12 @@ object Dedup {
     * SOURCES (shards): the leakage diagnostic run before mixing shards into
     * a training corpus (high overlap between a train shard and a benchmark
     * shard is contamination; between two train shards, wasted epochs).
-    * Scale shape: per-source shingle SETS are one distinct aggregate; the
-    * intersection counts come from the bounded per-shingle source-array
-    * pattern (sources per shingle ≤ #shards, a SMALL constant — no
-    * shingle-level self-join in the plan, though the oracle states one);
-    * union sizes are |A|+|B|−|A∩B| from the per-source counts.
+    * Scale shape: ONE shingle-grain aggregate dedups sources per shingle
+    * (collect_set, bounded by #shards — no corpus-grain DISTINCT shuffle and
+    * no shingle-level self-join in the plan, though the oracle states one);
+    * each shingle emits its (s, s) self-pairs alongside the unordered
+    * (s1 < s2) pairs, so the diagonal of the same count table supplies the
+    * per-source set sizes; union sizes are |A|+|B|−|A∩B| from those counts.
     */
   /** The overlap matrix over any (doc_id, text, source) corpus — the body of
     * `q_source_overlap`, reusable on arbitrary shard layouts (and driven on
