@@ -30,7 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // broadcast/checkpoint blocks faster than an 8g heap turns them over;
   // the box has 128 GiB, so size the single-JVM "cluster" like one.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // dev A/B knob for JVM/GC experiments (the driver never sets it): e.g.
+  // SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC" sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
 
 // graft.Bench runs forked, so sbt re-logs its stdout with an "[info] "
 // prefix and prints its own "[success] Total time …" footer LAST — a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, SimhashSig64, SortedIntersectCount, TopKAgg, VectorCosine}
+import graft.plans.{ArrayPairs, AsOfJoin, BloomAgg, BpeEncode, MightContain, MinhashSig, OsgbToWgs84, ShingleHashes, SimhashSig, SimhashSig64, SortedIntersectCount, TopKAgg, VectorCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSessionExtensionsProvider
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -65,6 +65,17 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
             s"graft_shingle_hashes(tokens, n): n must be an integer literal, got $other")
         }
         ShingleHashes(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[ArrayPairs].getName, "graft_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val diag = if (children.size < 2) false else children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"graft_pairs(arr, includeDiag): includeDiag must be a boolean literal, got $other")
+        }
+        ArrayPairs(children.head, diag)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
